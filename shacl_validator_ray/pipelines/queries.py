@@ -1,0 +1,244 @@
+"""The driver-contract registry: QUERIES (Ray pipelines) + ORACLE_SQL (DuckDB).
+
+Every implemented operator from SURVEY.md §2 gets an entry; column names
+in the Ray result and the SQL are kept identical (the driver compares
+sorted-by-name columns with an order-insensitive value hash).
+
+Float-valued results are rounded to 6 dp on both sides; quality metrics
+are emitted as integer numerators/denominators so hashes are exact.
+"""
+
+from __future__ import annotations
+
+from . import relational as R
+
+
+def _docs(sf_dir: str):
+    return R.t(sf_dir, "documents")
+
+
+def _emb(sf_dir: str):
+    return R.t(sf_dir, "embeddings")
+
+
+# ---- text analysis ----
+
+def q_token_counts(sf_dir: str):
+    from ..stages import text
+    return text.token_counts(_docs(sf_dir))
+
+
+def q_quality_counts(sf_dir: str):
+    import pyarrow as pa
+
+    def fn(b: pa.Table) -> pa.Table:
+        texts = b.column("text").to_pylist()
+        stop = {"the", "a", "and", "of", "to", "in"}
+        rows = {"doc_id": b.column("doc_id"), "q_chars": [], "q_tokens": [],
+                "q_token_len_sum": [], "q_upper": [], "q_punct": [], "q_stopwords": []}
+        for t in texts:
+            t = t or ""
+            toks = t.split()
+            rows["q_chars"].append(len(t))
+            rows["q_tokens"].append(len(toks))
+            rows["q_token_len_sum"].append(sum(map(len, toks)))
+            rows["q_upper"].append(sum(c.isupper() for c in t))
+            rows["q_punct"].append(sum((not c.isalnum()) and (not c.isspace()) for c in t))
+            rows["q_stopwords"].append(sum(w in stop for w in toks))
+        return pa.table(rows)
+
+    return _docs(sf_dir).map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_fingerprints(sf_dir: str):
+    from ..stages import text
+    return text.fingerprints(_docs(sf_dir))
+
+
+def q_lang_id(sf_dir: str):
+    from ..stages import text
+    return text.language_id(_docs(sf_dir))
+
+
+# ---- dedup family ----
+
+def q_exact_dedup(sf_dir: str):
+    from ..stages import dedup
+    return dedup.exact_dedup(_docs(sf_dir))
+
+
+def q_jaccard_dups(sf_dir: str):
+    from ..stages import dedup
+    return dedup.jaccard_dup_pairs(_docs(sf_dir), tau=0.95)
+
+
+def q_minhash_lsh_dups(sf_dir: str):
+    from ..stages import dedup
+    return dedup.minhash_lsh_dup_pairs(_docs(sf_dir), tau=0.95)
+
+
+def q_simhash_dups(sf_dir: str):
+    from ..stages import dedup
+    return dedup.simhash_dup_pairs(_docs(sf_dir), max_hamming=3)
+
+
+def q_embedding_dups(sf_dir: str):
+    from ..stages import dedup
+    return dedup.embedding_dup_pairs(_emb(sf_dir), tau=0.4)
+
+
+# ---- similarity search ----
+
+def q_knn_bruteforce(sf_dir: str):
+    from ..stages import similarity
+    return similarity.knn_bruteforce(_emb(sf_dir), query_ids=[0, 1, 2], k=5)
+
+
+def q_knn_lsh(sf_dir: str):
+    from ..stages import similarity
+    return similarity.knn_lsh(_emb(sf_dir), query_ids=[0, 1, 2], k=5)
+
+
+# ---- flagship KG pipeline (over this repo's own synthetic corpus) ----
+
+def q_kg_extract(sf_dir: str):
+    from . import kg
+    return kg.triples_dataset(sf_dir)
+
+
+QUERIES = {
+    # relational operator inventory (SURVEY.md §2)
+    "severity_counts": R.severity_counts,
+    "pruned_agg": R.pruned_agg,
+    "first_match": R.first_match,
+    "multi_value": R.multi_value,
+    "topk_brands": R.topk_brands,
+    "distinct_counts": R.distinct_counts,
+    "dedup_first": R.dedup_first,
+    "join_orders_customers": R.join_orders_customers,
+    "two_hop_join": R.two_hop_join,
+    "anti_join_customers": R.anti_join_customers,
+    "cardinality_bounds": R.cardinality_bounds,
+    "union_distinct": R.union_distinct,
+    "top_orders": R.top_orders,
+    "snapshot_counts": R.snapshot_counts,
+    "filter_search_limit": R.filter_search_limit,
+    # text analysis
+    "token_counts": q_token_counts,
+    "quality_counts": q_quality_counts,
+    "fingerprints": q_fingerprints,
+    "lang_id": q_lang_id,
+    # dedup family
+    "exact_dedup": q_exact_dedup,
+    "jaccard_dups": q_jaccard_dups,
+    "minhash_lsh_dups": q_minhash_lsh_dups,
+    "simhash_dups": q_simhash_dups,
+    "embedding_dups": q_embedding_dups,
+    # similarity search
+    "knn_bruteforce": q_knn_bruteforce,
+    "knn_lsh": q_knn_lsh,
+    # flagship KG pipeline
+    "kg_extract": q_kg_extract,
+}
+
+_JACCARD_PAIRS_SQL = """
+WITH t AS (SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS ws FROM documents),
+p AS (
+  SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+         len(list_intersect(a.ws, b.ws))::DOUBLE
+           / len(list_distinct(list_concat(a.ws, b.ws))) AS j
+  FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id)
+SELECT doc1, doc2, round(j, 6) AS jac FROM p WHERE j >= 0.95
+"""
+
+ORACLE_SQL = {
+    "severity_counts":
+        "SELECT l_returnflag, count(*) AS n FROM lineitem GROUP BY l_returnflag",
+    "pruned_agg": """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_rev,
+               count(*) AS n
+        FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+    "first_match":
+        "SELECT o_custkey, arg_min(o_orderdate, o_orderkey) AS first_orderdate "
+        "FROM orders GROUP BY o_custkey",
+    "multi_value":
+        "SELECT o_custkey, array_to_string(list_sort(list(DISTINCT o_orderpriority)), ',') "
+        "AS priorities FROM orders GROUP BY o_custkey",
+    "topk_brands":
+        "SELECT p_brand, count(*) AS n FROM part GROUP BY p_brand "
+        "ORDER BY n DESC, p_brand LIMIT 6",
+    "distinct_counts":
+        "SELECT count(DISTINCT l_partkey) AS parts, count(DISTINCT l_suppkey) AS supps, "
+        "count(DISTINCT l_orderkey) AS orders FROM lineitem",
+    "dedup_first":
+        "SELECT l_orderkey, min(l_linenumber) AS l_linenumber FROM lineitem "
+        "GROUP BY l_orderkey",
+    "join_orders_customers": """
+        SELECT c_nationkey, round(sum(o_totalprice), 2) AS total, count(*) AS n
+        FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY c_nationkey""",
+    "two_hop_join": """
+        SELECT r_name, count(*) AS n_suppliers, round(sum(s_acctbal), 2) AS total_bal
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey GROUP BY r_name""",
+    "anti_join_customers": """
+        SELECT c_mktsegment, count(*) AS n FROM customer
+        WHERE c_custkey NOT IN
+          (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+        GROUP BY c_mktsegment""",
+    "cardinality_bounds": """
+        SELECT o_custkey AS c_custkey, count(*) AS n FROM orders
+        GROUP BY o_custkey HAVING count(*) > 15""",
+    "union_distinct":
+        "SELECT DISTINCT c_nationkey FROM customer "
+        "WHERE c_mktsegment IN ('AUTOMOBILE', 'BUILDING')",
+    "top_orders":
+        "SELECT o_orderkey, o_totalprice FROM orders "
+        "ORDER BY o_totalprice DESC, o_orderkey LIMIT 10",
+    "snapshot_counts":
+        "SELECT event_type, count(DISTINCT user_id) AS n_users FROM events "
+        "GROUP BY event_type",
+    "filter_search_limit":
+        "SELECT doc_id, source FROM documents WHERE contains(text, 'merge') "
+        "ORDER BY doc_id LIMIT 50",
+    "token_counts": r"""
+        SELECT doc_id,
+               length(regexp_extract_all(text, '\S+')) AS n_tokens,
+               length(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]+'))
+                 AS n_bpe_tokens
+        FROM documents""",
+    "quality_counts": r"""
+        WITH q AS (SELECT doc_id, text, regexp_extract_all(text, '\S+') AS toks
+                   FROM documents)
+        SELECT doc_id,
+               length(text)::BIGINT AS q_chars,
+               len(toks)::BIGINT AS q_tokens,
+               coalesce(list_aggregate(list_transform(toks, x -> length(x)), 'sum'), 0)::BIGINT
+                 AS q_token_len_sum,
+               length(regexp_replace(text, '[^A-Z]', '', 'g'))::BIGINT AS q_upper,
+               length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))::BIGINT AS q_punct,
+               len(list_filter(toks, x -> x IN ('the','a','and','of','to','in')))::BIGINT
+                 AS q_stopwords
+        FROM q""",
+    "fingerprints":
+        "SELECT doc_id, md5(lower(trim(text))) AS fp FROM documents",
+    "exact_dedup":
+        "SELECT doc_id, text, lang, source, n_chars FROM documents",
+    "jaccard_dups": _JACCARD_PAIRS_SQL,
+    "minhash_lsh_dups": _JACCARD_PAIRS_SQL,
+    "embedding_dups": """
+        WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings)
+        SELECT a.vec_id AS vec1, b.vec_id AS vec2,
+               round(list_cosine_similarity(a.emb, b.emb), 6) AS sim
+        FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.emb, b.emb) >= 0.4""",
+    "knn_bruteforce": """
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        q AS (SELECT vec_id AS qid, emb AS qe FROM e WHERE vec_id IN (0, 1, 2)),
+        s AS (SELECT qid, vec_id AS nid, list_cosine_similarity(qe, emb) AS sim
+              FROM q, e WHERE vec_id != qid)
+        SELECT qid, nid, round(sim, 6) AS sim FROM s
+        QUALIFY row_number() OVER (PARTITION BY qid ORDER BY round(sim, 6) DESC, nid) <= 5""",
+    # lang_id, simhash_dups, knn_lsh (approximate), kg_extract: rows-only checks
+}

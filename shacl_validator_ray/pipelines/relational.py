@@ -1,0 +1,259 @@
+"""Relational operator pipelines over the driver's TPC-H-ish tables.
+
+Each function implements one operator family from SURVEY.md §2 as an
+idiomatic Ray Data pipeline (vectorized batch fns, broadcast small
+sides, partial aggregation) and is paired with a DuckDB oracle in
+``pipelines/queries.py``. Reference semantics cited per function.
+
+Scale notes: small sides (customer, nation, region, distinct key sets)
+are broadcast with ``ray.put`` once and read per worker — no shuffle;
+the only all-to-all exchanges are the final small groupbys and sorts.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray
+import ray.data as rd
+from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+
+def t(sf_dir: str, name: str, columns: list[str] | None = None) -> rd.Dataset:
+    return rd.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns)
+
+
+def _small(sf_dir: str, name: str, columns: list[str]) -> pa.Table:
+    """Driver-side read of a small dimension table (broadcast side)."""
+    return pq.read_table(f"{sf_dir}/{name}.parquet", columns=columns)
+
+
+# --- A1 analog: severity partition counts (SHACLValidationService.ts:411-413) ---
+def severity_counts(sf_dir: str):
+    return (
+        t(sf_dir, "lineitem", ["l_returnflag"])
+        .groupby("l_returnflag")
+        .aggregate(Count(alias_name="n"))
+    )
+
+
+# --- A4/A5 machinery: grouped sums (TPC-H Q1 shape), column-pruned read ---
+def pruned_agg(sf_dir: str):
+    ds = t(sf_dir, "lineitem",
+           ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"])
+
+    def revenue(b: pa.Table) -> pa.Table:
+        rev = pc.multiply(b["l_extendedprice"], pc.subtract(pa.scalar(1.0), b["l_discount"]))
+        return b.append_column("rev", rev)
+
+    out = (
+        ds.map_batches(revenue, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("l_quantity", alias_name="sum_qty"),
+            Sum("rev", alias_name="sum_rev"),
+            Count(alias_name="n"),
+        )
+    )
+
+    def rnd(b: pa.Table) -> pa.Table:
+        return b.set_column(b.column_names.index("sum_qty"), "sum_qty", pc.round(b["sum_qty"], 2)) \
+                .set_column(b.column_names.index("sum_rev"), "sum_rev", pc.round(b["sum_rev"], 2))
+
+    return out.map_batches(rnd, batch_format="pyarrow")
+
+
+# --- M14: first-match property projection (DataDiscoveryService.ts:131-137) ---
+def first_match(sf_dir: str):
+    ds = t(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_orderdate"])
+
+    def first_row(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("o_orderkey").head(1)
+        return pd.DataFrame(
+            {"o_custkey": g["o_custkey"].values, "first_orderdate": g["o_orderdate"].values}
+        )
+
+    return ds.groupby("o_custkey").map_groups(first_row, batch_format="pandas")
+
+
+# --- M15: multi-value property projection (DataDiscoveryService.ts:138-142) ---
+def multi_value(sf_dir: str):
+    ds = t(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
+
+    def collect(g: pd.DataFrame) -> pd.DataFrame:
+        vals = ",".join(sorted(set(g["o_orderpriority"])))
+        return pd.DataFrame({"o_custkey": [g["o_custkey"].iloc[0]], "priorities": [vals]})
+
+    return ds.groupby("o_custkey").map_groups(collect, batch_format="pandas")
+
+
+# --- A5/O2: top-k by group count (ReportViewer.tsx:140-163) ---
+def topk_brands(sf_dir: str):
+    return (
+        t(sf_dir, "part", ["p_brand"])
+        .groupby("p_brand")
+        .aggregate(Count(alias_name="n"))
+        .sort(["n", "p_brand"], descending=[True, False])
+        .limit(6)
+    )
+
+
+# --- A9/D4: distinct counts (ReportViewer.tsx:235-248) ---
+def distinct_counts(sf_dir: str):
+    ds = t(sf_dir, "lineitem", ["l_partkey", "l_suppkey", "l_orderkey"])
+    parts = len(ds.unique("l_partkey"))
+    supps = len(ds.unique("l_suppkey"))
+    orders = len(ds.unique("l_orderkey"))
+    return pd.DataFrame({"parts": [parts], "supps": [supps], "orders": [orders]})
+
+
+# --- D1: exact dedup keep-first (quad-set semantics, SHACLValidationService.ts:133) ---
+def dedup_first(sf_dir: str):
+    return (
+        t(sf_dir, "lineitem", ["l_orderkey", "l_linenumber"])
+        .groupby("l_orderkey")
+        .aggregate(Min("l_linenumber", alias_name="l_linenumber"))
+    )
+
+
+# --- J1: hash/broadcast join dataset→distributions analog
+#     (DataDiscoveryService.ts:158-170): orders ⋈ customer, small side broadcast ---
+def join_orders_customers(sf_dir: str):
+    cust = _small(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    keys = np.asarray(cust["c_custkey"])
+    order = np.argsort(keys)
+    ref = ray.put((keys[order], np.asarray(cust["c_nationkey"])[order]))
+
+    def add_nation(b: pa.Table) -> pa.Table:
+        k, v = ray.get(ref)
+        ck = np.asarray(b["o_custkey"])
+        idx = np.searchsorted(k, ck)
+        return b.append_column("c_nationkey", pa.array(v[idx], pa.int32()))
+
+    out = (
+        t(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+        .map_batches(add_nation, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("c_nationkey")
+        .aggregate(Sum("o_totalprice", alias_name="total"), Count(alias_name="n"))
+    )
+    return out.map_batches(
+        lambda b: b.set_column(b.column_names.index("total"), "total", pc.round(b["total"], 2)),
+        batch_format="pyarrow",
+    )
+
+
+# --- J2: two-hop deref join analog (DataDiscoveryService.ts:281-321):
+#     supplier → nation → region via chained broadcast lookups ---
+def two_hop_join(sf_dir: str):
+    nation = _small(sf_dir, "nation", ["n_nationkey", "n_regionkey"])
+    region = _small(sf_dir, "region", ["r_regionkey", "r_name"])
+    n2r = dict(zip(nation["n_nationkey"].to_pylist(), nation["n_regionkey"].to_pylist()))
+    r2name = dict(zip(region["r_regionkey"].to_pylist(), region["r_name"].to_pylist()))
+    lookup = {nk: r2name[rk] for nk, rk in n2r.items()}
+    ref = ray.put(lookup)
+
+    def add_region(b: pa.Table) -> pa.Table:
+        lk = ray.get(ref)
+        names = [lk[nk] for nk in b["s_nationkey"].to_pylist()]
+        return b.append_column("r_name", pa.array(names, pa.string()))
+
+    out = (
+        t(sf_dir, "supplier", ["s_nationkey", "s_acctbal"])
+        .map_batches(add_region, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("r_name")
+        .aggregate(Count(alias_name="n_suppliers"), Sum("s_acctbal", alias_name="total_bal"))
+    )
+    return out.map_batches(
+        lambda b: b.set_column(b.column_names.index("total_bal"), "total_bal",
+                               pc.round(b["total_bal"], 2)),
+        batch_format="pyarrow",
+    )
+
+
+# --- A11 absence: anti-join (minCount-0 violations need target-node anti-join,
+#     SURVEY.md §7.3): customers with no orders, per segment ---
+def anti_join_customers(sf_dir: str):
+    urgent = (
+        t(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
+        .map_batches(
+            lambda b: b.filter(pc.equal(b["o_orderpriority"], "1-URGENT"))
+                       .select(["o_custkey"]),
+            batch_format="pyarrow", zero_copy_batch=True)
+    )
+    with_orders = set(urgent.unique("o_custkey"))
+    ref = ray.put(with_orders)
+
+    def keep_orderless(b: pa.Table) -> pa.Table:
+        s = ray.get(ref)
+        mask = pa.array([k not in s for k in b["c_custkey"].to_pylist()])
+        return b.filter(mask)
+
+    return (
+        t(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+        .map_batches(keep_orderless, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("c_mktsegment")
+        .aggregate(Count(alias_name="n"))
+    )
+
+
+# --- A11: cardinality bound check (sh:maxCount analog): per-key counts over bound ---
+def cardinality_bounds(sf_dir: str, bound: int = 15):
+    out = (
+        t(sf_dir, "orders", ["o_custkey"])
+        .groupby("o_custkey")
+        .aggregate(Count(alias_name="n"))
+    )
+    return out.map_batches(
+        lambda b: b.filter(pc.greater(b["n"], bound)).rename_columns(["c_custkey", "n"]),
+        batch_format="pyarrow",
+    )
+
+
+# --- D3: union + distinct (shape-file union semantics,
+#     SHACLValidationService.ts:124-134) ---
+def union_distinct(sf_dir: str):
+    cust = t(sf_dir, "customer", ["c_mktsegment", "c_nationkey"])
+    a = cust.map_batches(
+        lambda b: b.filter(pc.equal(b["c_mktsegment"], "AUTOMOBILE")).select(["c_nationkey"]),
+        batch_format="pyarrow")
+    b = cust.map_batches(
+        lambda t_: t_.filter(pc.equal(t_["c_mktsegment"], "BUILDING")).select(["c_nationkey"]),
+        batch_format="pyarrow")
+    vals = sorted(a.union(b).unique("c_nationkey"))
+    return pd.DataFrame({"c_nationkey": pd.array(vals, dtype="int32")})
+
+
+# --- O1/O2: sort + top-k (ValidationResults.tsx:189-193, ReportViewer.tsx:162) ---
+def top_orders(sf_dir: str):
+    return (
+        t(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+        .sort(["o_totalprice", "o_orderkey"], descending=[True, False])
+        .limit(10)
+    )
+
+
+# --- M18/A10: distinct-subject snapshot per type (ValidatorInput.tsx:156-189) ---
+def snapshot_counts(sf_dir: str):
+    return (
+        t(sf_dir, "events", ["event_type", "user_id"])
+        .groupby(["event_type", "user_id"])
+        .aggregate(Count(alias_name="dummy"))
+        .select_columns(["event_type"])
+        .groupby("event_type")
+        .aggregate(Count(alias_name="n_users"))
+    )
+
+
+# --- O3 + discovery text filter (DataDiscoveryService.ts:41-50): substring search ---
+def filter_search_limit(sf_dir: str, needle: str = "merge"):
+    return (
+        t(sf_dir, "documents", ["doc_id", "text", "source"])
+        .map_batches(
+            lambda b: b.filter(pc.match_substring(b["text"], needle)).select(["doc_id", "source"]),
+            batch_format="pyarrow", zero_copy_batch=True)
+        .sort("doc_id")
+        .limit(50)
+    )

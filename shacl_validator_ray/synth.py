@@ -1,0 +1,267 @@
+"""Deterministic synthetic interleaved text+media corpus with embedded ground truth.
+
+Produces the exact ``input_hint`` shape (FIXTURES.md F1):
+``doc_id: string, spans: list<struct<kind, text, media_ref, offset:int32>>``
+plus a sibling ``gt_triples`` table holding the triples a perfect
+extraction + linking + canonicalization pipeline should emit (canonical
+IRIs). Every random draw is seeded per-document (``seed`` ⊕ doc index),
+so generation is order-independent and distributable: any subset of doc
+indices generates byte-identical rows.
+
+The planted facts mirror the reference's DCAT world
+(/root/reference/src/services/DataDiscoveryService.ts:128-264): datasets
+with titles / descriptions / publishers / themes / issued dates and
+linked distributions with formats — so the SHACL fixtures (F3) exercise
+sh:minCount / sh:datatype / sh:class / sh:pattern against them.
+"""
+
+from __future__ import annotations
+
+import os
+import random
+import re
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from .functions import ns
+from . import schema as S
+
+SEED = 42
+N_ORGS = 50
+N_THEMES = 8
+HUB_ORG = 0            # hub publisher: draws ~30% of all publisher edges (skew fixture)
+CACHE_ROOT = "/tmp/svr_corpus"
+
+# violation seeding probabilities (deterministic per doc)
+P_MISSING_TITLE = 0.10   # sh:minCount violation
+P_BAD_ISSUED = 0.10      # sh:datatype violation
+P_UNTYPED_DIST = 0.15    # sh:class violation
+P_BLANK_DESC = 0.08      # sh:pattern violation
+P_ALIAS = 0.20           # publisher written as exact alias  → alias-dict linking
+P_FUZZY = 0.10           # publisher written fuzzily         → MinHash-LSH linking
+
+_DISTRACTORS = [
+    "The weather that week made fieldwork difficult.",
+    "Several reviewers noted the archive was well organized.",
+    "Funding for the portal was renewed in the spring.",
+    "A maintenance window was announced for the weekend.",
+    "Community feedback remained broadly positive.",
+]
+
+ISO_DT = re.compile(r"^\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}Z$")
+
+
+def org_name(k: int) -> str:
+    return f"Organization {k}"
+
+
+def org_alias(k: int) -> str:
+    return f"Org-{k}"
+
+
+def org_iri(k: int) -> str:
+    return f"{ns.EX}org/{k}"
+
+
+def dataset_iri(d: str) -> str:
+    return f"{ns.EX}dataset/{d}"
+
+
+def dist_iri(d: str) -> str:
+    return f"{ns.EX}distribution/{d}"
+
+
+def theme_iri(t: int) -> str:
+    return f"{ns.EX}theme/T{t}"
+
+
+def fuzzy_org(rng: random.Random, k: int) -> str:
+    """A misspelled surface form of the org name: drop one inner char of the
+    word (never a digit, so it can't collide with another canonical name)."""
+    word = "Organization"
+    i = rng.randrange(1, len(word) - 1)
+    return word[:i] + word[i + 1 :] + f" {k}"
+
+
+def _pick_org(rng: random.Random) -> int:
+    if rng.random() < 0.30:
+        return HUB_ORG
+    return 1 + rng.randrange(N_ORGS - 1)
+
+
+def gen_doc(i: int, seed: int = SEED) -> tuple[dict, list[dict], dict]:
+    """Generate one document: (doc row, gt triples, violation flags)."""
+    rng = random.Random((seed << 32) | i)
+    doc_id = f"doc-{i:08d}"
+    did = f"D{i}"
+    ds = dataset_iri(did)
+    ds_name = f"Dataset {did}"
+
+    flags = {"missing_title": rng.random() < P_MISSING_TITLE,
+             "bad_issued": rng.random() < P_BAD_ISSUED,
+             "blank_desc": rng.random() < P_BLANK_DESC}
+
+    gt: list[dict] = []
+
+    def t(subj, pred, kind, value, dt="", lang=""):
+        gt.append({"subj": subj, "pred": pred, "obj_kind": kind, "obj_value": value,
+                   "obj_datatype": dt, "obj_lang": lang, "doc_id": doc_id})
+
+    sentences: list[str] = []
+    sentences.append(f"The dataset {ds_name} is a dataset resource.")
+    t(ds, ns.RDF_TYPE, "iri", ns.DCAT + "Dataset")
+
+    if not flags["missing_title"]:
+        title = f"Open data collection {did}"
+        sentences.append(f'The dataset {ds_name} has title "{title}".')
+        t(ds, ns.DCT + "title", "literal", title)
+
+    if rng.random() < 0.9:
+        desc = "   " if flags["blank_desc"] else f"Measurements and records for {did}."
+        sentences.append(f'The dataset {ds_name} is described as "{desc}".')
+        t(ds, ns.DCT + "description", "literal", desc)
+
+    # publisher — canonical / alias / fuzzy surface forms
+    k = _pick_org(rng)
+    r = rng.random()
+    if r < P_FUZZY:
+        surface = fuzzy_org(rng, k)
+    elif r < P_FUZZY + P_ALIAS:
+        surface = org_alias(k)
+    else:
+        surface = org_name(k)
+    sentences.append(f"The dataset {ds_name} was published by {surface}.")
+    t(ds, ns.DCT + "publisher", "iri", org_iri(k))
+
+    if rng.random() < 0.9:
+        if flags["bad_issued"]:
+            issued = "sometime in spring"
+            t(ds, ns.DCT + "issued", "literal", issued)
+        else:
+            issued = (f"20{10 + rng.randrange(15):02d}-{1 + rng.randrange(12):02d}-"
+                      f"{1 + rng.randrange(28):02d}T{rng.randrange(24):02d}:00:00Z")
+            t(ds, ns.DCT + "issued", "literal", issued, dt=ns.XSD + "dateTime")
+        sentences.append(f"The dataset {ds_name} was issued on {issued}.")
+
+    for m in range(rng.randrange(3)):
+        th = rng.randrange(N_THEMES)
+        sentences.append(f"The dataset {ds_name} covers theme Theme T{th}.")
+        t(ds, ns.DCAT + "theme", "iri", theme_iri(th))
+
+    n_dist = rng.randrange(3)
+    untyped: list[bool] = []
+    for j in range(n_dist):
+        zid = f"{did}x{j}"
+        z = dist_iri(zid)
+        z_name = f"Distribution {zid}"
+        sentences.append(f"The dataset {ds_name} offers distribution {z_name}.")
+        t(ds, ns.DCAT + "distribution", "iri", z)
+        fmt = rng.choice(["text/csv", "application/json", "text/turtle", "application/pdf"])
+        sentences.append(f'The distribution {z_name} is available as "{fmt}".')
+        t(z, ns.DCT + "format", "literal", fmt)
+        is_untyped = rng.random() < P_UNTYPED_DIST
+        untyped.append(is_untyped)
+        if not is_untyped:
+            sentences.append(f"The distribution {z_name} is a distribution resource.")
+            t(z, ns.RDF_TYPE, "iri", ns.DCAT + "Distribution")
+    flags["untyped_dists"] = untyped
+
+    for _ in range(rng.randrange(3)):
+        sentences.append(rng.choice(_DISTRACTORS))
+    rng.shuffle(sentences)
+
+    # interleave text spans with media spans
+    spans: list[dict] = []
+    offset = 0
+    si = 0
+    sent_i = 0
+    per_span = max(1, len(sentences) // (1 + rng.randrange(4)))
+    while sent_i < len(sentences):
+        if spans and rng.random() < 0.25:
+            kind = rng.choice(["image", "table", "code"])
+            ref = f"media://{doc_id}/{si}"
+            spans.append({"kind": kind, "text": "", "media_ref": ref, "offset": offset})
+            t(f"{ns.EX}document/{doc_id}", ns.SCHEMA + "associatedMedia", "iri", ref)
+            offset += 1
+            si += 1
+        chunk = sentences[sent_i : sent_i + per_span]
+        sent_i += per_span
+        text = " ".join(chunk)
+        spans.append({"kind": "text", "text": text, "media_ref": "", "offset": offset})
+        offset += len(text) + 1
+        si += 1
+
+    return {"doc_id": doc_id, "spans": spans}, gt, flags
+
+
+def make_corpus_tables(num_docs: int, seed: int = SEED,
+                       start: int = 0) -> tuple[pa.Table, pa.Table]:
+    """Build (documents, gt_triples) Arrow tables for docs [start, start+num_docs)."""
+    docs, gts = [], []
+    for i in range(start, start + num_docs):
+        d, g, _ = gen_doc(i, seed)
+        docs.append(d)
+        gts.extend(g)
+    doc_tbl = pa.Table.from_pylist(docs, schema=S.DOCUMENTS)
+    gt_schema = pa.schema([
+        pa.field("subj", pa.string()), pa.field("pred", pa.string()),
+        pa.field("obj_kind", pa.string()), pa.field("obj_value", pa.string()),
+        pa.field("obj_datatype", pa.string()), pa.field("obj_lang", pa.string()),
+        pa.field("doc_id", pa.string()),
+    ])
+    gt_tbl = pa.Table.from_pylist(gts, schema=gt_schema)
+    return doc_tbl, gt_tbl
+
+
+def num_docs_for_sf(sf: float) -> int:
+    return max(50, int(200_000 * sf))
+
+
+def sf_of_dir(sf_dir: str) -> float:
+    base = os.path.basename(os.path.normpath(sf_dir))
+    if base.startswith("sf"):
+        try:
+            return float(base[2:])
+        except ValueError:
+            pass
+    return 0.001
+
+
+def ensure_corpus(sf_dir_or_sf, seed: int = SEED, shard_rows: int = 4096) -> str:
+    """Write the corpus parquet for this scale once under /tmp; return its dir.
+
+    Sharded into multiple row groups / files so Ray Data reads it as
+    multiple blocks (parallel from the first stage).
+    """
+    sf = sf_of_dir(sf_dir_or_sf) if isinstance(sf_dir_or_sf, str) else float(sf_dir_or_sf)
+    n = num_docs_for_sf(sf)
+    out = os.path.join(CACHE_ROOT, f"sf{sf}_seed{seed}_n{n}")
+    done = os.path.join(out, "_DONE")
+    if os.path.exists(done):
+        return out
+    os.makedirs(os.path.join(out, "documents"), exist_ok=True)
+    os.makedirs(os.path.join(out, "gt_triples"), exist_ok=True)
+    shard = 0
+    for start in range(0, n, shard_rows):
+        cnt = min(shard_rows, n - start)
+        doc_tbl, gt_tbl = make_corpus_tables(cnt, seed, start=start)
+        pq.write_table(doc_tbl, os.path.join(out, "documents", f"part-{shard:05d}.parquet"))
+        pq.write_table(gt_tbl, os.path.join(out, "gt_triples", f"part-{shard:05d}.parquet"))
+        shard += 1
+    with open(done, "w") as f:
+        f.write(str(n))
+    return out
+
+
+def alias_table() -> pa.Table:
+    """The closed alias dictionary: surface form → canonical IRI.
+
+    Broadcast (``ray.put``) to linker actors — never shuffled
+    (SURVEY.md §2.3 T5).
+    """
+    rows = []
+    for k in range(N_ORGS):
+        rows.append({"surface": org_name(k), "iri": org_iri(k)})
+        rows.append({"surface": org_alias(k), "iri": org_iri(k)})
+    return pa.Table.from_pylist(rows)
