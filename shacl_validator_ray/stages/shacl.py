@@ -1,0 +1,260 @@
+"""Distributed SHACL-core validation (SURVEY.md §2.3 T1, §2.5 A11, §7.1 step 4).
+
+The reference delegates to shacl-engine over an in-memory store
+(/root/reference/src/services/SHACLValidationService.ts:399-408); here
+validation is re-expressed as vectorized per-triple predicates over the
+triples Dataset:
+
+- **value constraints** (``sh:datatype``, ``sh:pattern``, ``sh:nodeKind``,
+  ``sh:class``) — an actor-pool ``map_batches`` stage; each actor compiles
+  the shapes graph once in ``__init__`` and holds the broadcast
+  focus-node / class-membership sets (map-side semi-join J5).
+- **cardinality constraints** (``sh:minCount`` / ``sh:maxCount``) — the
+  absence problem (SURVEY.md §7.3): a "required" row is emitted per
+  (focus node, counted property shape) from the type triples, unioned
+  with observed rows, then one ``groupby`` + vectorized compare. A focus
+  node with zero values yields n=0 < minCount without any anti-join
+  materialization on the driver.
+
+Scale note: focus/class membership sets are broadcast via ``ray.put``
+(entity dictionaries are ~e6 at 1e12-doc scale after canonicalization);
+the documented scale path replaces them with Bloom filters broadcast the
+same way — the dataflow is unchanged. Triple dedup before validation
+reproduces the reference's quad-store set semantics
+(@rdfjs/dataset.add, SHACLValidationService.ts:133).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data as rd
+from ray.data.aggregate import Count, Max, Min, Sum
+
+from ..functions import ns
+from ..state import shapes as shapes_mod
+from .. import schema as S
+
+_TUPLE_COLS = ["subj", "pred", "obj_kind", "obj_value", "obj_datatype", "obj_lang"]
+
+
+def dedup_triples(triples: rd.Dataset) -> rd.Dataset:
+    """Exact (s,p,o) set semantics via hash aggregate (D1); keeps min lineage."""
+    return (
+        triples.groupby(_TUPLE_COLS)
+        .aggregate(Min("doc_id", alias_name="doc_id"),
+                   Min("span_idx", alias_name="span_idx"))
+    )
+
+
+def collect_class_members(triples: rd.Dataset, classes: set[str]) -> dict[str, set[str]]:
+    """class IRI → set of instance IRIs, from rdf:type triples.
+
+    Driver-side collect of only the *referenced* classes' members (a tiny
+    slice of the data); at 10^12 scale this becomes a Bloom filter per
+    class, built with a distributed aggregate — same broadcast shape.
+    """
+    if not classes:
+        return {}
+    typed = triples.map_batches(
+        lambda b: b.filter(
+            pc.and_(pc.equal(b["pred"], ns.RDF_TYPE),
+                    pc.is_in(b["obj_value"], value_set=pa.array(sorted(classes))))
+        ).select(["subj", "obj_value"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    members: dict[str, set[str]] = {c: set() for c in classes}
+    for batch in typed.iter_batches(batch_format="pyarrow"):
+        for subj, cls in zip(batch["subj"].to_pylist(), batch["obj_value"].to_pylist()):
+            members[cls].add(subj)
+    return members
+
+
+def _synth_message(component: str, p: shapes_mod.PropertyShape) -> list[dict]:
+    """Message fallback synthesis (reference M6, SHACLValidationService.ts:276-292)."""
+    if p.messages:
+        return [{"text": t, "lang": lg} for t, lg in p.messages]
+    local = component.rsplit("#", 1)[-1].replace("ConstraintComponent", "")
+    return [{"text": f"{local} constraint violated on {p.path}", "lang": "en"}]
+
+
+def _violation_rows(rows: list[dict]) -> pa.Table:
+    return pa.Table.from_pylist(rows, schema=S.VIOLATIONS)
+
+
+class ValueConstraints:
+    """Actor-pool stage for per-value constraints; shapes compiled once per actor."""
+
+    def __init__(self, shapes_ttl: str, members_ref):
+        self.shapes = shapes_mod.compile_shapes(shapes_ttl)
+        self.members = ray.get(members_ref)
+        self.pages = self.shapes.foaf_pages()
+        # pre-group property shapes by path for a single pass per batch
+        self.by_path: dict[str, list[tuple[str, shapes_mod.PropertyShape]]] = {}
+        for nshape, p, _ in self.shapes.property_shapes():
+            if p.datatype or p.pattern or p.node_kind or p.node_class:
+                self.by_path.setdefault(p.path, []).append((nshape.target_class, p))
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        out: list[dict] = []
+        if not self.by_path:
+            return _violation_rows(out)
+        mask = pc.is_in(b["pred"], value_set=pa.array(sorted(self.by_path)))
+        b = b.filter(mask)
+        subjs = b["subj"].to_pylist()
+        preds = b["pred"].to_pylist()
+        kinds = b["obj_kind"].to_pylist()
+        vals = b["obj_value"].to_pylist()
+        dts = b["obj_datatype"].to_pylist()
+
+        def emit(p, subj, value, component):
+            out.append({
+                "severity": p.severity, "focus_node": subj, "path": p.path,
+                "value": value, "message": _synth_message(component, p),
+                "source_constraint_component": component, "source_shape": p.iri,
+                "foaf_page": self.pages.get(p.iri, ""),
+            })
+
+        for subj, pred, kind, val, dt in zip(subjs, preds, kinds, vals, dts):
+            for tclass, p in self.by_path[pred]:
+                if subj not in self.members.get(tclass, ()):
+                    continue
+                if p.datatype:
+                    if kind != "literal" or dt != p.datatype:
+                        emit(p, subj, val, ns.SH + "DatatypeConstraintComponent")
+                if p.pattern:
+                    if not p.compiled_pattern().search(val):
+                        emit(p, subj, val, ns.SH + "PatternConstraintComponent")
+                if p.node_kind:
+                    want = p.node_kind.rsplit("#", 1)[-1]
+                    ok = (want == "IRI" and kind == "iri") or \
+                         (want == "BlankNode" and kind == "blank") or \
+                         (want == "Literal" and kind == "literal")
+                    if not ok:
+                        emit(p, subj, val, ns.SH + "NodeKindConstraintComponent")
+                if p.node_class:
+                    if kind != "iri" or val not in self.members.get(p.node_class, ()):
+                        emit(p, subj, val, ns.SH + "ClassConstraintComponent")
+        return _violation_rows(out)
+
+
+class CardinalityRows:
+    """Emit required+observed rows for the cardinality groupby (see module doc)."""
+
+    def __init__(self, shapes_ttl: str, members_ref):
+        self.shapes = shapes_mod.compile_shapes(shapes_ttl)
+        self.members = ray.get(members_ref)
+        # shape_idx → (target_class, pshape); only shapes with bounds
+        self.card: list[tuple[str, shapes_mod.PropertyShape, int]] = []
+        for nshape, p, idx in self.shapes.property_shapes():
+            if p.min_count >= 0 or p.max_count >= 0:
+                self.card.append((nshape.target_class, p, idx))
+        self.paths = {p.path for _, p, _ in self.card}
+        self.tclasses = {c for c, _, _ in self.card}
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        subj_o, idx_o, min_o, max_o, n_o = [], [], [], [], []
+
+        # required rows from type triples (one per deduped (subj, targetClass))
+        tmask = pc.equal(b["pred"], ns.RDF_TYPE)
+        tb = b.filter(tmask)
+        for subj, cls in zip(tb["subj"].to_pylist(), tb["obj_value"].to_pylist()):
+            for tclass, p, idx in self.card:
+                if cls == tclass:
+                    subj_o.append(subj); idx_o.append(idx)
+                    min_o.append(p.min_count); max_o.append(p.max_count); n_o.append(0)
+
+        # observed rows (focus membership via broadcast set)
+        if self.paths:
+            ob = b.filter(pc.is_in(b["pred"], value_set=pa.array(sorted(self.paths))))
+            for subj, pred in zip(ob["subj"].to_pylist(), ob["pred"].to_pylist()):
+                for tclass, p, idx in self.card:
+                    if p.path == pred and subj in self.members.get(tclass, ()):
+                        subj_o.append(subj); idx_o.append(idx)
+                        min_o.append(-1); max_o.append(-1); n_o.append(1)
+
+        return pa.table({
+            "subj": pa.array(subj_o, pa.string()),
+            "shape_idx": pa.array(idx_o, pa.int32()),
+            "req_min": pa.array(min_o, pa.int32()),
+            "req_max": pa.array(max_o, pa.int32()),
+            "n": pa.array(n_o, pa.int64()),
+        })
+
+
+def validate(triples: rd.Dataset, shapes_ttl: str, *, deduped: bool = False,
+             concurrency: int | tuple = (1, 4), batch_size: int = 4096) -> rd.Dataset:
+    """triples Dataset → violations Dataset (schema.VIOLATIONS).
+
+    The deduped triple set is materialized once — it is consumed by three
+    downstream passes (class-membership collect, value constraints,
+    cardinality rows); without pinning it, each branch would re-run the
+    dedup shuffle. At 100 TB this materialization is instead the
+    partitioned checkpoint write of the materialize stage (the validation
+    passes then read the checkpoint), so nothing holds the full set in
+    one node's memory.
+    """
+    compiled = shapes_mod.compile_shapes(shapes_ttl)
+    if not deduped:
+        triples = dedup_triples(triples)
+    triples = triples.materialize()
+    members = collect_class_members(triples, compiled.referenced_classes())
+    members_ref = ray.put(members)
+
+    # num_cpus=0.5: leave headroom for the shuffle/reduce tasks so a fixed
+    # pool can never starve its own downstream groupby (deadlock otherwise
+    # on small sessions).
+    value_viols = triples.map_batches(
+        ValueConstraints, fn_constructor_args=(shapes_ttl, members_ref),
+        batch_format="pyarrow", batch_size=batch_size, concurrency=concurrency,
+        num_cpus=0.5)
+
+    card_rows = triples.map_batches(
+        CardinalityRows, fn_constructor_args=(shapes_ttl, members_ref),
+        batch_format="pyarrow", batch_size=batch_size, concurrency=concurrency,
+        num_cpus=0.5)
+
+    counts = card_rows.groupby(["subj", "shape_idx"]).aggregate(
+        Max("req_min", alias_name="req_min"),
+        Max("req_max", alias_name="req_max"),
+        Sum("n", alias_name="n"),
+    )
+
+    pshapes = {idx: p for _, p, idx in
+               ((n, p, i) for n, p, i in compiled.property_shapes())}
+    pages = compiled.foaf_pages()
+
+    def card_violations(b: pa.Table) -> pa.Table:
+        rows: list[dict] = []
+        for subj, idx, rmin, rmax, n in zip(
+                b["subj"].to_pylist(), b["shape_idx"].to_pylist(),
+                b["req_min"].to_pylist(), b["req_max"].to_pylist(), b["n"].to_pylist()):
+            p = pshapes[idx]
+            if rmin is not None and rmin >= 0 and n < rmin:
+                comp = ns.SH + "MinCountConstraintComponent"
+                rows.append({
+                    "severity": p.severity, "focus_node": subj, "path": p.path,
+                    "value": "", "message": _synth_message(comp, p),
+                    "source_constraint_component": comp, "source_shape": p.iri,
+                    "foaf_page": pages.get(p.iri, "")})
+            if rmax is not None and rmax >= 0 and n > rmax:
+                comp = ns.SH + "MaxCountConstraintComponent"
+                rows.append({
+                    "severity": p.severity, "focus_node": subj, "path": p.path,
+                    "value": "", "message": _synth_message(comp, p),
+                    "source_constraint_component": comp, "source_shape": p.iri,
+                    "foaf_page": pages.get(p.iri, "")})
+        return _violation_rows(rows)
+
+    card_viols = counts.map_batches(card_violations, batch_format="pyarrow")
+    return value_viols.union(card_viols)
+
+
+def severity_partition(viols: rd.Dataset) -> rd.Dataset:
+    """A1: per-severity counts (SHACLValidationService.ts:411-413)."""
+    return viols.groupby("severity").aggregate(Count(alias_name="n"))
+
+
+def conforms(viols: rd.Dataset) -> bool:
+    """A2: global conforms flag (reportWorker.ts:49-50)."""
+    return viols.count() == 0
