@@ -121,8 +121,11 @@ class TurtleParser:
         return self.triples
 
     def _triples_block(self):
+        was_bnode_list = self._peek()[1] == "["
         subj = self._subject()
-        self._pred_obj_list(subj)
+        # blankNodePropertyList may stand alone as a statement: "[ ... ] ."
+        if not (was_bnode_list and self._peek()[1] == "."):
+            self._pred_obj_list(subj)
         self._expect(".")
 
     def _pred_obj_list(self, subj: Term):

@@ -1,0 +1,202 @@
+"""DCAT dataset discovery (SURVEY.md §3.3; reference entry point 3).
+
+Re-expresses DataDiscoveryService.extractDatasetsFromRDF
+(/root/reference/src/services/DataDiscoveryService.ts:77-264) as a
+distributed pipeline over the triples Dataset:
+
+  filter type-triples (M13) → per-subject pivot (M14/M15, groupby) →
+  distribution join (J1, union+groupby hash join) → blank-node format
+  deref (J2, broadcast of the tiny format-node table) → vectorized
+  format classification (M17) → compatibility filter → query filter +
+  limit (O3).
+
+The J1 join is the union-tag + groupby formulation (one shuffle keyed
+by the join key) — the portable partitioned hash join from the Ray
+guide; no side is ever collected on the driver.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data as rd
+
+from ..functions import ns
+
+DCAT_DATASET = ns.DCAT + "Dataset"
+
+_DS_PROPS = {
+    ns.DCT + "title": "title",
+    ns.FOAF + "name": "foaf_name",
+    ns.DCT + "description": "description",
+    ns.DCT + "issued": "issued",
+    ns.DCT + "modified": "modified",
+    ns.DCT + "publisher": "publisher",
+    ns.DCAT + "theme": "themes",          # multi
+    ns.DCAT + "keyword": "keywords",      # multi
+    ns.DCAT + "distribution": "dists",    # multi (join key out)
+}
+
+_DIST_PROPS = {
+    ns.DCAT + "accessURL": "access_url",
+    ns.DCAT + "downloadURL": "download_url",
+    ns.DCT + "format": "format_raw",
+    ns.DCAT + "mediaType": "media_type",
+    ns.DCT + "title": "title",
+}
+
+
+def classify_format(s: str) -> str:
+    """M17 cascade (DataDiscoveryService.ts:330-475, condensed)."""
+    if not s:
+        return "unknown"
+    low = s.lower()
+    if "csv" in low or "comma-separated" in low or "comma separated values" in low \
+            or "valores separados por comas" in low:
+        return "csv"
+    if "json" in low or "javascript object notation" in low \
+            or "notación de objetos javascript" in low:
+        return "json"
+    return "unknown"
+
+
+def format_node_labels(triples: rd.Dataset) -> dict[str, str]:
+    """J2: blank-node / IRI format objects (dct:IMT nodes) → rdf:value /
+    rdfs:label. The format-node table is tiny → broadcast lookup
+    (DataDiscoveryService.ts:269-325)."""
+    preds = [ns.RDF + "value", ns.RDFS + "label"]
+    rows = triples.map_batches(
+        lambda b: b.filter(pc.is_in(b["pred"], value_set=pa.array(preds)))
+                   .select(["subj", "pred", "obj_value"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    out: dict[str, str] = {}
+    for b in rows.iter_batches(batch_format="pyarrow"):
+        for s, p, v in zip(b["subj"].to_pylist(), b["pred"].to_pylist(),
+                           b["obj_value"].to_pylist()):
+            # rdf:value preferred over rdfs:label
+            if s not in out or p == ns.RDF + "value":
+                out[s] = v
+    return out
+
+
+def _pivot_records(g: pd.DataFrame, props: dict[str, str]) -> dict:
+    rec: dict = {"id": g["subj"].iloc[0]}
+    multi = {"themes", "keywords", "dists"}
+    for pred, name in props.items():
+        vals = sorted(g.loc[g["pred"] == pred, "obj_value"])
+        if name in multi:
+            rec[name] = vals
+        else:
+            rec[name] = vals[0] if vals else ""  # first-match projection (M14)
+    return rec
+
+
+def discover_datasets(triples: rd.Dataset, query: str = "", limit: int = 50,
+                      require_compatible: bool = True) -> pd.DataFrame:
+    """triples → nested CatalogDataset records (types/dataQuality.ts:1-27)."""
+    fmt_ref = ray.put(format_node_labels(triples))
+
+    # dataset side: subjects typed dcat:Dataset + their property rows
+    ds_preds = pa.array(sorted(_DS_PROPS))
+    ds_rows = triples.map_batches(
+        lambda b: b.filter(pc.or_(
+            pc.and_(pc.equal(b["pred"], ns.RDF_TYPE),
+                    pc.equal(b["obj_value"], DCAT_DATASET)),
+            pc.is_in(b["pred"], value_set=ds_preds)))
+        .select(["subj", "pred", "obj_value"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+    def ds_pivot(g: pd.DataFrame) -> pd.DataFrame:
+        if not (g["pred"] == ns.RDF_TYPE).any():
+            return pd.DataFrame({"id": [], "title": [], "description": [],
+                                 "publisher": [], "issued": [], "modified": [],
+                                 "themes": [], "keywords": [], "dists": []})
+        rec = _pivot_records(g, _DS_PROPS)
+        rec["title"] = rec["title"] or rec.pop("foaf_name", "") or "Unnamed Dataset"
+        rec.pop("foaf_name", None)
+        return pd.DataFrame([rec])
+
+    datasets = ds_rows.groupby("subj").map_groups(ds_pivot, batch_format="pandas")
+
+    # distribution side: property rows of any distribution object
+    dist_preds = pa.array(sorted(_DIST_PROPS))
+    dist_rows = triples.map_batches(
+        lambda b: b.filter(pc.is_in(b["pred"], value_set=dist_preds))
+        .select(["subj", "pred", "obj_value"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+    def dist_pivot(g: pd.DataFrame) -> pd.DataFrame:
+        labels = ray.get(fmt_ref)
+        rec = _pivot_records(g, _DIST_PROPS)
+        raw = rec.pop("format_raw", "")
+        resolved = labels.get(raw, raw)  # deref blank-node format (J2)
+        fmt = classify_format(resolved)
+        if fmt == "unknown":
+            fmt = classify_format(rec.get("media_type", ""))
+        if fmt == "unknown":
+            fmt = classify_format(rec.get("access_url", "") or
+                                  rec.get("download_url", ""))
+        rec["format"] = fmt
+        rec["compatible"] = fmt != "unknown"
+        return pd.DataFrame([{k: rec.get(k, "") for k in
+                              ("id", "title", "access_url", "download_url",
+                               "media_type", "format", "compatible")}])
+
+    dists = dist_rows.groupby("subj").map_groups(dist_pivot, batch_format="pandas")
+
+    # J1 hash join datasets ⋈ distributions on the edge key, via union+groupby:
+    # explode dataset rows to (dist_id, payload) and union with dist records.
+    def explode_edges(b: pa.Table) -> pa.Table:
+        keys, ds_ids = [], []
+        for rec_id, dlist in zip(b["id"].to_pylist(), b["dists"].to_pylist()):
+            for d in dlist or []:
+                keys.append(d); ds_ids.append(rec_id)
+        return pa.table({"key": pa.array(keys, pa.string()),
+                         "ds_id": pa.array(ds_ids, pa.string()),
+                         "rec": pa.array([""] * len(keys), pa.string())})
+
+    import json as _json
+
+    edges = datasets.map_batches(explode_edges, batch_format="pyarrow")
+    dist_tagged = dists.map_batches(
+        lambda b: pa.table({
+            "key": b["id"],
+            "ds_id": pa.array([""] * b.num_rows, pa.string()),
+            "rec": pa.array([_json.dumps(r, sort_keys=True) for r in b.to_pylist()],
+                            pa.string())}),
+        batch_format="pyarrow")
+
+    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        recs = [r for r in g["rec"] if r]
+        rec = recs[0] if recs else ""
+        owners = [d for d in g["ds_id"] if d]
+        return pd.DataFrame({"ds_id": owners, "rec": [rec] * len(owners)})
+
+    joined = edges.union(dist_tagged).groupby("key").map_groups(
+        join_bucket, batch_format="pandas")
+
+    # assemble nested records per dataset (small result; driver-side merge)
+    dist_by_ds: dict[str, list] = {}
+    for b in joined.iter_batches(batch_format="pyarrow"):
+        for ds_id, rec in zip(b["ds_id"].to_pylist(), b["rec"].to_pylist()):
+            r = _json.loads(rec) if rec else None
+            if r and (r.get("compatible") or not require_compatible):
+                dist_by_ds.setdefault(ds_id, []).append(r)
+
+    out = []
+    for b in datasets.iter_batches(batch_format="pyarrow"):
+        for rec in b.to_pylist():
+            dl = sorted(dist_by_ds.get(rec["id"], []), key=lambda r: r["id"])
+            if require_compatible and not dl:
+                continue  # no compatible distributions → dropped (ts:172-174)
+            rec = dict(rec)
+            rec.pop("dists", None)
+            rec["distributions"] = dl
+            if query and query.lower() not in (rec["title"] + " " +
+                                               (rec["description"] or "")).lower():
+                continue
+            out.append(rec)
+    out.sort(key=lambda r: r["id"])
+    return pd.DataFrame(out[:limit])
