@@ -32,4 +32,4 @@ def queries() -> dict[str, Callable[[str], Any]]:
 def oracle_sql() -> dict[str, str]:
     from shacl_validator_ray.pipelines import queries as q
 
-    return q.ORACLE_SQL
+    return q.get_oracle_sql()

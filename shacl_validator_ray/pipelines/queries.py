@@ -100,13 +100,89 @@ def q_knn_lsh(sf_dir: str):
 
 
 # ---- flagship KG pipeline (over this repo's own synthetic corpus) ----
+#
+# Oracles for these run DuckDB directly over the deterministic corpus
+# parquet under /tmp (written by synth.ensure_corpus — same seed, same
+# rows for queries and oracle). The canonical-triples oracle checks the
+# WHOLE pipeline (extract → link → canonicalize → dedup) against the
+# planted ground truth; the validation oracle re-implements the four
+# SHACL components in SQL (minCount as an anti-join — the absence path).
 
 def q_kg_extract(sf_dir: str):
     from . import kg
     return kg.triples_dataset(sf_dir)
 
 
+def q_kg_canonical(sf_dir: str):
+    from . import kg
+    return kg.flagship(sf_dir).select_columns(
+        ["subj", "pred", "obj_kind", "obj_value", "obj_datatype", "obj_lang"])
+
+
+def q_kg_validate(sf_dir: str):
+    from . import kg
+    return kg.violations_dataset(sf_dir).select_columns(
+        ["severity", "focus_node", "path", "value", "source_constraint_component"])
+
+
+def q_kg_severity_counts(sf_dir: str):
+    from ..stages import shacl
+    from . import kg
+    return shacl.severity_partition(kg.violations_dataset(sf_dir))
+
+
+def q_kg_constraint_counts(sf_dir: str):
+    from ..stages import report
+    from . import kg
+    return report.constraint_components(kg.violations_dataset(sf_dir))
+
+
+def q_kg_top_shapes(sf_dir: str):
+    from ..stages import report
+    from . import kg
+    df = report.top_shapes(kg.violations_dataset(sf_dir), k=6)
+    return df[["source_shape", "violation", "warning", "info", "total"]]
+
+
+def q_kg_links(sf_dir: str):
+    from . import kg
+    return kg.links_dataset(sf_dir)
+
+
+def q_kg_discovery(sf_dir: str):
+    from ..stages import discovery
+    from . import kg
+    df = discovery.discover_datasets(kg.triples_dataset(sf_dir), limit=10 ** 9)
+    df["n_dists"] = df["distributions"].map(len)
+    return df[["id", "title", "n_dists"]]
+
+
+def q_kg_media_features(sf_dir: str):
+    from ..stages import multimodal
+    from . import kg
+    return multimodal.media_features(kg.documents_dataset(sf_dir))
+
+
+def q_kg_grouped_findings(sf_dir: str):
+    from ..stages import report
+    from . import kg
+    df = report.grouped_findings(kg.violations_dataset(sf_dir)).to_pandas()
+    return df[["severity", "source_shape", "source_constraint_component",
+               "msg_fp", "total"]]
+
+
 QUERIES = {
+    # flagship KG pipeline (oracle over the deterministic corpus ground truth)
+    "kg_extract": q_kg_extract,
+    "kg_canonical": q_kg_canonical,
+    "kg_validate": q_kg_validate,
+    "kg_severity_counts": q_kg_severity_counts,
+    "kg_constraint_counts": q_kg_constraint_counts,
+    "kg_top_shapes": q_kg_top_shapes,
+    "kg_grouped_findings": q_kg_grouped_findings,
+    "kg_links": q_kg_links,
+    "kg_discovery": q_kg_discovery,
+    "kg_media_features": q_kg_media_features,
     # relational operator inventory (SURVEY.md §2)
     "severity_counts": R.severity_counts,
     "pruned_agg": R.pruned_agg,
@@ -137,8 +213,6 @@ QUERIES = {
     # similarity search
     "knn_bruteforce": q_knn_bruteforce,
     "knn_lsh": q_knn_lsh,
-    # flagship KG pipeline
-    "kg_extract": q_kg_extract,
 }
 
 _JACCARD_PAIRS_SQL = """
@@ -240,5 +314,109 @@ ORACLE_SQL = {
               FROM q, e WHERE vec_id != qid)
         SELECT qid, nid, round(sim, 6) AS sim FROM s
         QUALIFY row_number() OVER (PARTITION BY qid ORDER BY round(sim, 6) DESC, nid) <= 5""",
-    # lang_id, simhash_dups, knn_lsh (approximate), kg_extract: rows-only checks
+    # lang_id, simhash_dups, knn_lsh (approximate), kg_extract, kg_links,
+    # kg_media_features: rows-only checks
 }
+
+
+def _kg_oracle_sql(sf: float = 0.01) -> dict[str, str]:
+    """Oracles for the flagship pipeline: DuckDB over the deterministic
+    corpus ground truth under /tmp (written by synth.ensure_corpus with
+    the same seed the queries use). The validation CTE re-implements the
+    four SHACL-core components in SQL — minCount as an anti-join."""
+    from ..functions import ns
+    from .. import synth
+
+    corpus = synth.ensure_corpus(sf)
+    gt = f"read_parquet('{corpus}/gt_triples/part-*.parquet')"
+    sh, dct, dcat, xsd = ns.SH, ns.DCT, ns.DCAT, ns.XSD
+    shp = "http://example.org/shapes/"
+
+    base = f"""
+WITH gt AS (SELECT DISTINCT subj, pred, obj_kind, obj_value, obj_datatype, obj_lang
+            FROM {gt}),
+datasets AS (SELECT DISTINCT subj FROM gt
+             WHERE pred = '{ns.RDF_TYPE}' AND obj_value = '{dcat}Dataset'),
+typed_dist AS (SELECT DISTINCT subj FROM gt
+               WHERE pred = '{ns.RDF_TYPE}' AND obj_value = '{dcat}Distribution'),
+viol AS (
+  SELECT 'Violation' AS severity, d.subj AS focus_node, '{dct}title' AS path,
+         '' AS value, '{sh}MinCountConstraintComponent' AS source_constraint_component,
+         '{shp}DatasetTitleShape' AS source_shape
+  FROM datasets d
+  WHERE d.subj NOT IN (SELECT subj FROM gt WHERE pred = '{dct}title')
+  UNION ALL
+  SELECT 'Violation', g.subj, '{dct}title', '', '{sh}MaxCountConstraintComponent',
+         '{shp}DatasetTitleShape'
+  FROM (SELECT subj FROM gt
+        WHERE pred = '{dct}title' AND subj IN (SELECT subj FROM datasets)
+        GROUP BY subj HAVING count(*) > 2) g
+  UNION ALL
+  SELECT 'Violation', g.subj, '{dct}issued', g.obj_value,
+         '{sh}DatatypeConstraintComponent', '{shp}DatasetIssuedShape'
+  FROM gt g WHERE g.pred = '{dct}issued' AND g.subj IN (SELECT subj FROM datasets)
+    AND (g.obj_datatype != '{xsd}dateTime' OR g.obj_kind != 'literal')
+  UNION ALL
+  SELECT 'Warning', g.subj, '{dct}description', g.obj_value,
+         '{sh}PatternConstraintComponent', '{shp}DatasetDescShape'
+  FROM gt g WHERE g.pred = '{dct}description' AND g.subj IN (SELECT subj FROM datasets)
+    AND NOT regexp_matches(g.obj_value, '\\S')
+  UNION ALL
+  SELECT 'Violation', g.subj, '{dcat}distribution', g.obj_value,
+         '{sh}ClassConstraintComponent', '{shp}DatasetDistShape'
+  FROM gt g WHERE g.pred = '{dcat}distribution' AND g.subj IN (SELECT subj FROM datasets)
+    AND (g.obj_kind != 'iri' OR g.obj_value NOT IN (SELECT subj FROM typed_dist))
+  UNION ALL
+  SELECT 'Violation', g.subj, '{dcat}distribution', g.obj_value,
+         '{sh}NodeKindConstraintComponent', '{shp}DatasetDistShape'
+  FROM gt g WHERE g.pred = '{dcat}distribution' AND g.subj IN (SELECT subj FROM datasets)
+    AND g.obj_kind != 'iri'
+)
+"""
+    msg_case = f"""CASE source_shape
+      WHEN '{shp}DatasetTitleShape' THEN 'en::Dataset must have a dct:title.'
+      WHEN '{shp}DatasetIssuedShape' THEN 'en::dct:issued must be an xsd:dateTime literal.'
+      WHEN '{shp}DatasetDescShape' THEN 'en::dct:description must not be blank.'
+      WHEN '{shp}DatasetDistShape' THEN 'en::dcat:distribution must point to a typed dcat:Distribution.'
+      END"""
+
+    return {
+        "kg_canonical":
+            f"SELECT DISTINCT subj, pred, obj_kind, obj_value, obj_datatype, obj_lang "
+            f"FROM {gt}",
+        "kg_validate": base +
+            "SELECT severity, focus_node, path, value, source_constraint_component "
+            "FROM viol",
+        "kg_severity_counts": base +
+            "SELECT severity, count(*) AS n FROM viol GROUP BY severity",
+        "kg_constraint_counts": base + """
+SELECT regexp_extract(source_constraint_component, '[^#/]+$') AS name,
+       count(*) AS value
+FROM viol GROUP BY 1 ORDER BY value DESC, name LIMIT 8""",
+        "kg_top_shapes": base + """
+SELECT source_shape,
+       count(*) FILTER (WHERE severity = 'Violation') AS violation,
+       count(*) FILTER (WHERE severity = 'Warning') AS warning,
+       count(*) FILTER (WHERE severity = 'Info') AS info,
+       count(*) AS total
+FROM viol GROUP BY source_shape ORDER BY total DESC, source_shape LIMIT 6""",
+        "kg_grouped_findings": base + f"""
+SELECT severity, source_shape, source_constraint_component,
+       {msg_case} AS msg_fp, count(*) AS total
+FROM viol GROUP BY 1, 2, 3, 4""",
+        "kg_discovery": base + f""",
+comp AS (
+  SELECT DISTINCT g.subj AS ds, g.obj_value AS dist FROM gt g
+  WHERE g.pred = '{dcat}distribution'
+    AND g.obj_value IN (SELECT subj FROM gt WHERE pred = '{dct}format'
+                        AND obj_value IN ('text/csv', 'application/json'))),
+titles AS (SELECT subj, min(obj_value) AS title FROM gt
+           WHERE pred = '{dct}title' GROUP BY subj)
+SELECT c.ds AS id, coalesce(t.title, 'Unnamed Dataset') AS title,
+       count(*) AS n_dists
+FROM comp c LEFT JOIN titles t ON c.ds = t.subj GROUP BY c.ds, t.title""",
+    }
+
+
+def get_oracle_sql() -> dict[str, str]:
+    return {**ORACLE_SQL, **_kg_oracle_sql()}

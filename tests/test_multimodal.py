@@ -1,0 +1,64 @@
+"""Multimodal plumbing: explode, actor decode (stub), features, frame sampling."""
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from shacl_validator_ray import synth
+from shacl_validator_ray.stages import multimodal as mm
+
+
+def _docs(n=80):
+    docs, _ = synth.make_corpus_tables(n)
+    return rd.from_arrow(docs)
+
+
+def test_media_spans_explode():
+    docs, _ = synth.make_corpus_tables(80)
+    expected = sum(1 for r in docs.to_pylist() for s in r["spans"]
+                   if s["kind"] != "text")
+    ds = mm.media_spans(rd.from_arrow(docs))
+    assert ds.count() == expected
+    assert set(ds.schema().names) == {"doc_id", "span_idx", "kind", "media_ref"}
+
+
+def test_decode_deterministic_binary():
+    out1 = mm.decode_media(_docs(), concurrency=1).to_pandas().sort_values(
+        ["doc_id", "span_idx"]).reset_index(drop=True)
+    out2 = mm.decode_media(_docs(), concurrency=2).to_pandas().sort_values(
+        ["doc_id", "span_idx"]).reset_index(drop=True)
+    assert len(out1) > 0
+    assert (out1["media_ref"] == out2["media_ref"]).all()
+    assert all(isinstance(p, bytes) and len(p) == 256 for p in out1["payload"])
+    assert (out1["payload"] == out2["payload"]).all()
+    assert (out1["width"] >= 16).all() and (out1["n_frames"] >= 1).all()
+
+
+def test_strict_mode_raises_without_libs():
+    import pytest
+
+    if mm.HAVE_PIL:
+        pytest.skip("image lib present")
+    ds = mm.decode_media(_docs(20), concurrency=1)
+    with pytest.raises(Exception):
+        # actor __init__ raises NotImplementedError → surfaces on execution
+        mm.media_spans(_docs(20)).map_batches(
+            mm.MediaDecoder, fn_constructor_kwargs={"strict": True},
+            batch_format="pyarrow", concurrency=1).count()
+
+
+def test_features_fixed_dim():
+    feats = mm.media_features(_docs(), concurrency=1).to_pandas()
+    assert len(feats) > 0
+    vecs = np.stack(feats["feature"].map(np.asarray))
+    assert vecs.shape[1] == mm.FEATURE_DIM
+    assert np.isfinite(vecs).all()
+
+
+def test_frame_sampling():
+    dec = mm.decode_media(_docs(), concurrency=1)
+    frames = mm.frame_sample(dec, every=2).to_pandas()
+    dec_df = dec.to_pandas()
+    expected = sum((nf + 1) // 2 for nf in dec_df["n_frames"])
+    assert len(frames) == expected
+    assert (frames["frame"] % 2 == 0).all()
