@@ -1,0 +1,134 @@
+"""Benchmark harness (driver contract; see BASELINE.md).
+
+Plain run: executes the headline pipelines over ``$GRAFT_SF_DIR``
+(default /root/testdata/sf0.1) with ``ray.init(address="local",
+num_cpus=int($RAY_GRAFT_CPUS))`` (default 32) and prints ONE JSON line:
+``{"metric": ..., "value": <headline seconds>, "unit": "sec",
+"queries": {...}, "sf": ..., "num_cpus": N, "docs_per_sec": ...}``.
+
+``--scaling``: runs the headline KG pipeline twice in FRESH processes at
+two parallelism levels (8 and 32 CPUs — the sandbox stand-in for N vs 4N
+nodes) on the same input and reports both throughputs + scaling
+efficiency (BASELINE.json north_rule).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+
+def _headline(sf_dir: str) -> dict:
+    """The flagship KG-construction pipeline, end to end, timed per stage."""
+    from shacl_validator_ray import synth
+    from shacl_validator_ray.pipelines import kg
+    from shacl_validator_ray.stages import canonicalize, linking, materialize, shacl
+    from shacl_validator_ray.state import shapes as shapes_mod
+
+    out = {}
+    corpus = synth.ensure_corpus(sf_dir)  # untimed: corpus synth + page-cache warm
+    n_docs = synth.num_docs_for_sf(synth.sf_of_dir(sf_dir))
+
+    t0 = time.time()
+    triples = kg.triples_dataset(sf_dir)
+    n_triples = triples.count()
+    out["extract"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    viols = shacl.validate(kg.triples_dataset(sf_dir),
+                           shapes_mod.load_profile_ttl())
+    n_viols = viols.count()
+    out["validate"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    links = kg.links_dataset(sf_dir)
+    canon = canonicalize.canonical_map_from_links(links)
+    graph_dir = f"/tmp/svr_bench_graph_{os.getpid()}"
+    shutil.rmtree(graph_dir, ignore_errors=True)
+    rewritten = materialize.canonical_rewrite(kg.triples_dataset(sf_dir), canon)
+    materialize.materialize_graph(rewritten, graph_dir, hub_threshold=5000)
+    out["link_canon_materialize"] = round(time.time() - t0, 3)
+    shutil.rmtree(graph_dir, ignore_errors=True)
+
+    out["_n_docs"] = n_docs
+    out["_n_triples"] = n_triples
+    out["_n_viols"] = n_viols
+    return out
+
+
+def _aux_queries(sf_dir: str) -> dict:
+    """Representative non-KG pipelines over the driver tables."""
+    from shacl_validator_ray.pipelines import queries as q
+
+    out = {}
+    for name in ("pruned_agg", "join_orders_customers", "minhash_lsh_dups",
+                 "knn_bruteforce", "token_counts"):
+        t0 = time.time()
+        res = q.QUERIES[name](sf_dir)
+        if hasattr(res, "count"):
+            res.count()
+        out[name] = round(time.time() - t0, 3)
+    return out
+
+
+def run_once() -> dict:
+    import logging
+
+    import ray
+
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    ncpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    ray.init(address="local", num_cpus=ncpus, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+
+    stages = _headline(sf_dir)
+    aux = _aux_queries(sf_dir)
+    ray.shutdown()
+
+    n_docs = stages.pop("_n_docs")
+    stages.pop("_n_triples"), stages.pop("_n_viols")
+    headline = round(sum(stages.values()), 3)
+    from shacl_validator_ray import synth
+
+    return {
+        "metric": "kg_construct end-to-end (extract+validate+link+canon+materialize)",
+        "value": headline,
+        "unit": "sec",
+        "queries": {**stages, **aux},
+        "sf": synth.sf_of_dir(sf_dir),
+        "num_cpus": ncpus,
+        "docs_per_sec": round(n_docs / headline, 1) if headline else None,
+    }
+
+
+def run_scaling() -> dict:
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run([sys.executable, os.path.abspath(__file__)], env=env,
+                             capture_output=True, text=True, check=True).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    run(8)  # warm page cache + corpus, untimed
+    lo, hi = run(8), run(32)
+    eff = (lo["value"] / hi["value"]) / (32 / 8)
+    return {
+        "metric": "scaling efficiency (8 → 32 CPUs, fresh processes, same input)",
+        "sec_8": lo["value"], "sec_32": hi["value"],
+        "docs_per_sec_8": lo["docs_per_sec"], "docs_per_sec_32": hi["docs_per_sec"],
+        "scaling_efficiency": round(eff, 3),
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_once()))

@@ -52,7 +52,8 @@ def connected_components(edges: rd.Dataset, max_rounds: int = 8) -> rd.Dataset:
     def to_adj(b: pa.Table) -> pa.Table:
         a = [_rank(x) for x in b["a"].to_pylist()]
         bb = [_rank(x) for x in b["b"].to_pylist()]
-        return pa.table({"node": a + bb, "nbr": bb + a})
+        return pa.table({"node": pa.array(a + bb, pa.string()),
+                         "nbr": pa.array(bb + a, pa.string())})
 
     adj = edges.map_batches(to_adj, batch_format="pyarrow").materialize()
     labels = (adj.groupby("node").aggregate(Min("nbr", alias_name="label"))
@@ -66,30 +67,46 @@ def connected_components(edges: rd.Dataset, max_rounds: int = 8) -> rd.Dataset:
                   batch_format="pyarrow")
               .materialize())
 
+    def bucketize(b: pa.Table) -> pa.Table:
+        bk = [int.from_bytes(hashlib.blake2b(n.encode(), digest_size=4).digest(),
+                             "little") % 16 for n in b["node"].to_pylist()]
+        return b.append_column("bucket", pa.array(bk, pa.int32()))
+
+    def tag_adj(b: pa.Table) -> pa.Table:
+        return pa.table({"node": b["node"], "nbr": b["nbr"],
+                         "label": pa.array([""] * b.num_rows, pa.string()),
+                         "bucket": b["bucket"]})
+
+    adj_b = adj.map_batches(bucketize, batch_format="pyarrow") \
+               .map_batches(tag_adj, batch_format="pyarrow").materialize()
+
+    def propagate(g: pd.DataFrame) -> pd.DataFrame:
+        # bucketed hash join (pandas merge per bucket — vectorized):
+        # every adjacency row receives its node's current label
+        lbl = g.loc[g["label"] != "", ["node", "label"]]
+        ad = g.loc[g["label"] == "", ["node", "nbr"]]
+        m = ad.merge(lbl, on="node")
+        out = pd.concat(
+            [lbl, m[["nbr", "label"]].rename(columns={"nbr": "node"})],
+            ignore_index=True)
+        return out
+
     prev = _checksum(labels)
     for _ in range(max_rounds):
-        # propagate: for each edge (node → nbr), send node's label to nbr
-        tagged_adj = adj.map_batches(
-            lambda b: pa.table({"node": b["node"], "nbr": b["nbr"],
-                                "label": pa.array([""] * b.num_rows, pa.string())}),
-            batch_format="pyarrow")
-        tagged_lbl = labels.map_batches(
+        # propagate: bucket-partitioned join of adjacency with current
+        # labels (one shuffle keyed by node-hash bucket), then the
+        # hash-min aggregate. No per-node Python calls — one vectorized
+        # pandas merge per bucket.
+        lbl_b = labels.map_batches(bucketize, batch_format="pyarrow") \
+                      .map_batches(
             lambda b: pa.table({"node": b["node"],
                                 "nbr": pa.array([""] * b.num_rows, pa.string()),
-                                "label": b["label"]}),
+                                "label": b["label"], "bucket": b["bucket"]}),
             batch_format="pyarrow")
-
-        def send(g: pd.DataFrame) -> pd.DataFrame:
-            lbls = [l for l in g["label"] if l]
-            node = g["node"].iloc[0]
-            best = min(lbls + [node])
-            targets = [n for n in g["nbr"] if n] + [node]
-            return pd.DataFrame({"node": targets, "label": [best] * len(targets)})
-
-        msgs = tagged_adj.union(tagged_lbl).groupby("node").map_groups(
-            send, batch_format="pandas")
-        labels = msgs.groupby("node").aggregate(Min("label", alias_name="label")) \
-                     .materialize()
+        msgs = (adj_b.union(lbl_b).groupby("bucket")
+                .map_groups(propagate, batch_format="pandas"))
+        labels = (msgs.groupby("node").aggregate(Min("label", alias_name="label"))
+                  .materialize())
         cur = _checksum(labels)
         if cur == prev:
             break

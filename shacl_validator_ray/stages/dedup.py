@@ -82,15 +82,18 @@ class _MinHashStage:
 def minhash_lsh_dup_pairs(docs: rd.Dataset, tau: float = 0.95, n_perm: int = 32,
                           n_bands: int = 16, id_col: str = "doc_id",
                           text_col: str = "text", block_col: str | None = "lang",
-                          concurrency: int = 4) -> rd.Dataset:
-    """MinHash+LSH near-dup: signature → band rows → bucket groupby →
-    candidate pairs → exact-Jaccard verification against broadcast texts.
+                          concurrency: int = 4, num_partitions: int = 8) -> rd.Dataset:
+    """MinHash+LSH near-dup: signature → band rows → bucket SELF-JOIN
+    (native hash join — no per-bucket Python calls) → pair dedup via a
+    vectorized Count aggregate → exact-Jaccard verification against the
+    broadcast word-set table.
 
     The verification side table (id → word-set) is broadcast; at 100 TB it
     would be replaced by a join of candidate pairs back to the text table
     (same bucket key), keeping everything distributed.
     """
     import ray
+    from ray.data.aggregate import Count
 
     texts_tbl = pa.concat_tables(
         docs.select_columns([id_col, text_col]).iter_batches(batch_format="pyarrow"))
@@ -100,28 +103,25 @@ def minhash_lsh_dup_pairs(docs: rd.Dataset, tau: float = 0.95, n_perm: int = 32,
 
     band_rows = docs.map_batches(
         _MinHashStage, fn_constructor_args=(n_perm, n_bands, id_col, text_col, block_col),
-        batch_format="pyarrow", concurrency=concurrency, batch_size=1024)
+        batch_format="pyarrow", concurrency=concurrency, batch_size=1024).materialize()
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(set(g[id_col]))
-        d1, d2 = [], []
-        for a in range(len(ids)):
-            for b in range(a + 1, len(ids)):
-                d1.append(ids[a]); d2.append(ids[b])
-        return pd.DataFrame({"doc1": pd.array(d1, dtype="int64"),
-                             "doc2": pd.array(d2, dtype="int64")})
+    joined = band_rows.join(band_rows, "inner", num_partitions,
+                            on=("block", "band", "bhash"),
+                            left_suffix="_1", right_suffix="_2")
 
-    cand = band_rows.groupby(["block", "band", "bhash"]).map_groups(
-        bucket_pairs, batch_format="pandas")
+    def to_pairs(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        b = b.filter(pc.less(b[f"{id_col}_1"], b[f"{id_col}_2"]))
+        return pa.table({"doc1": b[f"{id_col}_1"], "doc2": b[f"{id_col}_2"]})
+
+    uniq = (joined.map_batches(to_pairs, batch_format="pyarrow")
+            .groupby(["doc1", "doc2"]).aggregate(Count(alias_name="nb")))
 
     def verify(b: pa.Table) -> pa.Table:
         lk = ray.get(ref)
-        seen = set()
         d1o, d2o, jo = [], [], []
         for x, y in zip(b["doc1"].to_pylist(), b["doc2"].to_pylist()):
-            if (x, y) in seen:
-                continue
-            seen.add((x, y))
             j = tf.jaccard(lk[x], lk[y])
             if j >= tau:
                 d1o.append(x); d2o.append(y); jo.append(round(j, 6))
@@ -129,10 +129,7 @@ def minhash_lsh_dup_pairs(docs: rd.Dataset, tau: float = 0.95, n_perm: int = 32,
                          "doc2": pa.array(d2o, pa.int64()),
                          "jac": pa.array(jo, pa.float64())})
 
-    # candidate pairs may repeat across bands → global exact dedup of pairs
-    verified = cand.map_batches(verify, batch_format="pyarrow")
-    return (verified.groupby(["doc1", "doc2"])
-            .map_groups(lambda g: g.head(1), batch_format="pandas"))
+    return uniq.map_batches(verify, batch_format="pyarrow")
 
 
 def simhash_dup_pairs(docs: rd.Dataset, max_hamming: int = 3, id_col: str = "doc_id",
@@ -152,22 +149,29 @@ def simhash_dup_pairs(docs: rd.Dataset, max_hamming: int = 3, id_col: str = "doc
                          "key": pa.array(key, pa.int64()),
                          "sig": pa.array(np.array(sig, dtype=np.uint64).astype(np.int64))})
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        rows = sorted(set(zip(g[id_col], g["sig"].astype(np.int64))))
-        d1, d2, hd = [], [], []
-        for a in range(len(rows)):
-            for b in range(a + 1, len(rows)):
-                h = tf.hamming64(rows[a][1] & ((1 << 64) - 1), rows[b][1] & ((1 << 64) - 1))
-                if h <= max_hamming:
-                    d1.append(rows[a][0]); d2.append(rows[b][0]); hd.append(h)
-        return pd.DataFrame({"doc1": pd.array(d1, dtype="int64"),
-                             "doc2": pd.array(d2, dtype="int64"),
-                             "hamming": pd.array(hd, dtype="int64")})
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Min
 
-    pairs = (docs.map_batches(sigs, batch_format="pyarrow", zero_copy_batch=True)
-                 .groupby(["band", "key"]).map_groups(bucket_pairs, batch_format="pandas"))
-    return pairs.groupby(["doc1", "doc2"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas")
+    sig_rows = docs.map_batches(sigs, batch_format="pyarrow",
+                                zero_copy_batch=True).materialize()
+    joined = sig_rows.join(sig_rows, "inner", 8, on=("band", "key"),
+                           left_suffix="_1", right_suffix="_2")
+
+    def to_pairs(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.less(b[f"{id_col}_1"], b[f"{id_col}_2"]))
+        x = np.asarray(b["sig_1"]).astype(np.uint64)
+        y = np.asarray(b["sig_2"]).astype(np.uint64)
+        xor = np.bitwise_xor(x, y)
+        ham = np.unpackbits(xor.view(np.uint8).reshape(len(xor), 8),
+                            axis=1).sum(axis=1) if len(xor) else np.array([], dtype=int)
+        keep = ham <= max_hamming
+        return pa.table({"doc1": pa.array(np.asarray(b[f"{id_col}_1"])[keep]),
+                         "doc2": pa.array(np.asarray(b[f"{id_col}_2"])[keep]),
+                         "hamming": pa.array(ham[keep].astype(np.int64))})
+
+    pairs = joined.map_batches(to_pairs, batch_format="pyarrow")
+    return pairs.groupby(["doc1", "doc2"]).aggregate(
+        Min("hamming", alias_name="hamming"))
 
 
 def embedding_dup_pairs(emb: rd.Dataset, tau: float = 0.4, block_col: str = "label",

@@ -81,6 +81,28 @@ def format_node_labels(triples: rd.Dataset) -> dict[str, str]:
     return out
 
 
+def bucketed_groupby_apply(ds: rd.Dataset, key: str, fn_group, n_buckets: int = 64):
+    """groupby(key).map_groups with one Ray group per HASH BUCKET instead of
+    one per key: Ray's per-group task overhead is paid 64 times, not once
+    per subject; the per-key work runs in a pandas groupby inside the
+    bucket. Same partitioning guarantee (hash of key → same bucket)."""
+    import hashlib
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        keys = b[key].to_pylist()
+        bk = [int.from_bytes(hashlib.blake2b(str(k).encode(), digest_size=4).digest(),
+                             "little") % n_buckets for k in keys]
+        return b.append_column("_bucket", pa.array(bk, pa.int32()))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        parts = [fn_group(sub) for _, sub in g.groupby(key, sort=True)]
+        out = pd.concat(parts, ignore_index=True) if parts else fn_group(g.iloc[0:0])
+        return out.drop(columns=["_bucket"], errors="ignore")
+
+    return (ds.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("_bucket").map_groups(per_bucket, batch_format="pandas"))
+
+
 def _pivot_records(g: pd.DataFrame, props: dict[str, str]) -> dict:
     rec: dict = {"id": g["subj"].iloc[0]}
     multi = {"themes", "keywords", "dists"}
@@ -118,7 +140,7 @@ def discover_datasets(triples: rd.Dataset, query: str = "", limit: int = 50,
         rec.pop("foaf_name", None)
         return pd.DataFrame([rec])
 
-    datasets = ds_rows.groupby("subj").map_groups(ds_pivot, batch_format="pandas")
+    datasets = bucketed_groupby_apply(ds_rows, "subj", ds_pivot)
 
     # distribution side: property rows of any distribution object
     dist_preds = pa.array(sorted(_DIST_PROPS))
@@ -144,7 +166,7 @@ def discover_datasets(triples: rd.Dataset, query: str = "", limit: int = 50,
                               ("id", "title", "access_url", "download_url",
                                "media_type", "format", "compatible")}])
 
-    dists = dist_rows.groupby("subj").map_groups(dist_pivot, batch_format="pandas")
+    dists = bucketed_groupby_apply(dist_rows, "subj", dist_pivot)
 
     # J1 hash join datasets ⋈ distributions on the edge key, via union+groupby:
     # explode dataset rows to (dist_id, payload) and union with dist records.
@@ -174,8 +196,7 @@ def discover_datasets(triples: rd.Dataset, query: str = "", limit: int = 50,
         owners = [d for d in g["ds_id"] if d]
         return pd.DataFrame({"ds_id": owners, "rec": [rec] * len(owners)})
 
-    joined = edges.union(dist_tagged).groupby("key").map_groups(
-        join_bucket, batch_format="pandas")
+    joined = bucketed_groupby_apply(edges.union(dist_tagged), "key", join_bucket)
 
     # assemble nested records per dataset (small result; driver-side merge)
     dist_by_ds: dict[str, list] = {}
