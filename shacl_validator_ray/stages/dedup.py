@@ -54,7 +54,10 @@ def jaccard_dup_pairs(docs: rd.Dataset, block_col: str = "lang", tau: float = 0.
 
 
 class _MinHashStage:
-    """Actor-pool stage: compile the MinHasher once per actor (T5 shape)."""
+    """Actor-pool stage: compile the MinHasher once per actor (T5 shape).
+
+    Emits one row per (doc, band) carrying the FULL band-hash vector —
+    needed downstream for the first-matching-band trick."""
 
     def __init__(self, n_perm: int, n_bands: int, id_col: str, text_col: str,
                  block_col: str | None):
@@ -65,35 +68,45 @@ class _MinHashStage:
     def __call__(self, b: pa.Table) -> pa.Table:
         blocks = (b.column(self.block_col).to_pylist() if self.block_col
                   else [""] * b.num_rows)
-        ids, blk, bands, bhash = [], [], [], []
+        ids, blk, bands, bhash, allb = [], [], [], [], []
         for i, t, bl in zip(b.column(self.id_col).to_pylist(),
                             b.column(self.text_col).to_pylist(), blocks):
             sig = self.mh.signature(tf.word_set(t or ""))
-            for bi, h in enumerate(self.mh.bands(sig, self.n_bands)):
+            hs = [np.int64(np.uint64(h).astype(np.int64))
+                  for h in self.mh.bands(sig, self.n_bands)]
+            for bi, h in enumerate(hs):
                 ids.append(i); blk.append(bl); bands.append(bi); bhash.append(h)
+                allb.append(hs)
         return pa.table({
             self.id_col: pa.array(ids, pa.int64()),
             "block": pa.array(blk, pa.string()),
             "band": pa.array(bands, pa.int32()),
-            "bhash": pa.array(np.array(bhash, dtype=np.uint64).astype(np.int64)),
+            "bhash": pa.array(bhash, pa.int64()),
+            "all_bands": pa.array(allb, pa.list_(pa.int64())),
         })
 
 
 def minhash_lsh_dup_pairs(docs: rd.Dataset, tau: float = 0.95, n_perm: int = 32,
-                          n_bands: int = 16, id_col: str = "doc_id",
+                          n_bands: int = 8, id_col: str = "doc_id",
                           text_col: str = "text", block_col: str | None = "lang",
-                          concurrency: int = 4, num_partitions: int = 8) -> rd.Dataset:
-    """MinHash+LSH near-dup: signature → band rows → bucket SELF-JOIN
-    (native hash join — no per-bucket Python calls) → pair dedup via a
-    vectorized Count aggregate → exact-Jaccard verification against the
-    broadcast word-set table.
+                          concurrency: int = 4, n_buckets: int = 64) -> rd.Dataset:
+    """MinHash+LSH near-dup: signature → band rows → ONE shuffle keyed by
+    bucket-hash → vectorized within-bucket pair generation → exact-Jaccard
+    verification.
+
+    Each candidate pair is emitted exactly once — from its FIRST matching
+    band (a pair in bucket (band i, h) is skipped when its band-hash
+    vectors already agree at some band j < i) — so no global pair-dedup
+    shuffle is needed. r = n_perm/n_bands = 4 rows/band keeps low-Jaccard
+    pairs out of the candidate set while recall at τ=0.95 stays ~1-1e-6.
 
     The verification side table (id → word-set) is broadcast; at 100 TB it
     would be replaced by a join of candidate pairs back to the text table
     (same bucket key), keeping everything distributed.
     """
+    import hashlib
+
     import ray
-    from ray.data.aggregate import Count
 
     texts_tbl = pa.concat_tables(
         docs.select_columns([id_col, text_col]).iter_batches(batch_format="pyarrow"))
@@ -103,20 +116,36 @@ def minhash_lsh_dup_pairs(docs: rd.Dataset, tau: float = 0.95, n_perm: int = 32,
 
     band_rows = docs.map_batches(
         _MinHashStage, fn_constructor_args=(n_perm, n_bands, id_col, text_col, block_col),
-        batch_format="pyarrow", concurrency=concurrency, batch_size=1024).materialize()
+        batch_format="pyarrow", concurrency=concurrency, batch_size=1024)
 
-    joined = band_rows.join(band_rows, "inner", num_partitions,
-                            on=("block", "band", "bhash"),
-                            left_suffix="_1", right_suffix="_2")
+    def add_bucket(b: pa.Table) -> pa.Table:
+        bk = [int.from_bytes(
+            hashlib.blake2b(f"{bl}|{bd}|{h}".encode(), digest_size=4).digest(),
+            "little") % n_buckets
+            for bl, bd, h in zip(b["block"].to_pylist(), b["band"].to_pylist(),
+                                 b["bhash"].to_pylist())]
+        return b.append_column("bucket", pa.array(bk, pa.int32()))
 
-    def to_pairs(b: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
+    bucketed = band_rows.map_batches(add_bucket, batch_format="pyarrow")
 
-        b = b.filter(pc.less(b[f"{id_col}_1"], b[f"{id_col}_2"]))
-        return pa.table({"doc1": b[f"{id_col}_1"], "doc2": b[f"{id_col}_2"]})
+    def gen_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        d1, d2 = [], []
+        for (_, band, _), sub in g.groupby(["block", "band", "bhash"], sort=False):
+            if len(sub) < 2:
+                continue
+            sub = sub.sort_values(id_col)
+            ids = sub[id_col].to_numpy()
+            ab = np.stack(sub["all_bands"].to_numpy())  # (n, n_bands)
+            iu, ju = np.triu_indices(len(ids), k=1)
+            if band > 0:
+                # first-matching-band: drop pairs already caught earlier
+                earlier = (ab[iu, :band] == ab[ju, :band]).any(axis=1)
+                iu, ju = iu[~earlier], ju[~earlier]
+            d1.extend(ids[iu]); d2.extend(ids[ju])
+        return pd.DataFrame({"doc1": pd.array(d1, dtype="int64"),
+                             "doc2": pd.array(d2, dtype="int64")})
 
-    uniq = (joined.map_batches(to_pairs, batch_format="pyarrow")
-            .groupby(["doc1", "doc2"]).aggregate(Count(alias_name="nb")))
+    cand = bucketed.groupby("bucket").map_groups(gen_pairs, batch_format="pandas")
 
     def verify(b: pa.Table) -> pa.Table:
         lk = ray.get(ref)
@@ -129,7 +158,7 @@ def minhash_lsh_dup_pairs(docs: rd.Dataset, tau: float = 0.95, n_perm: int = 32,
                          "doc2": pa.array(d2o, pa.int64()),
                          "jac": pa.array(jo, pa.float64())})
 
-    return uniq.map_batches(verify, batch_format="pyarrow")
+    return cand.map_batches(verify, batch_format="pyarrow", batch_size=65536)
 
 
 def simhash_dup_pairs(docs: rd.Dataset, max_hamming: int = 3, id_col: str = "doc_id",
