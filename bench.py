@@ -23,40 +23,29 @@ import time
 
 
 def _headline(sf_dir: str) -> dict:
-    """The flagship KG-construction pipeline, end to end, timed per stage."""
+    """The flagship KG-construction pipeline — ONE production-shaped run
+    (extract once, shared intermediates; see kg.full_pipeline)."""
     from shacl_validator_ray import synth
     from shacl_validator_ray.pipelines import kg
-    from shacl_validator_ray.stages import canonicalize, linking, materialize, shacl
-    from shacl_validator_ray.state import shapes as shapes_mod
 
     out = {}
-    corpus = synth.ensure_corpus(sf_dir)  # untimed: corpus synth + page-cache warm
+    synth.ensure_corpus(sf_dir)  # untimed: corpus synth + page-cache warm
     n_docs = synth.num_docs_for_sf(synth.sf_of_dir(sf_dir))
 
     t0 = time.time()
-    triples = kg.triples_dataset(sf_dir)
-    n_triples = triples.count()
-    out["extract"] = round(time.time() - t0, 3)
+    n_triples = kg.triples_dataset(sf_dir).count()
+    out["extract_only"] = round(time.time() - t0, 3)
 
-    t0 = time.time()
-    viols = shacl.validate(kg.triples_dataset(sf_dir),
-                           shapes_mod.load_profile_ttl())
-    n_viols = viols.count()
-    out["validate"] = round(time.time() - t0, 3)
-
-    t0 = time.time()
-    links = kg.links_dataset(sf_dir)
-    canon = canonicalize.canonical_map_from_links(links)
     graph_dir = f"/tmp/svr_bench_graph_{os.getpid()}"
     shutil.rmtree(graph_dir, ignore_errors=True)
-    rewritten = materialize.canonical_rewrite(kg.triples_dataset(sf_dir), canon)
-    materialize.materialize_graph(rewritten, graph_dir, hub_threshold=5000)
-    out["link_canon_materialize"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    stats = kg.full_pipeline(sf_dir, graph_dir)
+    out["full_pipeline"] = round(time.time() - t0, 3)
     shutil.rmtree(graph_dir, ignore_errors=True)
 
     out["_n_docs"] = n_docs
     out["_n_triples"] = n_triples
-    out["_n_viols"] = n_viols
+    out["_n_viols"] = stats["violations"]
     return out
 
 
@@ -95,7 +84,7 @@ def run_once() -> dict:
 
     n_docs = stages.pop("_n_docs")
     stages.pop("_n_triples"), stages.pop("_n_viols")
-    headline = round(sum(stages.values()), 3)
+    headline = stages["full_pipeline"]
     from shacl_validator_ray import synth
 
     return {

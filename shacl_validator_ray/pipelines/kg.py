@@ -54,6 +54,32 @@ def materialized_graph(sf_dir: str, out_dir: str, **kw) -> dict:
     return materialize.materialize_graph(rewritten, out_dir, **kw)
 
 
+def full_pipeline(sf_dir: str, out_dir: str, profile: str = "dcat_ap_demo",
+                  hub_threshold: int = 5000) -> dict:
+    """One production-shaped run sharing intermediates: extract ONCE →
+    dedup (checkpointed via materialize) → {validate, link} off the same
+    deduped set → canonicalize → rewrite → partitioned graph write.
+
+    Returns counts per stage. At 100 TB the ``materialize()`` calls become
+    partitioned parquet checkpoints (resume points); nothing else changes.
+    """
+    triples = extract.extract_triples(documents_dataset(sf_dir))
+    deduped = shacl.dedup_triples(triples).materialize()
+
+    viols = shacl.validate(deduped, shapes_mod.load_profile_ttl(profile),
+                           deduped=True)
+    n_viols = viols.count()
+
+    alias_rows = [(r["surface"], r["iri"]) for r in synth.alias_table().to_pylist()]
+    links = linking.link_entities(deduped, alias_rows)
+    canon = canonicalize.canonical_map_from_links(links)
+    rewritten = materialize.canonical_rewrite(deduped, canon)
+    manifest = materialize.materialize_graph(rewritten, out_dir, deduped=False,
+                                             hub_threshold=hub_threshold)
+    return {"violations": n_viols, "manifest": manifest,
+            "triples": deduped.count()}
+
+
 def flagship(sf_dir: str) -> rd.Dataset:
     """The end-to-end KG-construction spine: canonicalized deduped triples."""
     return canonical_triples(sf_dir)

@@ -55,17 +55,32 @@ def canonical_rewrite(triples: rd.Dataset, canon: rd.Dataset) -> rd.Dataset:
     return triples.map_batches(rewrite, batch_format="pyarrow", zero_copy_batch=True)
 
 
-def detect_hubs(triples: rd.Dataset, threshold: int) -> set[str]:
+def detect_hubs(triples: rd.Dataset, threshold: int, top_m: int = 4096) -> set[str]:
     """Subjects whose triple count exceeds ``threshold`` (skew candidates).
 
-    One pre-aggregation pass; the result is tiny (hub list) and broadcast.
-    """
-    counts = triples.groupby("subj").aggregate(Count(alias_name="n"))
-    hubs = counts.map_batches(
-        lambda b: b.filter(pc.greater(b["n"], threshold)).select(["subj"]),
-        batch_format="pyarrow")
-    return {r["subj"] for b in hubs.iter_batches(batch_format="pyarrow")
-            for r in b.to_pylist()}
+    Shuffle-free approximate heavy hitters: each batch emits its top-M
+    subject partial counts (vectorized pandas ``value_counts``); the tiny
+    partials are summed on the driver. A true hub (≫ threshold) appears
+    in every block's top-M, so its global count is exact; only subjects
+    *near* the threshold can be undercounted (bounded by rows/M per
+    block) — harmless, since hub salting is a performance heuristic, not
+    a correctness property. At 10^12 scale this is the standard
+    space-saving / Misra-Gries sketch shape (mergeable partials, no
+    all-to-all)."""
+    import pandas as pd
+
+    def partial(b: pa.Table) -> pa.Table:
+        vc = pd.Series(b["subj"].to_pylist()).value_counts().head(top_m)
+        return pa.table({"subj": pa.array(vc.index.astype(str), pa.string()),
+                         "n": pa.array(vc.to_numpy(), pa.int64())})
+
+    totals: dict[str, int] = {}
+    for b in triples.map_batches(partial, batch_format="pyarrow",
+                                 zero_copy_batch=True).iter_batches(
+                                     batch_format="pyarrow"):
+        for s, n in zip(b["subj"].to_pylist(), b["n"].to_pylist()):
+            totals[s] = totals.get(s, 0) + n
+    return {s for s, n in totals.items() if n > threshold}
 
 
 def materialize_graph(triples: rd.Dataset, out_dir: str, *, n_buckets: int = 16,

@@ -39,13 +39,29 @@ from .. import schema as S
 _TUPLE_COLS = ["subj", "pred", "obj_kind", "obj_value", "obj_datatype", "obj_lang"]
 
 
-def dedup_triples(triples: rd.Dataset) -> rd.Dataset:
-    """Exact (s,p,o) set semantics via hash aggregate (D1); keeps min lineage."""
-    return (
-        triples.groupby(_TUPLE_COLS)
-        .aggregate(Min("doc_id", alias_name="doc_id"),
-                   Min("span_idx", alias_name="span_idx"))
-    )
+def dedup_triples(triples: rd.Dataset, n_buckets: int = 64) -> rd.Dataset:
+    """Exact (s,p,o) set semantics (D1): ONE shuffle keyed by a vectorized
+    stable hash bucket of the 6-tuple, then a per-bucket pandas
+    ``drop_duplicates`` (deterministic: min (doc_id, span_idx) lineage
+    kept). Much cheaper than a 6-string-column groupby — the shuffle key
+    is a single int32."""
+    import pandas as pd
+    import pyarrow.compute as pc_
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        concat = pc_.binary_join_element_wise(
+            *[b[c].cast(pa.string()) for c in _TUPLE_COLS], "\x1f")
+        h = pd.util.hash_pandas_object(pd.Series(concat.to_pandas()), index=False)
+        return b.append_column("_bucket",
+                               pa.array((h % n_buckets).astype("int32")))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["doc_id", "span_idx"]).drop_duplicates(_TUPLE_COLS)
+        return g.drop(columns=["_bucket"])
+
+    return (triples.map_batches(add_bucket, batch_format="pyarrow",
+                                zero_copy_batch=True)
+            .groupby("_bucket").map_groups(per_bucket, batch_format="pandas"))
 
 
 def collect_class_members(triples: rd.Dataset, classes: set[str]) -> dict[str, set[str]]:

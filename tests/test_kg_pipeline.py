@@ -41,14 +41,17 @@ def test_linker_exact_alias_and_fuzzy():
 
 
 def test_union_find_chain_and_rank():
-    # chain: m1 - m2 - org; root must be the canonical org IRI (rank order)
+    # chain: m1 - m2 - org; root must be the canonical org IRI (rank order).
+    # Both paths: driver fast-path and distributed groupby rounds.
     org = synth.org_iri(3)
     m1, m2 = extract.mention_iri("a x"), extract.mention_iri("b x")
     edges = rd.from_arrow(pa.Table.from_pylist(
         [{"a": m1, "b": m2}, {"a": m2, "b": org}]))
-    out = {r["entity_id"]: r["root_id"]
-           for r in canonicalize.connected_components(edges).take_all()}
-    assert out == {m1: org, m2: org, org: org}
+    for thresh in (200_000, 0):
+        out = {r["entity_id"]: r["root_id"]
+               for r in canonicalize.connected_components(
+                   edges, driver_threshold=thresh).take_all()}
+        assert out == {m1: org, m2: org, org: org}, f"threshold={thresh}"
 
 
 def test_union_find_partition_count_invariant():
@@ -58,7 +61,8 @@ def test_union_find_partition_count_invariant():
     for nblocks in (1, 4):
         edges = rd.from_arrow(pa.Table.from_pylist(rows)).repartition(nblocks)
         out = {r["entity_id"]: r["root_id"]
-               for r in canonicalize.connected_components(edges, max_rounds=12).take_all()}
+               for r in canonicalize.connected_components(
+                   edges, max_rounds=12, driver_threshold=0).take_all()}
         assert set(out.values()) == {org}
 
 
