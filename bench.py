@@ -98,19 +98,79 @@ def run_once() -> dict:
     }
 
 
+def run_emit() -> dict:
+    """Triple-emission throughput (THE BASELINE.json metric): read the
+    interleaved-docs corpus → extract triples → count, with one untimed
+    warm pass (worker spin-up + page cache) before the timed pass."""
+    import logging
+
+    import ray
+
+    ncpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    ndocs = int(os.environ.get("GRAFT_SCALE_DOCS", "4000000"))
+    ray.init(address="local", num_cpus=ncpus, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+
+    import pyarrow as pa
+
+    from shacl_validator_ray import synth
+    from shacl_validator_ray.sources import io
+    from shacl_validator_ray.stages import extract
+
+    corpus = synth.ensure_corpus_n(ndocs)
+
+    def emit() -> int:
+        # count-projection consume: the extraction UDF runs in full, but
+        # emitted blocks reduce to per-batch counts instead of landing in
+        # the single-node object store (which is a per-NODE resource on a
+        # real cluster and would scale with nodes, not with num_cpus)
+        docs = io.read_table(f"{corpus}/documents")
+        tr = extract.extract_triples(docs, batch_size=2048)
+        counts = tr.map_batches(
+            lambda b: pa.table({"n": pa.array([b.num_rows], pa.int64())}),
+            batch_format="pyarrow", zero_copy_batch=True)
+        return counts.sum("n")
+
+    emit()  # untimed warm pass (worker spin-up + page cache)
+    best, n_triples = None, 0
+    for _ in range(2):
+        t0 = time.time()
+        n_triples = emit()
+        sec = time.time() - t0
+        best = sec if best is None or sec < best else best
+    sec = round(best, 3)
+    ray.shutdown()
+    return {"sec": sec, "docs_per_sec": round(ndocs / sec, 1),
+            "triples": n_triples, "num_cpus": ncpus, "ndocs": ndocs}
+
+
 def run_scaling() -> dict:
+    """North-rule criterion: same triple-emission job, same input, two
+    parallelism levels (8 vs 32 CPUs) in fresh processes — the sandbox
+    stand-in for N vs 4N nodes."""
+    from shacl_validator_ray import synth
+
+    ndocs = int(os.environ.get("GRAFT_SCALE_DOCS", "4000000"))
+    synth.ensure_corpus_n(ndocs)  # generate once, shared by both runs
+
     def run(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
-        out = subprocess.run([sys.executable, os.path.abspath(__file__)], env=env,
-                             capture_output=True, text=True, check=True).stdout
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                   GRAFT_SCALE_DOCS=str(ndocs))
+        out = subprocess.run([sys.executable, os.path.abspath(__file__), "--emit"],
+                             env=env, capture_output=True, text=True,
+                             check=True).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    run(8)  # warm page cache + corpus, untimed
     lo, hi = run(8), run(32)
-    eff = (lo["value"] / hi["value"]) / (32 / 8)
+    eff = (lo["sec"] / hi["sec"]) / (32 / 8)
     return {
-        "metric": "scaling efficiency (8 → 32 CPUs, fresh processes, same input)",
-        "sec_8": lo["value"], "sec_32": hi["value"],
+        "metric": "triple-emission scaling (8 → 32 CPUs, fresh processes, same input)",
+        "ndocs": ndocs,
+        "sec_8": lo["sec"], "sec_32": hi["sec"],
         "docs_per_sec_8": lo["docs_per_sec"], "docs_per_sec_32": hi["docs_per_sec"],
         "scaling_efficiency": round(eff, 3),
     }
@@ -119,5 +179,7 @@ def run_scaling() -> dict:
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
+    elif "--emit" in sys.argv:
+        print(json.dumps(run_emit()))
     else:
         print(json.dumps(run_once()))

@@ -1,0 +1,151 @@
+"""CLI entry points mirroring the reference's three user flows
+(SURVEY.md §3): validate, view/analyze a report, discover datasets —
+plus the KG materialization run.
+
+This module OWNS a Ray session (guarded init) — the only library-adjacent
+code allowed to call ``ray.init`` besides bench.py and the test fixture.
+
+Usage:
+  python -m shacl_validator_ray.cli validate DATA.ttl [--shapes SHAPES.ttl]
+  python -m shacl_validator_ray.cli report REPORT.ttl
+  python -m shacl_validator_ray.cli discover DATA.ttl [--query q]
+  python -m shacl_validator_ray.cli materialize SF_DIR OUT_DIR
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _init_ray():
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False,
+                 ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+
+def _triples_from_ttl(path: str):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from . import schema as S
+    from .functions import turtle
+
+    with open(path) as f:
+        rows = turtle.parse_turtle(f.read(), bnode_prefix=path.replace("/", "_"))
+    tbl = pa.Table.from_pylist(
+        [{"subj": s, "pred": p, "obj_kind": k, "obj_value": v,
+          "obj_datatype": dt, "obj_lang": lg, "doc_id": path, "span_idx": 0}
+         for s, p, k, v, dt, lg in rows], schema=S.TRIPLES)
+    return rd.from_arrow(tbl)
+
+
+def cmd_validate(args) -> int:
+    from .stages import report as report_mod, shacl
+    from .state import shapes as shapes_mod
+
+    _init_ray()
+    if args.shapes:  # custom-shapes mode (SHACLManager.tsx:31-107 analog)
+        with open(args.shapes) as f:
+            ttl = f.read()
+    else:
+        ttl = shapes_mod.load_profile_ttl(args.profile)
+    viols = shacl.validate(_triples_from_ttl(args.data), ttl)
+    n = viols.count()
+    if args.format == "ttl":
+        print(report_mod.report_to_turtle(viols, profile_name=args.profile))
+    elif args.format == "csv":
+        print(report_mod.report_to_csv(viols))
+    else:
+        print(json.dumps({"conforms": n == 0, "results": n}))
+        for r in viols.take_all():
+            print(json.dumps({k: r[k] for k in
+                              ("severity", "focus_node", "path", "value",
+                               "source_constraint_component")}))
+    return 0 if n == 0 else 1
+
+
+def cmd_report(args) -> int:
+    import ray.data as rd
+
+    from .stages import report as report_mod
+
+    _init_ray()
+    with open(args.report) as f:
+        viols = rd.from_arrow(report_mod.parse_report_turtle(f.read()))
+    out = {
+        "summary": report_mod.summary_stats(viols).to_dict("records")[0],
+        "top_shapes": report_mod.top_shapes(viols).to_dict("records"),
+        "properties": report_mod.property_breakdown(viols).to_dict("records"),
+        "components": report_mod.constraint_components(viols).to_dict("records"),
+        "focus_nodes": report_mod.focus_node_breakdown(viols).to_dict("records"),
+    }
+    print(json.dumps(out, indent=1, default=str))
+    return 0
+
+
+def cmd_discover(args) -> int:
+    from .stages import discovery
+
+    _init_ray()
+    df = discovery.discover_datasets(_triples_from_ttl(args.data),
+                                     query=args.query or "", limit=args.limit)
+    print(df.to_json(orient="records", indent=1))
+    return 0
+
+
+def cmd_materialize(args) -> int:
+    from .pipelines import kg
+
+    _init_ray()
+    stats = kg.full_pipeline(args.sf_dir, args.out_dir)
+    print(json.dumps({"violations": stats["violations"],
+                      "triples": stats["triples"],
+                      "manifest": {k: v for k, v in stats["manifest"].items()
+                                   if k != "hubs"}}))
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="shacl_validator_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    v = sub.add_parser("validate")
+    v.add_argument("data")
+    v.add_argument("--shapes")
+    v.add_argument("--profile", default="dcat_ap_demo")
+    v.add_argument("--format", choices=["json", "ttl", "csv"], default="json")
+    v.set_defaults(fn=cmd_validate)
+
+    r = sub.add_parser("report")
+    r.add_argument("report")
+    r.set_defaults(fn=cmd_report)
+
+    d = sub.add_parser("discover")
+    d.add_argument("data")
+    d.add_argument("--query")
+    d.add_argument("--limit", type=int, default=50)
+    d.set_defaults(fn=cmd_discover)
+
+    m = sub.add_parser("materialize")
+    m.add_argument("sf_dir")
+    m.add_argument("out_dir")
+    m.set_defaults(fn=cmd_materialize)
+
+    args = p.parse_args(argv)
+    rc = args.fn(args)
+    import ray
+
+    if ray.is_initialized():
+        ray.shutdown()
+    return rc
+
+
+if __name__ == "__main__":
+    sys.exit(main())

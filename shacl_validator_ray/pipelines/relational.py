@@ -23,7 +23,9 @@ from ray.data.aggregate import Count, Max, Mean, Min, Sum
 
 
 def t(sf_dir: str, name: str, columns: list[str] | None = None) -> rd.Dataset:
-    return rd.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns)
+    from ..sources import io
+
+    return io.read_table(f"{sf_dir}/{name}.parquet", columns=columns)
 
 
 def _small(sf_dir: str, name: str, columns: list[str]) -> pa.Table:

@@ -18,7 +18,37 @@ except ImportError:
     HAVE_LANCE = False
 
 
-def read_table(path: str, columns: list[str] | None = None, **kwargs) -> rd.Dataset:
+def default_num_blocks(factor: int = 2, cap: int = 128) -> int:
+    """Blocks ≈ factor × cluster CPUs. Small-file inputs otherwise collapse
+    into one or two 128 MiB-target blocks and the whole pipeline runs at
+    parallelism ≤ 2 — the read must fan out to keep every core busy."""
+    import ray
+
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    return max(4, min(cap, factor * cpus))
+
+
+def auto_pool(num_cpus_per_actor: float = 0.5, cap: int = 64) -> tuple[int, int]:
+    """Actor-pool sizing that scales with the cluster: a fixed (1, 4) pool
+    caps a stage at parallelism 4 no matter how many cores exist — the
+    single biggest scaling-efficiency killer on a bigger cluster."""
+    import ray
+
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    hi = max(2, min(cap, int(cpus / num_cpus_per_actor)))
+    return (1, hi)
+
+
+def read_table(path: str, columns: list[str] | None = None,
+               parallel: bool = True, **kwargs) -> rd.Dataset:
+    if parallel and "override_num_blocks" not in kwargs:
+        kwargs["override_num_blocks"] = default_num_blocks()
     if HAVE_LANCE and path.endswith(".lance"):  # pragma: no cover
         return rd.read_lance(path, columns=columns, **kwargs)
     return rd.read_parquet(path, columns=columns, **kwargs)

@@ -54,9 +54,24 @@ def connected_components(edges: rd.Dataset, max_rounds: int = 8,
     overhead); the distributed path is the 10^12-scale route and is
     exercised in tests with ``driver_threshold=0``.
     """
-    n_edges = edges.count()
-    if n_edges <= driver_threshold:
-        return _driver_components(edges)
+    # One pass decides the path AND feeds the fast path: collect edge
+    # batches up to the threshold; only a graph that overflows it pays the
+    # distributed rounds (and re-reads the edges there).
+    if driver_threshold > 0:
+        collected: list[pa.Table] = []
+        n = 0
+        for b in edges.iter_batches(batch_format="pyarrow"):
+            collected.append(b)
+            n += b.num_rows
+            if n > driver_threshold:
+                break
+        else:
+            import ray.data as rd_
+
+            small = (pa.concat_tables(collected) if collected
+                     else pa.schema([pa.field("a", pa.string()),
+                                     pa.field("b", pa.string())]).empty_table())
+            return _driver_components(rd_.from_arrow(small))
     # adjacency, both directions, ranked labels
     def to_adj(b: pa.Table) -> pa.Table:
         a = [_rank(x) for x in b["a"].to_pylist()]

@@ -65,9 +65,28 @@ def _resolve_publisher(surface: str) -> tuple[str, str]:
 
 
 def extract_triples_batch(batch: pa.Table) -> pa.Table:
-    """documents batch → triples batch (schema.TRIPLES)."""
+    """documents batch → triples batch (schema.TRIPLES).
+
+    Spans are read via flat Arrow child arrays + list offsets — never
+    ``to_pylist()`` on the nested struct column (materializing one Python
+    dict per span dominates the profile otherwise)."""
+    import numpy as np
+
     doc_ids = batch.column("doc_id").to_pylist()
-    spans_col = batch.column("spans").to_pylist()
+    spans_col = batch.column("spans")
+    if spans_col.num_chunks == 1:
+        spans_arr = spans_col.chunk(0)
+    else:
+        spans_arr = spans_col.combine_chunks()
+    offsets = np.asarray(spans_arr.offsets)
+    # .values of a SLICED ListArray is the full unsliced child — slice it
+    # to this batch's range or every batch pays for the whole block
+    lo0, hi0 = int(offsets[0]), int(offsets[-1])
+    offsets = offsets - lo0
+    values = spans_arr.values.slice(lo0, hi0 - lo0)
+    kinds = values.field("kind").to_pylist()
+    texts = values.field("text").to_pylist()
+    media = values.field("media_ref").to_pylist()
 
     subj, pred, okind, oval, odt, olang, tdoc, tspan = [], [], [], [], [], [], [], []
 
@@ -75,13 +94,15 @@ def extract_triples_batch(batch: pa.Table) -> pa.Table:
         subj.append(s); pred.append(p); okind.append(k); oval.append(v)
         odt.append(dt); olang.append(""); tdoc.append(doc); tspan.append(si)
 
-    for doc_id, spans in zip(doc_ids, spans_col):
-        for si, span in enumerate(spans or []):
-            if span["kind"] != "text":
+    for di, doc_id in enumerate(doc_ids):
+        lo, hi = offsets[di], offsets[di + 1]
+        for j in range(lo, hi):
+            si = j - lo
+            if kinds[j] != "text":
                 emit(f"{ns.EX}document/{doc_id}", ns.SCHEMA + "associatedMedia",
-                     "iri", span["media_ref"], "", doc_id, si)
+                     "iri", media[j], "", doc_id, si)
                 continue
-            text = span["text"]
+            text = texts[j]
             for rx, tag in SENTENCES:
                 for m in rx.finditer(text):
                     g = m.groups()

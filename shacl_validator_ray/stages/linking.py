@@ -62,6 +62,9 @@ class LinkIndex:
         return sorted(out)
 
 
+_LINKER_CACHE: dict = {}
+
+
 class EntityLinker:
     """Actor-pool stage: mention batch → (mention, mention_iri, candidate_iri,
     score, doc_id) rows for the best candidate above ``tau``."""
@@ -107,11 +110,26 @@ def mentions_dataset(triples: rd.Dataset) -> rd.Dataset:
 
 
 def link_entities(triples: rd.Dataset, alias_rows: list[tuple[str, str]],
-                  tau: float = 0.5, concurrency: int | tuple = (1, 4)) -> rd.Dataset:
+                  tau: float = 0.5,
+                  concurrency: int | tuple | None = None) -> rd.Dataset:
     """triples → entity-links Dataset (schema.ENTITY_LINKS)."""
     index_ref = ray.put(LinkIndex(alias_rows))
     mentions = mentions_dataset(triples)
-    return mentions.map_batches(
-        EntityLinker, fn_constructor_args=(index_ref, tau),
-        batch_format="pyarrow", batch_size=2048, concurrency=concurrency,
-        num_cpus=0.5)
+
+    if concurrency is not None:  # explicit actor pool (isolation-sensitive path)
+        return mentions.map_batches(
+            EntityLinker, fn_constructor_args=(index_ref, tau),
+            batch_format="pyarrow", batch_size=2048, concurrency=concurrency,
+            num_cpus=0.5)
+
+    # default: task pool + per-worker-process index cache (no actor spawn
+    # cost per execution; elastic parallelism)
+    def link_fn(b: pa.Table) -> pa.Table:
+        key = (index_ref.hex(), tau)
+        inst = _LINKER_CACHE.get(key)
+        if inst is None:
+            inst = EntityLinker(index_ref, tau)
+            _LINKER_CACHE[key] = inst
+        return inst(b)
+
+    return mentions.map_batches(link_fn, batch_format="pyarrow", batch_size=2048)

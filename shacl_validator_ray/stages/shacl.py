@@ -86,6 +86,22 @@ def collect_class_members(triples: rd.Dataset, classes: set[str]) -> dict[str, s
     return members
 
 
+_STATE_CACHE: dict = {}
+
+
+def _worker_state(cls, shapes_ttl: str, members_ref):
+    """Per-worker-process instance cache: compile shapes / fetch broadcasts
+    once per (class, shapes, broadcast) per worker, reuse across batches
+    AND executions (worker processes outlive a single Dataset execution)."""
+    key = (cls.__name__, hash(shapes_ttl), members_ref.hex()
+           if hasattr(members_ref, "hex") else id(members_ref))
+    inst = _STATE_CACHE.get(key)
+    if inst is None:
+        inst = cls(shapes_ttl, members_ref)
+        _STATE_CACHE[key] = inst
+    return inst
+
+
 def _synth_message(component: str, p: shapes_mod.PropertyShape) -> list[dict]:
     """Message fallback synthesis (reference M6, SHACLValidationService.ts:276-292)."""
     if p.messages:
@@ -199,7 +215,8 @@ class CardinalityRows:
 
 
 def validate(triples: rd.Dataset, shapes_ttl: str, *, deduped: bool = False,
-             concurrency: int | tuple = (1, 4), batch_size: int = 4096) -> rd.Dataset:
+             concurrency: int | tuple | None = None,
+             batch_size: int = 4096) -> rd.Dataset:
     """triples Dataset → violations Dataset (schema.VIOLATIONS).
 
     The deduped triple set is materialized once — it is consumed by three
@@ -210,6 +227,10 @@ def validate(triples: rd.Dataset, shapes_ttl: str, *, deduped: bool = False,
     passes then read the checkpoint), so nothing holds the full set in
     one node's memory.
     """
+    from ..sources import io as io_mod
+
+    if concurrency is None:
+        concurrency = io_mod.auto_pool(0.5)
     compiled = shapes_mod.compile_shapes(shapes_ttl)
     if not deduped:
         triples = dedup_triples(triples)
@@ -217,18 +238,23 @@ def validate(triples: rd.Dataset, shapes_ttl: str, *, deduped: bool = False,
     members = collect_class_members(triples, compiled.referenced_classes())
     members_ref = ray.put(members)
 
-    # num_cpus=0.5: leave headroom for the shuffle/reduce tasks so a fixed
-    # pool can never starve its own downstream groupby (deadlock otherwise
-    # on small sessions).
-    value_viols = triples.map_batches(
-        ValueConstraints, fn_constructor_args=(shapes_ttl, members_ref),
-        batch_format="pyarrow", batch_size=batch_size, concurrency=concurrency,
-        num_cpus=0.5)
+    # Stateless task pools + a per-worker-process compile cache (see
+    # _worker_state): elastic scheduling, no per-execution actor spawn
+    # cost, and the compiled shapes are still built once per worker —
+    # the amortization the reference gets from its static shapes cache
+    # (SHACLValidationService.ts:35). The actor-pool classes above remain
+    # the API for isolation-sensitive deployments.
+    def value_fn(b: pa.Table) -> pa.Table:
+        return _worker_state(ValueConstraints, shapes_ttl, members_ref)(b)
 
-    card_rows = triples.map_batches(
-        CardinalityRows, fn_constructor_args=(shapes_ttl, members_ref),
-        batch_format="pyarrow", batch_size=batch_size, concurrency=concurrency,
-        num_cpus=0.5)
+    def card_fn(b: pa.Table) -> pa.Table:
+        return _worker_state(CardinalityRows, shapes_ttl, members_ref)(b)
+
+    value_viols = triples.map_batches(value_fn, batch_format="pyarrow",
+                                      batch_size=batch_size)
+
+    card_rows = triples.map_batches(card_fn, batch_format="pyarrow",
+                                    batch_size=batch_size)
 
     counts = card_rows.groupby(["subj", "shape_idx"]).aggregate(
         Max("req_min", alias_name="req_min"),

@@ -215,6 +215,13 @@ def make_corpus_tables(num_docs: int, seed: int = SEED,
 
 
 def num_docs_for_sf(sf: float) -> int:
+    """Corpus size per scale factor. Correctness scales (sf ≤ 0.01) stay
+    small so the DuckDB oracle comparisons are fast; the bench scale
+    (sf ≥ 0.1) is sized so per-doc compute dominates fixed pipeline
+    overheads (the scaling-efficiency measurement needs a compute-bound
+    run)."""
+    if sf >= 0.1:
+        return int(600_000 * sf)
     return max(50, int(200_000 * sf))
 
 
@@ -229,29 +236,45 @@ def sf_of_dir(sf_dir: str) -> float:
 
 
 def ensure_corpus(sf_dir_or_sf, seed: int = SEED, shard_rows: int = 4096) -> str:
-    """Write the corpus parquet for this scale once under /tmp; return its dir.
-
-    Sharded into multiple row groups / files so Ray Data reads it as
-    multiple blocks (parallel from the first stage).
-    """
     sf = sf_of_dir(sf_dir_or_sf) if isinstance(sf_dir_or_sf, str) else float(sf_dir_or_sf)
-    n = num_docs_for_sf(sf)
-    out = os.path.join(CACHE_ROOT, f"sf{sf}_seed{seed}_n{n}")
+    return ensure_corpus_n(num_docs_for_sf(sf), seed=seed, shard_rows=shard_rows,
+                           tag=f"sf{sf}")
+
+
+def ensure_corpus_n(n: int, seed: int = SEED, shard_rows: int = 4096,
+                    tag: str | None = None) -> str:
+    """Write the corpus parquet for n docs once under /tmp; return its dir.
+
+    Sharded into multiple files so Ray Data reads it as multiple blocks
+    (parallel from the first stage).
+    """
+    out = os.path.join(CACHE_ROOT, f"{tag or 'n'}_seed{seed}_n{n}")
     done = os.path.join(out, "_DONE")
     if os.path.exists(done):
         return out
     os.makedirs(os.path.join(out, "documents"), exist_ok=True)
     os.makedirs(os.path.join(out, "gt_triples"), exist_ok=True)
-    shard = 0
-    for start in range(0, n, shard_rows):
-        cnt = min(shard_rows, n - start)
-        doc_tbl, gt_tbl = make_corpus_tables(cnt, seed, start=start)
-        pq.write_table(doc_tbl, os.path.join(out, "documents", f"part-{shard:05d}.parquet"))
-        pq.write_table(gt_tbl, os.path.join(out, "gt_triples", f"part-{shard:05d}.parquet"))
-        shard += 1
+    shards = [(i, start, min(shard_rows, n - start))
+              for i, start in enumerate(range(0, n, shard_rows))]
+    if len(shards) > 8:  # generation is per-doc seeded → shard-parallel
+        from concurrent.futures import ProcessPoolExecutor
+
+        with ProcessPoolExecutor(max_workers=min(16, os.cpu_count() or 4)) as ex:
+            list(ex.map(_write_shard, [(out, seed, s) for s in shards],
+                        chunksize=4))
+    else:
+        for s in shards:
+            _write_shard((out, seed, s))
     with open(done, "w") as f:
         f.write(str(n))
     return out
+
+
+def _write_shard(arg) -> None:
+    out, seed, (shard, start, cnt) = arg
+    doc_tbl, gt_tbl = make_corpus_tables(cnt, seed, start=start)
+    pq.write_table(doc_tbl, os.path.join(out, "documents", f"part-{shard:05d}.parquet"))
+    pq.write_table(gt_tbl, os.path.join(out, "gt_triples", f"part-{shard:05d}.parquet"))
 
 
 def alias_table() -> pa.Table:
