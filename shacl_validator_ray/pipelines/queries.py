@@ -99,6 +99,43 @@ def q_knn_lsh(sf_dir: str):
     return similarity.knn_lsh(_emb(sf_dir), query_ids=[0, 1, 2], k=5)
 
 
+# ---- streaming-shaped ops over the events log (SURVEY.md §2.9) ----
+
+def q_tumbling_window(sf_dir: str):
+    from ..stages import windows
+    return windows.tumbling_window(R.t(sf_dir, "events", ["event_type", "ts", "value"]))
+
+
+def q_session_windows(sf_dir: str):
+    from ..stages import windows
+    return windows.session_windows(R.t(sf_dir, "events",
+                                       ["user_id", "ts", "event_id"]))
+
+
+def q_sliding_window(sf_dir: str):
+    from ..stages import windows
+    return windows.sliding_window(R.t(sf_dir, "events", ["event_type", "ts", "value"]))
+
+
+def q_upsert_latest(sf_dir: str):
+    from ..stages import windows
+    return windows.upsert_latest(R.t(sf_dir, "events"))
+
+
+def q_systematic_sample(sf_dir: str):
+    from ..stages import windows
+    return windows.systematic_sample(
+        R.t(sf_dir, "events", ["event_id", "user_id", "event_type"]), "event_id")
+
+
+# ---- multi-format RDF ingestion (S1–S4/M19 over report fixtures) ----
+
+def q_jsonld_projection(sf_dir: str):
+    from . import kg
+    from ..stages import rdfio
+    return rdfio.jsonld_projection(kg.triples_dataset(sf_dir))
+
+
 # ---- flagship KG pipeline (over this repo's own synthetic corpus) ----
 #
 # Oracles for these run DuckDB directly over the deterministic corpus
@@ -213,6 +250,14 @@ QUERIES = {
     # similarity search
     "knn_bruteforce": q_knn_bruteforce,
     "knn_lsh": q_knn_lsh,
+    # streaming-shaped windows / upsert / sampling
+    "tumbling_window": q_tumbling_window,
+    "sliding_window": q_sliding_window,
+    "session_windows": q_session_windows,
+    "upsert_latest": q_upsert_latest,
+    "systematic_sample": q_systematic_sample,
+    # RDF projection
+    "jsonld_projection": q_jsonld_projection,
 }
 
 _JACCARD_PAIRS_SQL = """
@@ -314,8 +359,30 @@ ORACLE_SQL = {
               FROM q, e WHERE vec_id != qid)
         SELECT qid, nid, round(sim, 6) AS sim FROM s
         QUALIFY row_number() OVER (PARTITION BY qid ORDER BY round(sim, 6) DESC, nid) <= 5""",
-    # lang_id, simhash_dups, knn_lsh (approximate), kg_extract, kg_links,
-    # kg_media_features: rows-only checks
+    "tumbling_window": """
+        SELECT event_type, epoch(date_trunc('hour', ts))::BIGINT AS window_start,
+               count(*) AS n, round(sum(value), 2) AS total
+        FROM events GROUP BY event_type, window_start""",
+    "session_windows": """
+        WITH e AS (SELECT user_id, event_id, ts, floor(epoch(ts))::BIGINT AS ts_s
+                   FROM events),
+        g AS (SELECT *, CASE WHEN lag(ts_s) OVER w IS NULL
+                             OR ts_s - lag(ts_s) OVER w > 1800
+                        THEN 1 ELSE 0 END AS brk
+              FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        s AS (SELECT *, (sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                        ROWS UNBOUNDED PRECEDING))::BIGINT AS sid
+              FROM g)
+        SELECT user_id, sid, count(*) AS n_events,
+               min(ts_s) AS session_start, max(ts_s) AS session_end
+        FROM s GROUP BY user_id, sid""",
+    "upsert_latest": """
+        SELECT event_id, ts, user_id, event_type, value, props FROM events
+        QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) = 1""",
+    "systematic_sample":
+        "SELECT event_id, user_id, event_type FROM events WHERE event_id % 20 = 3",
+    # lang_id, simhash_dups, knn_lsh (approximate), sliding_window,
+    # jsonld_projection, kg_extract, kg_links, kg_media_features: rows-only
 }
 
 

@@ -1,0 +1,124 @@
+"""Windowed aggregates over an ordered event log (SURVEY.md §2.9 note).
+
+Ray Data has no event-time windows; per the engine's streaming-shaped
+contract the input is treated as a partitioned log (key = user_id,
+ordered by ts within partition) and windows are computed per partition:
+
+- tumbling: vectorized bucket column (ts // size) + one groupby
+- sliding: fan-out to every covering window inside ``map_batches``
+- session: per-key pandas gap-split inside a bucketed groupby
+
+Ordering assumption: within a (user) partition, rows are processed
+sorted by (ts, event_id) — ties broken by event_id.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+from ray.data.aggregate import Count, Sum
+
+from .discovery import bucketed_groupby_apply
+
+US = 1_000_000
+
+
+def tumbling_window(events: rd.Dataset, size_s: int = 3600,
+                    key: str = "event_type") -> rd.Dataset:
+    """(key, window_start_epoch_s) → count + sum(value), one shuffle."""
+
+    def bucketize(b: pa.Table) -> pa.Table:
+        us = b["ts"].cast(pa.int64())
+        win = pc.multiply(pc.divide(us, size_s * US), size_s)  # floor to window start (s)
+        return b.append_column("window_start", win.cast(pa.int64()))
+
+    out = (events.map_batches(bucketize, batch_format="pyarrow",
+                              zero_copy_batch=True)
+           .groupby([key, "window_start"])
+           .aggregate(Count(alias_name="n"), Sum("value", alias_name="total")))
+    return out.map_batches(
+        lambda b: b.set_column(b.column_names.index("total"), "total",
+                               pc.round(b["total"], 2)),
+        batch_format="pyarrow")
+
+
+def sliding_window(events: rd.Dataset, size_s: int = 3600, slide_s: int = 900,
+                   key: str = "event_type") -> rd.Dataset:
+    """Each event lands in every window covering it (size/slide fan-out in
+    the batch fn — no per-row Python dispatch downstream)."""
+    k = size_s // slide_s
+
+    def explode(b: pa.Table) -> pa.Table:
+        us = np.asarray(b["ts"].cast(pa.int64()))
+        last = (us // (slide_s * US)) * slide_s  # latest window start covering ts
+        keys, starts, vals = [], [], []
+        kcol = b[key].to_pylist()
+        vcol = np.asarray(b["value"])
+        for i in range(len(us)):
+            for j in range(k):
+                start = last[i] - j * slide_s
+                if start < 0:
+                    break
+                keys.append(kcol[i]); starts.append(start); vals.append(vcol[i])
+        return pa.table({key: pa.array(keys, pa.string()),
+                         "window_start": pa.array(starts, pa.int64()),
+                         "value": pa.array(vals, pa.float64())})
+
+    out = (events.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+           .groupby([key, "window_start"])
+           .aggregate(Count(alias_name="n"), Sum("value", alias_name="total")))
+    return out.map_batches(
+        lambda b: b.set_column(b.column_names.index("total"), "total",
+                               pc.round(b["total"], 2)),
+        batch_format="pyarrow")
+
+
+def session_windows(events: rd.Dataset, gap_s: int = 1800,
+                    key: str = "user_id") -> rd.Dataset:
+    """Gap-based sessionization per key: a new session starts when the gap
+    to the previous event exceeds ``gap_s``. Output: (key, sid 1-based,
+    n_events, session_start, session_end) — epoch seconds."""
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        ts = g["ts"].astype("int64") // US
+        brk = (ts.diff().fillna(gap_s + 1) > gap_s).astype(int)
+        sid = brk.cumsum()
+        out = pd.DataFrame({"ts_s": ts, "sid": sid})
+        agg = out.groupby("sid")["ts_s"].agg(["count", "min", "max"]).reset_index()
+        return pd.DataFrame({
+            key: g[key].iloc[0],
+            "sid": agg["sid"].astype("int64"),
+            "n_events": agg["count"].astype("int64"),
+            "session_start": agg["min"].astype("int64"),
+            "session_end": agg["max"].astype("int64"),
+        })
+
+    return bucketed_groupby_apply(
+        events.select_columns([key, "ts", "event_id"]), key, sessions)
+
+
+def systematic_sample(ds: rd.Dataset, id_col: str, modulus: int = 20,
+                      keep: int = 3) -> rd.Dataset:
+    """O5 deterministic systematic sampling: keep rows with
+    id % modulus == keep (seeded ``ds.random_sample`` exists for
+    statistical sampling; this variant is reproducible for oracles)."""
+    def fn(b: pa.Table) -> pa.Table:
+        mask = (np.asarray(b[id_col]) % modulus) == keep
+        return b.filter(pa.array(mask))
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def upsert_latest(events: rd.Dataset, key: str = "user_id",
+                  order_col: str = "event_id") -> rd.Dataset:
+    """D2 replace-by-content semantics (DataDiscoveryService.ts:24-27):
+    keep only each key's latest row (max order_col)."""
+
+    def latest(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(order_col).tail(1)
+
+    return bucketed_groupby_apply(events, key, latest)
