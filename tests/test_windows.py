@@ -1,0 +1,68 @@
+"""Windowed aggregates, upsert, sampling (§2.9 streaming-shaped ops)."""
+
+import datetime as dt
+
+import pyarrow as pa
+import ray.data as rd
+
+from shacl_validator_ray.functions import ns
+from shacl_validator_ray.stages import windows
+
+
+def _events():
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = []
+    # user 1: two sessions (gap 45 min between event 2 and 3)
+    for i, mins in enumerate([0, 10, 55, 60]):
+        rows.append({"event_id": i, "ts": base + dt.timedelta(minutes=mins),
+                     "user_id": 1, "event_type": "click", "value": 1.0})
+    # user 2: one session crossing the hour boundary
+    for i, mins in enumerate([50, 70]):
+        rows.append({"event_id": 10 + i, "ts": base + dt.timedelta(minutes=mins),
+                     "user_id": 2, "event_type": "view", "value": 2.0})
+    return rd.from_arrow(pa.Table.from_pylist(rows))
+
+
+def test_tumbling_window():
+    out = windows.tumbling_window(_events()).to_pandas()
+    d = {(r["event_type"], r["window_start"]): (r["n"], r["total"])
+         for r in out.to_dict("records")}
+    h0 = int(dt.datetime(2024, 1, 1).replace(tzinfo=dt.timezone.utc).timestamp())
+    assert d[("click", h0)] == (3, 3.0)       # minutes 0,10,55
+    assert d[("click", h0 + 3600)] == (1, 1.0)  # minute 60
+    assert d[("view", h0)] == (1, 2.0)
+    assert d[("view", h0 + 3600)] == (1, 2.0)
+
+
+def test_sliding_window_counts():
+    out = windows.sliding_window(_events(), size_s=3600, slide_s=1800).to_pandas()
+    # each event belongs to exactly 2 overlapping windows (size/slide = 2)
+    assert out["n"].sum() == 2 * 6
+
+
+def test_session_windows_gap_split():
+    out = windows.session_windows(_events(), gap_s=1800).to_pandas()
+    u1 = out[out["user_id"] == 1].sort_values("sid")
+    assert list(u1["sid"]) == [1, 2]
+    assert list(u1["n_events"]) == [2, 2]
+    u2 = out[out["user_id"] == 2]
+    assert len(u2) == 1 and u2.iloc[0]["n_events"] == 2
+
+
+def test_upsert_latest_keeps_last_row():
+    out = windows.upsert_latest(_events()).to_pandas()
+    assert len(out) == 2
+    assert set(out["event_id"]) == {3, 11}
+
+
+def test_systematic_sample_deterministic():
+    ds = rd.range(100)
+    out = windows.systematic_sample(ds, "id", modulus=10, keep=7).to_pandas()
+    assert sorted(out["id"]) == list(range(7, 100, 10))
+
+
+def test_compact_iri_m10():
+    assert ns.compact_iri(ns.DCAT + "Dataset") == "dcat:Dataset"
+    assert ns.compact_iri(ns.DCT + "title") == "dct:title"
+    assert ns.compact_iri("http://unknown.org/path/leaf") == "leaf"
+    assert ns.compact_iri("http://unknown.org/x#frag") == "frag"
