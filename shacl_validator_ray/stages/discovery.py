@@ -103,6 +103,26 @@ def bucketed_groupby_apply(ds: rd.Dataset, key: str, fn_group, n_buckets: int = 
             .groupby("_bucket").map_groups(per_bucket, batch_format="pandas"))
 
 
+def bucketed_block_apply(ds: rd.Dataset, key: str, fn_bucket,
+                         n_buckets: int = 64):
+    """Like :func:`bucketed_groupby_apply` but hands the WHOLE bucket to
+    ``fn_bucket`` — for fns that vectorize across keys with pandas
+    groupby/merge instead of running per key."""
+    import hashlib
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        keys = b[key].to_pylist()
+        bk = [int.from_bytes(hashlib.blake2b(str(k).encode(), digest_size=4).digest(),
+                             "little") % n_buckets for k in keys]
+        return b.append_column("_bucket", pa.array(bk, pa.int32()))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        return fn_bucket(g.drop(columns=["_bucket"]))
+
+    return (ds.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("_bucket").map_groups(per_bucket, batch_format="pandas"))
+
+
 def _pivot_records(g: pd.DataFrame, props: dict[str, str]) -> dict:
     rec: dict = {"id": g["subj"].iloc[0]}
     multi = {"themes", "keywords", "dists"}
@@ -118,6 +138,10 @@ def _pivot_records(g: pd.DataFrame, props: dict[str, str]) -> dict:
 def discover_datasets(triples: rd.Dataset, query: str = "", limit: int = 50,
                       require_compatible: bool = True) -> pd.DataFrame:
     """triples → nested CatalogDataset records (types/dataQuality.ts:1-27)."""
+    # pinned once: five downstream passes read it (format deref, dataset
+    # pivot, dist pivot, edge explode, final assembly) — without this the
+    # upstream lineage (e.g. extraction) re-executes per pass
+    triples = triples.materialize()
     fmt_ref = ray.put(format_node_labels(triples))
 
     # dataset side: subjects typed dcat:Dataset + their property rows
@@ -131,16 +155,29 @@ def discover_datasets(triples: rd.Dataset, query: str = "", limit: int = 50,
         batch_format="pyarrow", zero_copy_batch=True)
 
     def ds_pivot(g: pd.DataFrame) -> pd.DataFrame:
-        if not (g["pred"] == ns.RDF_TYPE).any():
-            return pd.DataFrame({"id": [], "title": [], "description": [],
-                                 "publisher": [], "issued": [], "modified": [],
-                                 "themes": [], "keywords": [], "dists": []})
-        rec = _pivot_records(g, _DS_PROPS)
-        rec["title"] = rec["title"] or rec.pop("foaf_name", "") or "Unnamed Dataset"
-        rec.pop("foaf_name", None)
-        return pd.DataFrame([rec])
+        """Vectorized per-bucket pivot: one pandas groupby per property."""
+        typed = sorted(set(g.loc[(g["pred"] == ns.RDF_TYPE)
+                                 & (g["obj_value"] == DCAT_DATASET), "subj"]))
+        out = pd.DataFrame(index=pd.Index(typed, name="subj"))
+        g = g[g["subj"].isin(out.index)].sort_values("obj_value")
+        multi = {"themes", "keywords", "dists"}
+        for pred, name in _DS_PROPS.items():
+            sub = g[g["pred"] == pred]
+            if name in multi:
+                col = sub.groupby("subj")["obj_value"].agg(list)
+                out[name] = out.index.map(col)
+                out[name] = out[name].apply(lambda v: v if isinstance(v, list) else [])
+            else:
+                out[name] = out.index.map(sub.groupby("subj")["obj_value"].min())
+        out = out.fillna("")
+        # M14 fallback chain (ts:144-147)
+        out["title"] = out["title"].where(out["title"] != "", out["foaf_name"])
+        out["title"] = out["title"].where(out["title"] != "", "Unnamed Dataset")
+        out = out.drop(columns=["foaf_name"]).reset_index().rename(
+            columns={"subj": "id"})
+        return out
 
-    datasets = bucketed_groupby_apply(ds_rows, "subj", ds_pivot)
+    datasets = bucketed_block_apply(ds_rows, "subj", ds_pivot).materialize()
 
     # distribution side: property rows of any distribution object
     dist_preds = pa.array(sorted(_DIST_PROPS))
@@ -151,22 +188,24 @@ def discover_datasets(triples: rd.Dataset, query: str = "", limit: int = 50,
 
     def dist_pivot(g: pd.DataFrame) -> pd.DataFrame:
         labels = ray.get(fmt_ref)
-        rec = _pivot_records(g, _DIST_PROPS)
-        raw = rec.pop("format_raw", "")
-        resolved = labels.get(raw, raw)  # deref blank-node format (J2)
-        fmt = classify_format(resolved)
-        if fmt == "unknown":
-            fmt = classify_format(rec.get("media_type", ""))
-        if fmt == "unknown":
-            fmt = classify_format(rec.get("access_url", "") or
-                                  rec.get("download_url", ""))
-        rec["format"] = fmt
-        rec["compatible"] = fmt != "unknown"
-        return pd.DataFrame([{k: rec.get(k, "") for k in
-                              ("id", "title", "access_url", "download_url",
-                               "media_type", "format", "compatible")}])
+        subjects = sorted(set(g["subj"]))
+        out = pd.DataFrame(index=pd.Index(subjects, name="subj"))
+        g = g.sort_values("obj_value")
+        for pred, name in _DIST_PROPS.items():
+            out[name] = out.index.map(
+                g[g["pred"] == pred].groupby("subj")["obj_value"].min())
+        out = out.fillna("")
+        resolved = out["format_raw"].map(lambda x: labels.get(x, x))  # J2 deref
+        fmt = resolved.map(classify_format)
+        fmt = fmt.where(fmt != "unknown", out["media_type"].map(classify_format))
+        url = out["access_url"].where(out["access_url"] != "", out["download_url"])
+        fmt = fmt.where(fmt != "unknown", url.map(classify_format))
+        out["format"] = fmt
+        out["compatible"] = fmt != "unknown"
+        return (out.drop(columns=["format_raw"]).reset_index()
+                .rename(columns={"subj": "id"}))
 
-    dists = bucketed_groupby_apply(dist_rows, "subj", dist_pivot)
+    dists = bucketed_block_apply(dist_rows, "subj", dist_pivot)
 
     # J1 hash join datasets ⋈ distributions on the edge key, via union+groupby:
     # explode dataset rows to (dist_id, payload) and union with dist records.
@@ -191,12 +230,14 @@ def discover_datasets(triples: rd.Dataset, query: str = "", limit: int = 50,
         batch_format="pyarrow")
 
     def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        recs = [r for r in g["rec"] if r]
-        rec = recs[0] if recs else ""
-        owners = [d for d in g["ds_id"] if d]
-        return pd.DataFrame({"ds_id": owners, "rec": [rec] * len(owners)})
+        # one vectorized merge per bucket (the J1 hash-join reduce side)
+        recs = g.loc[g["rec"] != "", ["key", "rec"]].drop_duplicates("key")
+        owners = g.loc[g["ds_id"] != "", ["key", "ds_id"]]
+        m = owners.merge(recs, on="key", how="left")
+        m["rec"] = m["rec"].fillna("")
+        return m[["ds_id", "rec"]]
 
-    joined = bucketed_groupby_apply(edges.union(dist_tagged), "key", join_bucket)
+    joined = bucketed_block_apply(edges.union(dist_tagged), "key", join_bucket)
 
     # assemble nested records per dataset (small result; driver-side merge)
     dist_by_ds: dict[str, list] = {}

@@ -85,20 +85,33 @@ def detect_hubs(triples: rd.Dataset, threshold: int, top_m: int = 4096) -> set[s
 
 def materialize_graph(triples: rd.Dataset, out_dir: str, *, n_buckets: int = 16,
                       hub_threshold: int = 10_000, salt: int = 4,
-                      deduped: bool = False) -> dict:
+                      deduped: bool = False, write_groups: int = 4) -> dict:
     """Dedup → bucket (+salt hubs) → hive-partitioned parquet + manifest.
 
-    Returns the manifest dict. Hub subjects (detected by a count
-    pre-pass) are salted across ``salt`` sub-buckets so one hub entity
-    cannot put a whole partition on one writer (explicit skew handling
-    per the north rule).
+    The write is split into ``write_groups`` bucket groups, each recorded
+    in the manifest as it completes — a rerun after a mid-write failure
+    skips finished groups (per-partition resume, north rule). Hub
+    assignment is deterministic from the data, so resumed runs bucket
+    identically.
+
+    Hub subjects (detected by a count pre-pass) are salted across
+    ``salt`` sub-buckets so one hub entity cannot put a whole partition
+    on one writer (explicit skew handling per the north rule).
     """
     manifest_path = os.path.join(out_dir, "_MANIFEST.json")
+    manifest = {"complete": False, "groups_done": [], "n_buckets": n_buckets,
+                "salt": salt, "write_groups": write_groups, "hubs": [],
+                "wall_s": 0.0}
     if os.path.exists(manifest_path):
         with open(manifest_path) as f:
             manifest = json.load(f)
         if manifest.get("complete"):
             return manifest  # resume: everything already written
+        write_groups = manifest.get("write_groups", write_groups)
+
+    def save():
+        with open(manifest_path, "w") as f:
+            json.dump(manifest, f, indent=1)
 
     t0 = time.time()
     if not deduped:
@@ -124,19 +137,29 @@ def materialize_graph(triples: rd.Dataset, out_dir: str, *, n_buckets: int = 16,
         return b.append_column("bucket", pa.array(out, pa.int32()))
 
     bucketed = triples.map_batches(bucketize, batch_format="pyarrow",
-                                   zero_copy_batch=True)
+                                   zero_copy_batch=True).materialize()
     os.makedirs(out_dir, exist_ok=True)
-    bucketed.write_parquet(out_dir, partition_cols=["bucket"])
 
-    manifest = {
-        "complete": True,
-        "n_buckets": n_buckets,
-        "salt": salt,
-        "hubs": sorted(hubs),
-        "wall_s": round(time.time() - t0, 3),
-    }
-    with open(manifest_path, "w") as f:
-        json.dump(manifest, f, indent=1)
+    import numpy as np
+
+    for g in range(write_groups):
+        if g in manifest["groups_done"]:
+            continue  # resume: this bucket group is already on disk
+
+        def group_filter(b: pa.Table, g=g) -> pa.Table:
+            mask = (np.asarray(b["bucket"]) % write_groups) == g
+            return b.filter(pa.array(mask))
+
+        part = bucketed.map_batches(group_filter, batch_format="pyarrow",
+                                    zero_copy_batch=True)
+        part.write_parquet(out_dir, partition_cols=["bucket"])
+        manifest["groups_done"] = sorted(set(manifest["groups_done"]) | {g})
+        save()
+
+    manifest["complete"] = True
+    manifest["hubs"] = sorted(hubs)
+    manifest["wall_s"] = round(time.time() - t0, 3)
+    save()
     return manifest
 
 

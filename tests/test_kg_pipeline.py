@@ -103,3 +103,42 @@ def test_materialize_resumable(tmp_path):
     # rerun resumes from manifest without rewriting
     m2 = materialize.materialize_graph(triples, out, n_buckets=4)
     assert m2["complete"] and m2["wall_s"] == m1["wall_s"]
+
+
+def test_materialize_partial_resume(tmp_path, monkeypatch):
+    """Kill-and-rerun: a failure mid-write leaves completed bucket groups
+    in the manifest; the rerun writes only the remaining groups and the
+    final graph is complete and duplicate-free."""
+    import ray.data as rd_
+
+    docs, _ = synth.make_corpus_tables(50)
+    triples = rd.from_arrow(extract.extract_triples_batch(docs))
+    out = str(tmp_path / "graph")
+
+    real_write = rd_.Dataset.write_parquet
+    calls = {"n": 0}
+
+    def flaky_write(self, *a, **kw):
+        calls["n"] += 1
+        if calls["n"] == 3:
+            raise RuntimeError("simulated writer death")
+        return real_write(self, *a, **kw)
+
+    monkeypatch.setattr(rd_.Dataset, "write_parquet", flaky_write)
+    import pytest
+
+    with pytest.raises(RuntimeError):
+        materialize.materialize_graph(triples, out, n_buckets=4, write_groups=4)
+    monkeypatch.setattr(rd_.Dataset, "write_parquet", real_write)
+
+    import json
+
+    with open(f"{out}/_MANIFEST.json") as f:
+        partial = json.load(f)
+    assert not partial["complete"] and partial["groups_done"] == [0, 1]
+
+    m = materialize.materialize_graph(triples, out, n_buckets=4, write_groups=4)
+    assert m["complete"] and m["groups_done"] == [0, 1, 2, 3]
+    back = materialize.read_graph(out)
+    deduped = shacl.dedup_triples(triples)
+    assert back.count() == deduped.count()  # nothing duplicated, nothing lost
