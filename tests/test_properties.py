@@ -1,0 +1,84 @@
+"""Property-style invariants (SURVEY.md §5.2 item 4), using hypothesis."""
+
+import pyarrow as pa
+import ray.data as rd
+from hypothesis import given, settings, strategies as st
+
+from shacl_validator_ray import synth
+from shacl_validator_ray.functions import textfns as tf, turtle
+from shacl_validator_ray.stages import rdfio
+
+# plain-ASCII literal text without quotes/backslashes plus escapables
+literal_text = st.text(
+    alphabet=st.sampled_from(list("abc XYZ123\"\\\n\t'é")), max_size=30)
+iri_local = st.text(alphabet=st.sampled_from(list("abcdef0123456789")),
+                    min_size=1, max_size=12)
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(st.tuples(iri_local, iri_local, literal_text, st.sampled_from(
+    ["", "en", "es"])), min_size=1, max_size=10))
+def test_ntriples_roundtrip_property(rows):
+    triples = [(f"http://e/{s}", f"http://e/p/{p}", "literal", v, "", lang)
+               for s, p, v, lang in rows]
+    nt = turtle.serialize_ntriples(triples)
+    again = turtle.parse_turtle(nt)
+    assert {tuple(r) for r in again} == set(triples)
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(st.text(alphabet=st.sampled_from(list("abcd ")), max_size=20),
+                min_size=1, max_size=8))
+def test_minhash_estimates_bounded(texts):
+    mh = tf.MinHasher(n_perm=32)
+    sigs = [mh.signature(tf.word_set(t)) for t in texts]
+    for s in sigs:
+        assert len(s) == 32
+    # identical inputs → identical signatures (determinism)
+    assert all((mh.signature(tf.word_set(t)) == mh.signature(tf.word_set(t))).all()
+               for t in texts)
+
+
+def test_dedup_idempotent():
+    from shacl_validator_ray.stages import extract, shacl
+
+    docs, _ = synth.make_corpus_tables(40)
+    triples = rd.from_arrow(extract.extract_triples_batch(docs))
+    once = shacl.dedup_triples(triples).materialize()
+    twice = shacl.dedup_triples(once).materialize()
+    k = ["subj", "pred", "obj_kind", "obj_value", "obj_datatype", "obj_lang"]
+    a = sorted(map(tuple, once.to_pandas()[k].itertuples(index=False)))
+    b = sorted(map(tuple, twice.to_pandas()[k].itertuples(index=False)))
+    assert a == b
+
+
+def test_blank_node_doc_scoping():
+    """J2 / SURVEY §7.3: the same blank-node label in two documents must
+    stay two distinct nodes after parsing (doc-scoped relabeling)."""
+    ttl = "@prefix ex: <http://e/> . ex:s ex:p _:b1 . _:b1 ex:q \"v\" ."
+    docs = rd.from_arrow(pa.Table.from_pylist([
+        {"doc_id": "d1", "content": ttl, "content_type": "", "url": ""},
+        {"doc_id": "d2", "content": ttl, "content_type": "", "url": ""},
+    ]))
+    df = rdfio.parse_documents(docs).to_pandas()
+    bnodes = df.loc[df["obj_kind"] == "blank", ["doc_id", "obj_value"]]
+    per_doc = dict(zip(bnodes["doc_id"], bnodes["obj_value"]))
+    assert per_doc["d1"] != per_doc["d2"]  # no cross-document collision
+    # within each doc, subject side of the bnode's own triple matches
+    for d, label in per_doc.items():
+        sub = df[(df["doc_id"] == d) & (df["subj"] == label)]
+        assert len(sub) == 1 and sub.iloc[0]["obj_value"] == "v"
+
+
+def test_extraction_batchsize_invariance():
+    docs, _ = synth.make_corpus_tables(60)
+    from shacl_validator_ray.stages import extract
+
+    whole = extract.extract_triples_batch(docs)
+    parts = [extract.extract_triples_batch(docs.slice(i, 7))
+             for i in range(0, docs.num_rows, 7)]
+    merged = pa.concat_tables(parts)
+    assert sorted(map(tuple, whole.to_pylist()[0].items())) is not None
+    assert whole.num_rows == merged.num_rows
+    assert {tuple(r.values()) for r in whole.to_pylist()} == \
+        {tuple(r.values()) for r in merged.to_pylist()}

@@ -159,3 +159,22 @@ def test_validate_synthetic_corpus_matches_mini_validator():
     want = mini_validate(gt.to_pylist())
     assert got == want
     assert len(want) > 10  # the corpus plants violations of every component
+
+
+def test_profile_registry_multiple_profiles():
+    """§2.10 extension surface: second profile validates with fewer shapes."""
+    from shacl_validator_ray.state.shapes import load_profile_ttl
+
+    minimal = shapes_mod.compile_shapes(load_profile_ttl("minimal_demo"))
+    assert len(minimal.node_shapes) == 1
+    assert len(minimal.node_shapes[0].properties) == 1
+    viols = shacl.validate(_triples_ds(f"{FIX}/data/invalid_catalog.ttl"),
+                           load_profile_ttl("minimal_demo"), concurrency=1)
+    got = _viol_keys(viols)
+    # only the title minCount fires under the minimal profile
+    assert got == {("Violation", "http://example.org/bad1", "title",
+                    "MinCountConstraintComponent")}
+    import pytest
+
+    with pytest.raises(KeyError):
+        load_profile_ttl("nope")
