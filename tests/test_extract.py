@@ -82,3 +82,28 @@ def test_span_sequence_equality_roundtrip():
             back[r["doc_id"]] = [(s["kind"], s["text"], s["media_ref"]) for s in r["spans"]]
     for r in docs.to_pylist():
         assert back[r["doc_id"]] == [(s["kind"], s["text"], s["media_ref"]) for s in r["spans"]]
+
+
+def test_span_sequence_with_preserve_order():
+    """BASELINE.json per-row invariant under the preserve_order harness:
+    with ExecutionOptions.preserve_order=True, row order AND nested span
+    order survive a multi-stage Dataset pipeline."""
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    prev = ctx.execution_options.preserve_order
+    ctx.execution_options.preserve_order = True
+    try:
+        docs, _ = synth.make_corpus_tables(80)
+        ds = (rd.from_arrow(docs)
+              .map_batches(lambda b: b, batch_format="pyarrow", batch_size=16)
+              .map_batches(lambda b: b, batch_format="pyarrow", batch_size=8))
+        out = [r for b in ds.iter_batches(batch_format="pyarrow")
+               for r in b.to_pylist()]
+        src = docs.to_pylist()
+        assert [r["doc_id"] for r in out] == [r["doc_id"] for r in src]
+        for a, b in zip(out, src):
+            assert [(s["kind"], s["text"], s["media_ref"]) for s in a["spans"]] == \
+                [(s["kind"], s["text"], s["media_ref"]) for s in b["spans"]]
+    finally:
+        ctx.execution_options.preserve_order = prev
