@@ -99,6 +99,11 @@ def q_knn_lsh(sf_dir: str):
     return similarity.knn_lsh(_emb(sf_dir), query_ids=[0, 1, 2], k=5)
 
 
+def q_knn_ivf(sf_dir: str):
+    from ..stages import similarity
+    return similarity.knn_ivf(_emb(sf_dir), query_ids=[0, 1, 2], k=5)
+
+
 # ---- streaming-shaped ops over the events log (SURVEY.md §2.9) ----
 
 def q_tumbling_window(sf_dir: str):
@@ -250,6 +255,7 @@ QUERIES = {
     # similarity search
     "knn_bruteforce": q_knn_bruteforce,
     "knn_lsh": q_knn_lsh,
+    "knn_ivf": q_knn_ivf,
     # streaming-shaped windows / upsert / sampling
     "tumbling_window": q_tumbling_window,
     "sliding_window": q_sliding_window,

@@ -68,16 +68,103 @@ def knn_bruteforce(emb: rd.Dataset, query_ids: list[int], k: int = 5,
     return partials.groupby("qid").map_groups(final_topk, batch_format="pandas")
 
 
+def train_ivf_centroids(emb: rd.Dataset, n_centroids: int = 16, iters: int = 5,
+                        sample: int = 2048, seed: int = 42,
+                        vec_col: str = "embedding") -> np.ndarray:
+    """Coarse quantizer for IVF: Lloyd's k-means on a driver-side sample
+    (the standard IVF train step — sample size is fixed regardless of
+    corpus size; assignment below streams)."""
+    take = emb.limit(sample).to_pandas()
+    m = _norm_rows(np.stack(take[vec_col].to_numpy()).astype(np.float64))
+    rng = np.random.RandomState(seed)
+    cents = m[rng.choice(len(m), size=min(n_centroids, len(m)), replace=False)]
+    for _ in range(iters):
+        assign = (m @ cents.T).argmax(axis=1)
+        for c in range(len(cents)):
+            mask = assign == c
+            if mask.any():
+                v = m[mask].mean(axis=0)
+                n = np.linalg.norm(v)
+                if n > 0:
+                    cents[c] = v / n
+    return cents
+
+
+def knn_ivf(emb: rd.Dataset, query_ids: list[int], k: int = 5,
+            n_centroids: int = 16, nprobe: int = 4, seed: int = 42,
+            id_col: str = "vec_id", vec_col: str = "embedding") -> rd.Dataset:
+    """IVF approximate top-k: vectors are assigned to their nearest
+    centroid (one streaming pass); each query probes only its ``nprobe``
+    nearest centroid lists. Output schema matches :func:`knn_bruteforce`.
+    """
+    cents = train_ivf_centroids(emb, n_centroids, seed=seed, vec_col=vec_col)
+    cref = ray.put(cents)
+
+    def assign(b: pa.Table) -> pa.Table:
+        c = ray.get(cref)
+        m = _norm_rows(np.stack(b[vec_col].to_pylist()).astype(np.float64))
+        lists = (m @ c.T).argmax(axis=1)
+        return b.append_column("ivf_list", pa.array(lists.astype(np.int64)))
+
+    assigned = emb.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+
+    qrows = (emb.map_batches(
+        lambda b: b.filter(pa.compute.is_in(b[id_col], value_set=pa.array(query_ids))),
+        batch_format="pyarrow", zero_copy_batch=True).to_pandas())
+    qm = _norm_rows(np.stack(qrows[vec_col].to_numpy()).astype(np.float64))
+    probes = np.argsort(-(qm @ cents.T), axis=1)[:, :nprobe]
+    probe_of = {int(q): set(map(int, p)) for q, p in zip(qrows[id_col], probes)}
+    pref = ray.put((probe_of, {int(q): qm[i] for i, q in enumerate(qrows[id_col])}))
+
+    def per_list(g: pd.DataFrame) -> pd.DataFrame:
+        probe_map, qvecs = ray.get(pref)
+        lid = int(g["ivf_list"].iloc[0])
+        qids = [q for q, ps in probe_map.items() if lid in ps]
+        if not qids:
+            return pd.DataFrame({"qid": pd.array([], dtype="int64"),
+                                 "nid": pd.array([], dtype="int64"),
+                                 "sim": pd.array([], dtype="float64")})
+        ids = g[id_col].to_numpy()
+        m = _norm_rows(np.stack(g[vec_col].to_numpy()).astype(np.float64))
+        out_q, out_n, out_s = [], [], []
+        for q in qids:
+            sims = m @ qvecs[q]
+            order = sorted(range(len(ids)), key=lambda j: (-sims[j], ids[j]))
+            cnt = 0
+            for j in order:
+                if ids[j] == q:
+                    continue
+                out_q.append(q); out_n.append(int(ids[j]))
+                out_s.append(round(float(sims[j]), 6))
+                cnt += 1
+                if cnt >= k:
+                    break
+        return pd.DataFrame({"qid": pd.array(out_q, dtype="int64"),
+                             "nid": pd.array(out_n, dtype="int64"),
+                             "sim": pd.array(out_s, dtype="float64")})
+
+    partials = assigned.groupby("ivf_list").map_groups(per_list, batch_format="pandas")
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(["sim", "nid"], ascending=[False, True]).head(k)
+
+    return partials.groupby("qid").map_groups(final_topk, batch_format="pandas")
+
+
 class _LSHBucketer:
-    """Random-hyperplane LSH bucketing (stateful: planes built once per actor)."""
+    """Random-hyperplane LSH bucketing (stateful: planes built once per
+    actor, lazily sized to the embedding dim of the first batch)."""
 
     def __init__(self, dim: int, n_planes: int, seed: int, id_col: str, vec_col: str):
-        rng = np.random.RandomState(seed)
-        self.planes = rng.normal(size=(dim, n_planes))
+        self.dim, self.n_planes, self.seed = dim, n_planes, seed
+        self.planes: np.ndarray | None = None
         self.id_col, self.vec_col = id_col, vec_col
 
     def __call__(self, b: pa.Table) -> pa.Table:
         m = np.stack(b[self.vec_col].to_pylist()).astype(np.float64)
+        if self.planes is None or self.planes.shape[0] != m.shape[1]:
+            rng = np.random.RandomState(self.seed)
+            self.planes = rng.normal(size=(m.shape[1], self.n_planes))
         signs = (m @ self.planes) > 0
         bucket = signs @ (1 << np.arange(signs.shape[1]))
         return b.append_column("bucket", pa.array(bucket.astype(np.int64)))

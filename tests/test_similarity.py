@@ -1,0 +1,61 @@
+"""Similarity search: brute-force exactness + LSH/IVF recall."""
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from shacl_validator_ray.stages import similarity
+
+
+def _emb(n=300, dim=16, seed=7):
+    rng = np.random.RandomState(seed)
+    m = rng.normal(size=(n, dim))
+    return rd.from_arrow(pa.table({
+        "vec_id": pa.array(range(n), pa.int64()),
+        "embedding": pa.array([r.tolist() for r in m], pa.list_(pa.float32())),
+        "label": pa.array([i % 5 for i in range(n)], pa.int32()),
+    }))
+
+
+def _numpy_topk(emb_ds, qids, k=5):
+    df = emb_ds.to_pandas()
+    m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    ids = df["vec_id"].to_numpy()
+    out = {}
+    for q in qids:
+        qi = list(ids).index(q)
+        sims = m @ m[qi]
+        order = sorted(range(len(ids)), key=lambda j: (-round(sims[j], 6), ids[j]))
+        out[q] = [int(ids[j]) for j in order if ids[j] != q][:k]
+    return out
+
+
+def test_knn_bruteforce_exact():
+    ds = _emb()
+    got = similarity.knn_bruteforce(ds, [0, 1, 2], k=5).to_pandas()
+    want = _numpy_topk(ds, [0, 1, 2])
+    for q in (0, 1, 2):
+        rows = got[got["qid"] == q].sort_values(["sim", "nid"],
+                                                ascending=[False, True])
+        assert list(rows["nid"]) == want[q]
+
+
+def test_knn_ivf_recall():
+    ds = _emb()
+    got = similarity.knn_ivf(ds, [0, 1, 2], k=5, n_centroids=8, nprobe=4)
+    df = got.to_pandas()
+    want = _numpy_topk(ds, [0, 1, 2])
+    hits = total = 0
+    for q in (0, 1, 2):
+        nids = set(df[df["qid"] == q]["nid"])
+        hits += len(nids & set(want[q]))
+        total += 5
+    assert hits / total >= 0.6  # approximate: probes 4/8 lists
+
+
+def test_knn_lsh_shape():
+    df = similarity.knn_lsh(_emb(), [0, 1], k=3, n_planes=2).to_pandas()
+    assert set(df.columns) == {"qid", "nid", "sim"}
+    assert set(df["qid"]) <= {0, 1}
+    assert (df.groupby("qid").size() <= 3).all()
