@@ -14,7 +14,7 @@ import struct
 
 import numpy as np
 import pyarrow as pa
-import pyarrow.compute as pc
+
 
 TOKEN_RE = re.compile(r"\S+")
 # BPE-ish subword splitter: words, numbers, punctuation runs

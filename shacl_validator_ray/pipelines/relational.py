@@ -19,7 +19,7 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 import ray
 import ray.data as rd
-from ray.data.aggregate import Count, Max, Mean, Min, Sum
+from ray.data.aggregate import Count, Min, Sum
 
 
 def t(sf_dir: str, name: str, columns: list[str] | None = None) -> rd.Dataset:

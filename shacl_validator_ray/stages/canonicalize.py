@@ -17,7 +17,7 @@ import hashlib
 import pandas as pd
 import pyarrow as pa
 import ray.data as rd
-from ray.data.aggregate import Min, Sum
+from ray.data.aggregate import Min
 
 from ..stages import extract
 

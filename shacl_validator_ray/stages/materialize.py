@@ -15,10 +15,10 @@ import os
 import time
 
 import pyarrow as pa
-import pyarrow.compute as pc
+
 import ray
 import ray.data as rd
-from ray.data.aggregate import Count, Min
+
 
 from ..stages import shacl as shacl_stage
 

@@ -128,45 +128,66 @@ class ValueConstraints:
                 self.by_path.setdefault(p.path, []).append((nshape.target_class, p))
 
     def __call__(self, b: pa.Table) -> pa.Table:
+        """Vectorized: one numpy mask pipeline per (path, property shape);
+        the per-row Python loop runs only over VIOLATING rows."""
+        import numpy as np
+
         out: list[dict] = []
         if not self.by_path:
             return _violation_rows(out)
-        mask = pc.is_in(b["pred"], value_set=pa.array(sorted(self.by_path)))
-        b = b.filter(mask)
-        subjs = b["subj"].to_pylist()
-        preds = b["pred"].to_pylist()
-        kinds = b["obj_kind"].to_pylist()
-        vals = b["obj_value"].to_pylist()
-        dts = b["obj_datatype"].to_pylist()
+        b = b.filter(pc.is_in(b["pred"], value_set=pa.array(sorted(self.by_path))))
+        if b.num_rows == 0:
+            return _violation_rows(out)
+        preds = np.asarray(b["pred"].to_pandas(), dtype=object)
+        subjs = np.asarray(b["subj"].to_pandas(), dtype=object)
+        kinds = np.asarray(b["obj_kind"].to_pandas(), dtype=object)
+        vals = np.asarray(b["obj_value"].to_pandas(), dtype=object)
+        dts = np.asarray(b["obj_datatype"].to_pandas(), dtype=object)
 
-        def emit(p, subj, value, component):
-            out.append({
-                "severity": p.severity, "focus_node": subj, "path": p.path,
-                "value": value, "message": _synth_message(component, p),
-                "source_constraint_component": component, "source_shape": p.iri,
-                "foaf_page": self.pages.get(p.iri, ""),
-            })
+        def emit_rows(p, idx, component):
+            comp = ns.SH + component
+            msg = _synth_message(comp, p)
+            page = self.pages.get(p.iri, "")
+            for i in idx:
+                out.append({
+                    "severity": p.severity, "focus_node": subjs[i], "path": p.path,
+                    "value": vals[i], "message": msg,
+                    "source_constraint_component": comp, "source_shape": p.iri,
+                    "foaf_page": page,
+                })
 
-        for subj, pred, kind, val, dt in zip(subjs, preds, kinds, vals, dts):
-            for tclass, p in self.by_path[pred]:
-                if subj not in self.members.get(tclass, ()):
+        for path, shapes in self.by_path.items():
+            pm = preds == path
+            if not pm.any():
+                continue
+            pidx = np.flatnonzero(pm)
+            for tclass, p in shapes:
+                focus = self.members.get(tclass, frozenset())
+                fm = np.fromiter((subjs[i] in focus for i in pidx),
+                                 dtype=bool, count=len(pidx))
+                fidx = pidx[fm]
+                if len(fidx) == 0:
                     continue
                 if p.datatype:
-                    if kind != "literal" or dt != p.datatype:
-                        emit(p, subj, val, ns.SH + "DatatypeConstraintComponent")
+                    bad = [i for i in fidx
+                           if kinds[i] != "literal" or dts[i] != p.datatype]
+                    emit_rows(p, bad, "DatatypeConstraintComponent")
                 if p.pattern:
-                    if not p.compiled_pattern().search(val):
-                        emit(p, subj, val, ns.SH + "PatternConstraintComponent")
+                    rx = p.compiled_pattern()
+                    bad = [i for i in fidx if not rx.search(vals[i])]
+                    emit_rows(p, bad, "PatternConstraintComponent")
                 if p.node_kind:
                     want = p.node_kind.rsplit("#", 1)[-1]
-                    ok = (want == "IRI" and kind == "iri") or \
-                         (want == "BlankNode" and kind == "blank") or \
-                         (want == "Literal" and kind == "literal")
-                    if not ok:
-                        emit(p, subj, val, ns.SH + "NodeKindConstraintComponent")
+                    want_kind = {"IRI": "iri", "BlankNode": "blank",
+                                 "Literal": "literal"}.get(want, "")
+                    bad = fidx[np.fromiter((kinds[i] != want_kind for i in fidx),
+                                           dtype=bool, count=len(fidx))]
+                    emit_rows(p, bad, "NodeKindConstraintComponent")
                 if p.node_class:
-                    if kind != "iri" or val not in self.members.get(p.node_class, ()):
-                        emit(p, subj, val, ns.SH + "ClassConstraintComponent")
+                    cls = self.members.get(p.node_class, frozenset())
+                    bad = [i for i in fidx
+                           if kinds[i] != "iri" or vals[i] not in cls]
+                    emit_rows(p, bad, "ClassConstraintComponent")
         return _violation_rows(out)
 
 
@@ -185,32 +206,55 @@ class CardinalityRows:
         self.tclasses = {c for c, _, _ in self.card}
 
     def __call__(self, b: pa.Table) -> pa.Table:
-        subj_o, idx_o, min_o, max_o, n_o = [], [], [], [], []
+        """Vectorized: per card-shape numpy masks; no per-triple Python loop."""
+        import numpy as np
+
+        subj_chunks, idx_chunks, min_chunks, max_chunks, n_chunks = [], [], [], [], []
+
+        def emit(subjset: np.ndarray, idx: int, rmin: int, rmax: int, n: int):
+            k = len(subjset)
+            if not k:
+                return
+            subj_chunks.append(subjset)
+            idx_chunks.append(np.full(k, idx, dtype=np.int32))
+            min_chunks.append(np.full(k, rmin, dtype=np.int32))
+            max_chunks.append(np.full(k, rmax, dtype=np.int32))
+            n_chunks.append(np.full(k, n, dtype=np.int64))
+
+        preds = np.asarray(b["pred"].to_pandas(), dtype=object)
+        subjs = np.asarray(b["subj"].to_pandas(), dtype=object)
+        objs = np.asarray(b["obj_value"].to_pandas(), dtype=object)
 
         # required rows from type triples (one per deduped (subj, targetClass))
-        tmask = pc.equal(b["pred"], ns.RDF_TYPE)
-        tb = b.filter(tmask)
-        for subj, cls in zip(tb["subj"].to_pylist(), tb["obj_value"].to_pylist()):
-            for tclass, p, idx in self.card:
-                if cls == tclass:
-                    subj_o.append(subj); idx_o.append(idx)
-                    min_o.append(p.min_count); max_o.append(p.max_count); n_o.append(0)
+        tmask = preds == ns.RDF_TYPE
+        for tclass, p, idx in self.card:
+            sel = subjs[tmask & (objs == tclass)]
+            emit(sel, idx, p.min_count, p.max_count, 0)
 
         # observed rows (focus membership via broadcast set)
-        if self.paths:
-            ob = b.filter(pc.is_in(b["pred"], value_set=pa.array(sorted(self.paths))))
-            for subj, pred in zip(ob["subj"].to_pylist(), ob["pred"].to_pylist()):
-                for tclass, p, idx in self.card:
-                    if p.path == pred and subj in self.members.get(tclass, ()):
-                        subj_o.append(subj); idx_o.append(idx)
-                        min_o.append(-1); max_o.append(-1); n_o.append(1)
+        for tclass, p, idx in self.card:
+            pm = preds == p.path
+            if not pm.any():
+                continue
+            focus = self.members.get(tclass, frozenset())
+            cand = subjs[pm]
+            fm = np.fromiter((s in focus for s in cand), dtype=bool, count=len(cand))
+            emit(cand[fm], idx, -1, -1, 1)
 
+        if subj_chunks:
+            return pa.table({
+                "subj": pa.array(np.concatenate(subj_chunks).tolist(), pa.string()),
+                "shape_idx": pa.array(np.concatenate(idx_chunks)),
+                "req_min": pa.array(np.concatenate(min_chunks)),
+                "req_max": pa.array(np.concatenate(max_chunks)),
+                "n": pa.array(np.concatenate(n_chunks)),
+            })
         return pa.table({
-            "subj": pa.array(subj_o, pa.string()),
-            "shape_idx": pa.array(idx_o, pa.int32()),
-            "req_min": pa.array(min_o, pa.int32()),
-            "req_max": pa.array(max_o, pa.int32()),
-            "n": pa.array(n_o, pa.int64()),
+            "subj": pa.array([], pa.string()),
+            "shape_idx": pa.array([], pa.int32()),
+            "req_min": pa.array([], pa.int32()),
+            "req_max": pa.array([], pa.int32()),
+            "n": pa.array([], pa.int64()),
         })
 
 
