@@ -46,6 +46,32 @@ def canonical_triples(sf_dir: str) -> rd.Dataset:
     return shacl.dedup_triples(materialize.canonical_rewrite(triples, canon))
 
 
+def conformant_triples(sf_dir: str, profile: str = "dcat_ap_demo") -> rd.Dataset:
+    """Canonicalized graph gated on validation: triples whose subject has a
+    Violation-severity result are excluded (the "SHACL-conformant triple
+    set" of the north star). The violating focus-node set is small →
+    broadcast anti-join (semi-join pattern, SURVEY §2.4)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+
+    viols = shacl.validate(triples_dataset(sf_dir),
+                           shapes_mod.load_profile_ttl(profile))
+    bad = set()
+    for b in viols.iter_batches(batch_format="pyarrow"):
+        f = b.filter(pc.equal(b["severity"], "Violation"))
+        bad.update(f["focus_node"].to_pylist())
+    ref = ray.put(bad)
+
+    def drop_bad(b: pa.Table) -> pa.Table:
+        s = ray.get(ref)
+        mask = pa.array([x not in s for x in b["subj"].to_pylist()])
+        return b.filter(mask)
+
+    return canonical_triples(sf_dir).map_batches(
+        drop_bad, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def materialized_graph(sf_dir: str, out_dir: str, **kw) -> dict:
     """Full pipeline with partitioned, resumable output (S12)."""
     triples = triples_dataset(sf_dir)
@@ -67,7 +93,7 @@ def full_pipeline(sf_dir: str, out_dir: str, profile: str = "dcat_ap_demo",
     deduped = shacl.dedup_triples(triples).materialize()
 
     viols = shacl.validate(deduped, shapes_mod.load_profile_ttl(profile),
-                           deduped=True)
+                           deduped=True).materialize()
     n_viols = viols.count()
 
     alias_rows = [(r["surface"], r["iri"]) for r in synth.alias_table().to_pylist()]
@@ -76,8 +102,18 @@ def full_pipeline(sf_dir: str, out_dir: str, profile: str = "dcat_ap_demo",
     rewritten = materialize.canonical_rewrite(deduped, canon)
     manifest = materialize.materialize_graph(rewritten, out_dir, deduped=False,
                                              hub_threshold=hub_threshold)
-    return {"violations": n_viols, "manifest": manifest,
-            "triples": deduped.count()}
+
+    # lineage sidecars next to the graph: violations table + run-history row
+    import os
+
+    from ..state import metrics as metrics_mod
+
+    viols.write_parquet(os.path.join(out_dir, "_violations"))
+    n_triples = deduped.count()
+    metrics_mod.append_run(os.path.join(out_dir, "_history"), {
+        "sf_dir": sf_dir, "profile": profile, "violations": n_viols,
+        "triples": n_triples, "wall_s": manifest["wall_s"]})
+    return {"violations": n_viols, "manifest": manifest, "triples": n_triples}
 
 
 def flagship(sf_dir: str) -> rd.Dataset:

@@ -161,6 +161,12 @@ def q_kg_canonical(sf_dir: str):
         ["subj", "pred", "obj_kind", "obj_value", "obj_datatype", "obj_lang"])
 
 
+def q_kg_conformant(sf_dir: str):
+    from . import kg
+    return kg.conformant_triples(sf_dir).select_columns(
+        ["subj", "pred", "obj_kind", "obj_value", "obj_datatype", "obj_lang"])
+
+
 def q_kg_validate(sf_dir: str):
     from . import kg
     return kg.violations_dataset(sf_dir).select_columns(
@@ -217,6 +223,7 @@ QUERIES = {
     # flagship KG pipeline (oracle over the deterministic corpus ground truth)
     "kg_extract": q_kg_extract,
     "kg_canonical": q_kg_canonical,
+    "kg_conformant": q_kg_conformant,
     "kg_validate": q_kg_validate,
     "kg_severity_counts": q_kg_severity_counts,
     "kg_constraint_counts": q_kg_constraint_counts,
@@ -457,6 +464,9 @@ viol AS (
         "kg_canonical":
             f"SELECT DISTINCT subj, pred, obj_kind, obj_value, obj_datatype, obj_lang "
             f"FROM {gt}",
+        "kg_conformant": base + """
+SELECT DISTINCT subj, pred, obj_kind, obj_value, obj_datatype, obj_lang FROM gt
+WHERE subj NOT IN (SELECT focus_node FROM viol WHERE severity = 'Violation')""",
         "kg_validate": base +
             "SELECT severity, focus_node, path, value, source_constraint_component "
             "FROM viol",

@@ -142,3 +142,34 @@ def test_materialize_partial_resume(tmp_path, monkeypatch):
     back = materialize.read_graph(out)
     deduped = shacl.dedup_triples(triples)
     assert back.count() == deduped.count()  # nothing duplicated, nothing lost
+
+
+def test_full_pipeline_sidecars_and_conformant_graph(tmp_path):
+    """full_pipeline writes the graph + violations/history sidecars; the
+    sidecar dirs are invisible to read_graph (underscore prefix); the
+    validation-gated conformant set excludes violating subjects."""
+    import os
+
+    import pyarrow.parquet as pq_
+
+    from shacl_validator_ray.pipelines import kg
+    from shacl_validator_ray.state import metrics as metrics_mod
+
+    out = str(tmp_path / "g")
+    stats = kg.full_pipeline("/root/testdata/sf0.001", out)
+    assert stats["manifest"]["complete"]
+    back = materialize.read_graph(out)
+    assert back.count() == stats["triples"]  # sidecars not swept into the read
+
+    viols = pq_.read_table(*[os.path.join(out, "_violations")])
+    assert viols.num_rows == stats["violations"] > 0
+    hist = metrics_mod.recent_runs(os.path.join(out, "_history"))
+    assert hist.num_rows == 1 and hist.column("triples")[0].as_py() == stats["triples"]
+
+    conf = kg.conformant_triples("/root/testdata/sf0.001")
+    df = conf.to_pandas()
+    bad = set(viols.filter(
+        __import__("pyarrow").compute.equal(viols["severity"], "Violation")
+    )["focus_node"].to_pylist())
+    assert bad and not (set(df["subj"]) & bad)
+    assert len(df) < stats["triples"]
