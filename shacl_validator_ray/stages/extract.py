@@ -30,6 +30,7 @@ _DS = r"The dataset Dataset (D\d+) "
 _DI = r"The distribution Distribution (D\d+x\d+) "
 
 SENTENCES: list[tuple[re.Pattern, str]] = [
+    (re.compile(r"The main catalog lists Dataset (D\d+)\."), "catalog"),
     (re.compile(_DS + r"is a dataset resource\."), "ds_type"),
     (re.compile(_DS + r'has title "([^"]*)"\.'), "title"),
     (re.compile(_DS + r'is described as "([^"]*)"\.'), "desc"),
@@ -106,7 +107,10 @@ def extract_triples_batch(batch: pa.Table) -> pa.Table:
             for rx, tag in SENTENCES:
                 for m in rx.finditer(text):
                     g = m.groups()
-                    if tag == "ds_type":
+                    if tag == "catalog":
+                        emit(f"{ns.EX}catalog/main", ns.DCAT + "dataset", "iri",
+                             f"{ns.EX}dataset/{g[0]}", "", doc_id, si)
+                    elif tag == "ds_type":
                         emit(f"{ns.EX}dataset/{g[0]}", ns.RDF_TYPE, "iri",
                              ns.DCAT + "Dataset", "", doc_id, si)
                     elif tag == "title":

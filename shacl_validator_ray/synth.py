@@ -31,7 +31,7 @@ SEED = 42
 N_ORGS = 50
 N_THEMES = 8
 HUB_ORG = 0            # hub publisher: draws ~30% of all publisher edges (skew fixture)
-CACHE_ROOT = "/tmp/svr_corpus"
+CACHE_ROOT = "/tmp/svr_corpus_v2"  # bump suffix when corpus semantics change
 
 # violation seeding probabilities (deterministic per doc)
 P_MISSING_TITLE = 0.10   # sh:minCount violation
@@ -111,6 +111,11 @@ def gen_doc(i: int, seed: int = SEED) -> tuple[dict, list[dict], dict]:
     sentences: list[str] = []
     sentences.append(f"The dataset {ds_name} is a dataset resource.")
     t(ds, ns.RDF_TYPE, "iri", ns.DCAT + "Dataset")
+
+    # hub SUBJECT (FIXTURES.md F2): one global catalog node references every
+    # dataset → it owns ~10% of all triples and must be salted at materialize
+    sentences.append(f"The main catalog lists {ds_name}.")
+    t(f"{ns.EX}catalog/main", ns.DCAT + "dataset", "iri", ds)
 
     if not flags["missing_title"]:
         title = f"Open data collection {did}"

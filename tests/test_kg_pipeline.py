@@ -173,3 +173,24 @@ def test_full_pipeline_sidecars_and_conformant_graph(tmp_path):
     )["focus_node"].to_pylist())
     assert bad and not (set(df["subj"]) & bad)
     assert len(df) < stats["triples"]
+
+
+def test_hub_subject_salted_across_buckets(tmp_path):
+    """F2 skew fixture: the catalog hub subject (~10% of triples) is
+    detected and salted across multiple sub-buckets at materialize."""
+    docs, gt = synth.make_corpus_tables(200)
+    triples = rd.from_arrow(extract.extract_triples_batch(docs))
+    hub = "http://example.org/catalog/main"
+    n_hub = sum(1 for r in gt.to_pylist() if r["subj"] == hub)
+    assert n_hub == 200  # one edge per doc → genuine hub subject
+
+    out = str(tmp_path / "g")
+    m = materialize.materialize_graph(triples, out, n_buckets=4,
+                                      hub_threshold=50, salt=4)
+    assert hub in m["hubs"]
+    back = materialize.read_graph(out).to_pandas()
+    hub_buckets = set(back.loc[back["subj"] == hub, "bucket"])
+    assert len(hub_buckets) == 4  # spread over all salt sub-buckets
+    # non-hub subjects keep exactly one bucket each
+    other = back[back["subj"] != hub].groupby("subj")["bucket"].nunique()
+    assert (other == 1).all()
