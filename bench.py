@@ -123,23 +123,25 @@ def run_emit() -> dict:
 
     corpus = synth.ensure_corpus_n(ndocs)
 
-    def emit() -> int:
+    def emit(paths) -> int:
         # count-projection consume: the extraction UDF runs in full, but
         # emitted blocks reduce to per-batch counts instead of landing in
         # the single-node object store (which is a per-NODE resource on a
         # real cluster and would scale with nodes, not with num_cpus)
-        docs = io.read_table(f"{corpus}/documents")
+        docs = io.read_table(paths)
         tr = extract.extract_triples(docs, batch_size=2048)
         counts = tr.map_batches(
             lambda b: pa.table({"n": pa.array([b.num_rows], pa.int64())}),
             batch_format="pyarrow", zero_copy_batch=True)
         return counts.sum("n")
 
-    emit()  # untimed warm pass (worker spin-up + page cache)
+    docs_dir = f"{corpus}/documents"
+    shards = sorted(os.path.join(docs_dir, f) for f in os.listdir(docs_dir))
+    emit(shards[: max(4, len(shards) // 8)])  # untimed warm: worker spin-up
     best, n_triples = None, 0
     for _ in range(2):
         t0 = time.time()
-        n_triples = emit()
+        n_triples = emit(docs_dir)
         sec = time.time() - t0
         best = sec if best is None or sec < best else best
     sec = round(best, 3)
@@ -165,13 +167,19 @@ def run_scaling() -> dict:
                              check=True).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    lo, hi = run(8), run(32)
+    # best-of-2 timed passes per process × two interleaved process rounds
+    # per level: this shared sandbox's wall-clock noise (±30% run-to-run,
+    # worst at full machine load) otherwise dominates the ratio
+    runs = [run(8), run(32), run(8), run(32)]
+    lo = min((r for r in runs if r["num_cpus"] == 8), key=lambda r: r["sec"])
+    hi = min((r for r in runs if r["num_cpus"] == 32), key=lambda r: r["sec"])
     eff = (lo["sec"] / hi["sec"]) / (32 / 8)
     return {
         "metric": "triple-emission scaling (8 → 32 CPUs, fresh processes, same input)",
         "ndocs": ndocs,
         "sec_8": lo["sec"], "sec_32": hi["sec"],
         "docs_per_sec_8": lo["docs_per_sec"], "docs_per_sec_32": hi["docs_per_sec"],
+        "all_runs": [{"num_cpus": r["num_cpus"], "sec": r["sec"]} for r in runs],
         "scaling_efficiency": round(eff, 3),
     }
 
