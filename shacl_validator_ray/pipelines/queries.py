@@ -241,6 +241,7 @@ QUERIES = {
     "distinct_counts": R.distinct_counts,
     "dedup_first": R.dedup_first,
     "join_orders_customers": R.join_orders_customers,
+    "join_native": R.join_native,
     "two_hop_join": R.two_hop_join,
     "anti_join_customers": R.anti_join_customers,
     "cardinality_bounds": R.cardinality_bounds,
@@ -310,6 +311,9 @@ ORACLE_SQL = {
     "join_orders_customers": """
         SELECT c_nationkey, round(sum(o_totalprice), 2) AS total, count(*) AS n
         FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY c_nationkey""",
+    "join_native": """
+        SELECT p_brand, round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+        FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY p_brand""",
     "two_hop_join": """
         SELECT r_name, count(*) AS n_suppliers, round(sum(s_acctbal), 2) AS total_bal
         FROM supplier JOIN nation ON s_nationkey = n_nationkey

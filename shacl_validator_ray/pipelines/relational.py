@@ -147,6 +147,23 @@ def join_orders_customers(sf_dir: str):
     )
 
 
+# --- J1 variant: NATIVE hash-partitioned join (Dataset.join) for the
+#     both-sides-large case — lineitem ⋈ part on partkey ---
+def join_native(sf_dir: str):
+    li = t(sf_dir, "lineitem", ["l_partkey", "l_quantity"])
+    part = t(sf_dir, "part", ["p_partkey", "p_brand"]).map_batches(
+        lambda b: b.rename_columns(["l_partkey", "p_brand"]),
+        batch_format="pyarrow")
+    joined = li.join(part, "inner", 8, on=("l_partkey",))
+    out = (joined.groupby("p_brand")
+           .aggregate(Sum("l_quantity", alias_name="sum_qty"),
+                      Count(alias_name="n")))
+    return out.map_batches(
+        lambda b: b.set_column(b.column_names.index("sum_qty"), "sum_qty",
+                               pc.round(b["sum_qty"], 2)),
+        batch_format="pyarrow")
+
+
 # --- J2: two-hop deref join analog (DataDiscoveryService.ts:281-321):
 #     supplier → nation → region via chained broadcast lookups ---
 def two_hop_join(sf_dir: str):

@@ -128,6 +128,8 @@ def link_entities(triples: rd.Dataset, alias_rows: list[tuple[str, str]],
         key = (index_ref.hex(), tau)
         inst = _LINKER_CACHE.get(key)
         if inst is None:
+            if len(_LINKER_CACHE) >= 16:  # long-lived workers: bound the cache
+                _LINKER_CACHE.pop(next(iter(_LINKER_CACHE)))
             inst = EntityLinker(index_ref, tau)
             _LINKER_CACHE[key] = inst
         return inst(b)

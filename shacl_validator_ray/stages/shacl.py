@@ -97,6 +97,8 @@ def _worker_state(cls, shapes_ttl: str, members_ref):
            if hasattr(members_ref, "hex") else id(members_ref))
     inst = _STATE_CACHE.get(key)
     if inst is None:
+        if len(_STATE_CACHE) >= 16:  # long-lived workers: bound the cache
+            _STATE_CACHE.pop(next(iter(_STATE_CACHE)))
         inst = cls(shapes_ttl, members_ref)
         _STATE_CACHE[key] = inst
     return inst

@@ -1,0 +1,54 @@
+"""CLI entry points (reference user flows, SURVEY.md §3)."""
+
+import json
+import os
+
+from shacl_validator_ray import cli
+
+FIX = os.path.join(os.path.dirname(__file__), "fixtures")
+
+
+class _Args:
+    def __init__(self, **kw):
+        self.__dict__.update(kw)
+
+
+def test_cli_validate_invalid(capsys):
+    rc = cli.cmd_validate(_Args(data=f"{FIX}/data/invalid_catalog.ttl",
+                                shapes=None, profile="dcat_ap_demo",
+                                format="json"))
+    assert rc == 1  # non-conforming → nonzero exit
+    out = capsys.readouterr().out.strip().splitlines()
+    head = json.loads(out[0])
+    assert head == {"conforms": False, "results": 5}
+
+
+def test_cli_validate_custom_shapes_ttl_output(capsys):
+    rc = cli.cmd_validate(_Args(data=f"{FIX}/data/valid_catalog.ttl",
+                                shapes=f"{FIX}/shapes/profile.ttl",
+                                profile="dcat_ap_demo", format="ttl"))
+    assert rc == 0
+    assert "sh:conforms true" in capsys.readouterr().out
+
+
+def test_cli_report_roundtrip(tmp_path, capsys):
+    # render a report via validate --format ttl, then analyze it
+    cli.cmd_validate(_Args(data=f"{FIX}/data/invalid_catalog.ttl", shapes=None,
+                           profile="dcat_ap_demo", format="ttl"))
+    ttl = capsys.readouterr().out
+    p = tmp_path / "report.ttl"
+    p.write_text(ttl)
+    rc = cli.cmd_report(_Args(report=str(p)))
+    out = json.loads(capsys.readouterr().out)
+    assert rc == 0
+    assert out["summary"]["total_results"] == 5
+    assert any(c["name"] == "MinCountConstraintComponent"
+               for c in out["components"])
+
+
+def test_cli_discover(capsys):
+    rc = cli.cmd_discover(_Args(data=f"{FIX}/data/catalog_discovery.ttl",
+                                query=None, limit=50))
+    assert rc == 0
+    recs = json.loads(capsys.readouterr().out)
+    assert {r["id"].rsplit("/", 1)[-1] for r in recs} == {"dsA", "dsC"}
