@@ -66,3 +66,13 @@ def test_compact_iri_m10():
     assert ns.compact_iri(ns.DCT + "title") == "dct:title"
     assert ns.compact_iri("http://unknown.org/path/leaf") == "leaf"
     assert ns.compact_iri("http://unknown.org/x#frag") == "frag"
+
+
+def test_lang_id_multilingual():
+    from shacl_validator_ray.functions import textfns as tf
+
+    assert tf.lang_id("the cat and the dog is with me") == "en"
+    assert tf.lang_id("el perro es de la casa con su amigo") == "es"
+    assert tf.lang_id("le chat est avec la maison pour moi") == "fr"
+    assert tf.lang_id("der hund ist mit die katze und das haus") == "de"
+    assert tf.lang_id("xyzzy plugh") == "und"
