@@ -73,11 +73,21 @@ class Term:
 class TurtleParser:
     def __init__(self, text: str, bnode_prefix: str = "b"):
         self.toks: list[tuple[str, str]] = []
+        pos = 0
         for m in _TOKEN.finditer(text):
+            if m.start() != pos:  # strict: no silent skipping of junk
+                raise ValueError(
+                    f"turtle tokenize: unexpected input at offset {pos}: "
+                    f"{text[pos:pos + 20]!r}")
+            pos = m.end()
             kind = m.lastgroup
             if kind in ("ws", "comment"):
                 continue
             self.toks.append((kind, m.group()))
+        if pos != len(text):
+            raise ValueError(
+                f"turtle tokenize: unexpected input at offset {pos}: "
+                f"{text[pos:pos + 20]!r}")
         self.i = 0
         self.prefixes: dict[str, str] = {}
         self.base = ""

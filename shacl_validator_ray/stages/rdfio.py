@@ -72,15 +72,33 @@ def normalize_to_ntriples(content: str, content_type: str = "", url: str = "") -
     return turtle.serialize_ntriples(triples)
 
 
+def parse_with_fallback(content: str, fmt: str, bnode_prefix: str = "d"):
+    """Defensive parse-fallback chain (reference semantics,
+    SHACLValidationService.ts:178-194): try the detected format, then the
+    remaining parsers; raise only when every parser fails."""
+    order = [fmt] + [f for f in ("turtle", "jsonld", "rdfxml") if f != fmt]
+    last: Exception | None = None
+    for f in order:
+        try:
+            return parse_rdf(content, f, bnode_prefix=bnode_prefix)
+        except Exception as ex:  # noqa: BLE001 — any parser error → next format
+            last = ex
+    raise last  # type: ignore[misc]
+
+
 def parse_documents(docs: rd.Dataset, content_col: str = "content",
-                    id_col: str = "doc_id") -> rd.Dataset:
+                    id_col: str = "doc_id", on_error: str = "skip") -> rd.Dataset:
     """RDF-document table → triples Dataset. Blank nodes are relabeled
     per document (doc-scoped) BEFORE any shuffle — the J2 scoping rule
-    the single-store reference never needed (SURVEY.md §7.3)."""
-    names: list[str] = []
+    the single-store reference never needed (SURVEY.md §7.3).
+
+    ``on_error="skip"`` (default): a document that fails EVERY parser in
+    the fallback chain contributes zero triples plus one error-marker row
+    (pred = ``ex:parseError``, literal message) so failures stay visible
+    in the lineage without killing the batch; ``"raise"`` propagates.
+    """
 
     def fn(b: pa.Table) -> pa.Table:
-        _ = names
         ids = b[id_col].to_pylist()
         contents = b[content_col].to_pylist()
         ctypes = (b["content_type"].to_pylist()
@@ -90,8 +108,19 @@ def parse_documents(docs: rd.Dataset, content_col: str = "content",
         rows = []
         for doc_id, content, ctype, url in zip(ids, contents, ctypes, urls):
             fmt = detect_format(content or "", ctype or "", url or "")
-            for s, p, k, v, dt, lg in parse_rdf(content or "", fmt,
-                                                bnode_prefix=str(doc_id)):
+            try:
+                parsed = parse_with_fallback(content or "", fmt,
+                                             bnode_prefix=str(doc_id))
+            except Exception as ex:  # noqa: BLE001
+                if on_error == "raise":
+                    raise
+                rows.append({"subj": f"{ns.EX}document/{doc_id}",
+                             "pred": ns.EX + "parseError", "obj_kind": "literal",
+                             "obj_value": f"{type(ex).__name__}: {ex}"[:500],
+                             "obj_datatype": "", "obj_lang": "",
+                             "doc_id": str(doc_id), "span_idx": -1})
+                continue
+            for s, p, k, v, dt, lg in parsed:
                 rows.append({"subj": s, "pred": p, "obj_kind": k, "obj_value": v,
                              "obj_datatype": dt, "obj_lang": lg,
                              "doc_id": str(doc_id), "span_idx": 0})

@@ -129,3 +129,27 @@ def test_jsonld_projection_m19():
     assert ds1["@id"] == "http://example.org/ds1"
     assert ds1["http://purl.org/dc/terms/title"] == "Air"
     assert ds1[ns.RDF_TYPE] == ns.DCAT + "Dataset"
+
+
+def test_parse_fallback_chain_and_error_markers():
+    """Reference parse-fallback semantics (SHACLValidationService.ts:178-194):
+    a mislabeled document parses via another format; a hopeless one yields
+    an error-marker row instead of killing the batch."""
+    mislabeled = TTL  # turtle content claiming to be JSON-LD
+    hopeless = "%%% not rdf in any format <<<"
+    docs = rd.from_arrow(pa.Table.from_pylist([
+        {"doc_id": "ok", "content": mislabeled,
+         "content_type": "application/ld+json", "url": ""},
+        {"doc_id": "bad", "content": hopeless, "content_type": "", "url": ""},
+    ]))
+    df = rdfio.parse_documents(docs).to_pandas()
+    ok = df[df["doc_id"] == "ok"]
+    assert len(ok) == 5 and (ok["pred"] != ns.EX + "parseError").all()
+    bad = df[df["doc_id"] == "bad"]
+    assert len(bad) == 1 and bad.iloc[0]["pred"] == ns.EX + "parseError"
+    assert bad.iloc[0]["span_idx"] == -1
+
+    import pytest
+
+    with pytest.raises(Exception):
+        rdfio.parse_documents(docs, on_error="raise").to_pandas()
