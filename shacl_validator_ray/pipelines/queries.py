@@ -87,6 +87,11 @@ def q_embedding_dups(sf_dir: str):
     return dedup.embedding_dup_pairs(_emb(sf_dir), tau=0.4)
 
 
+def q_curation(sf_dir: str):
+    from . import curation
+    return curation.curate(_docs(sf_dir))
+
+
 # ---- similarity search ----
 
 def q_knn_bruteforce(sf_dir: str):
@@ -260,6 +265,7 @@ QUERIES = {
     "minhash_lsh_dups": q_minhash_lsh_dups,
     "simhash_dups": q_simhash_dups,
     "embedding_dups": q_embedding_dups,
+    "curation": q_curation,
     # similarity search
     "knn_bruteforce": q_knn_bruteforce,
     "knn_lsh": q_knn_lsh,
@@ -363,6 +369,18 @@ ORACLE_SQL = {
         "SELECT doc_id, text, lang, source, n_chars FROM documents",
     "jaccard_dups": _JACCARD_PAIRS_SQL,
     "minhash_lsh_dups": _JACCARD_PAIRS_SQL,
+    "curation": r"""
+WITH t AS (SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS ws,
+                  length(regexp_extract_all(text, '\S+')) AS n_tokens
+           FROM documents),
+p AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+             len(list_intersect(a.ws, b.ws))::DOUBLE
+               / len(list_distinct(list_concat(a.ws, b.ws))) AS j
+      FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id),
+dropped AS (SELECT DISTINCT doc2 FROM p WHERE j >= 0.95)
+SELECT doc_id, n_tokens FROM t
+WHERE n_tokens BETWEEN 20 AND 200
+  AND doc_id NOT IN (SELECT doc2 FROM dropped)""",
     "embedding_dups": """
         WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings)
         SELECT a.vec_id AS vec1, b.vec_id AS vec2,
