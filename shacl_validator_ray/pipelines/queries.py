@@ -240,6 +240,7 @@ QUERIES = {
     # relational operator inventory (SURVEY.md §2)
     "severity_counts": R.severity_counts,
     "pruned_agg": R.pruned_agg,
+    "stats_agg": R.stats_agg,
     "first_match": R.first_match,
     "multi_value": R.multi_value,
     "topk_brands": R.topk_brands,
@@ -299,6 +300,10 @@ ORACLE_SQL = {
                round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_rev,
                count(*) AS n
         FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+    "stats_agg": """
+        SELECT l_returnflag, round(avg(l_quantity), 6) AS avg_qty,
+               round(stddev_samp(l_quantity), 6) AS std_qty, count(*) AS n
+        FROM lineitem GROUP BY l_returnflag""",
     "first_match":
         "SELECT o_custkey, arg_min(o_orderdate, o_orderkey) AS first_orderdate "
         "FROM orders GROUP BY o_custkey",

@@ -68,6 +68,25 @@ def pruned_agg(sf_dir: str):
     return out.map_batches(rnd, batch_format="pyarrow")
 
 
+# --- statistical aggregates (Mean/Std over groups; A4-family breadth) ---
+def stats_agg(sf_dir: str):
+    from ray.data.aggregate import Mean, Std
+
+    out = (t(sf_dir, "lineitem", ["l_returnflag", "l_quantity"])
+           .groupby("l_returnflag")
+           .aggregate(Mean("l_quantity", alias_name="avg_qty"),
+                      Std("l_quantity", alias_name="std_qty"),
+                      Count(alias_name="n")))
+
+    def rnd(b: pa.Table) -> pa.Table:
+        b = b.set_column(b.column_names.index("avg_qty"), "avg_qty",
+                         pc.round(b["avg_qty"], 6))
+        return b.set_column(b.column_names.index("std_qty"), "std_qty",
+                            pc.round(b["std_qty"], 6))
+
+    return out.map_batches(rnd, batch_format="pyarrow")
+
+
 # --- M14: first-match property projection (DataDiscoveryService.ts:131-137) ---
 def first_match(sf_dir: str):
     ds = t(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_orderdate"])

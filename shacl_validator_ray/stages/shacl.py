@@ -277,10 +277,13 @@ def validate(triples: rd.Dataset, shapes_ttl: str, *, deduped: bool = False,
 
     if concurrency is None:
         concurrency = io_mod.auto_pool(0.5)
+    from ray.data.dataset import MaterializedDataset
+
     compiled = shapes_mod.compile_shapes(shapes_ttl)
     if not deduped:
         triples = dedup_triples(triples)
-    triples = triples.materialize()
+    if not isinstance(triples, MaterializedDataset):
+        triples = triples.materialize()
     members = collect_class_members(triples, compiled.referenced_classes())
     members_ref = ray.put(members)
 
