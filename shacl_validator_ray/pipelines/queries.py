@@ -254,6 +254,7 @@ QUERIES = {
     "union_distinct": R.union_distinct,
     "top_orders": R.top_orders,
     "snapshot_counts": R.snapshot_counts,
+    "salted_group_count": R.salted_group_count,
     "filter_search_limit": R.filter_search_limit,
     # text analysis
     "token_counts": q_token_counts,
@@ -346,6 +347,8 @@ ORACLE_SQL = {
     "snapshot_counts":
         "SELECT event_type, count(DISTINCT user_id) AS n_users FROM events "
         "GROUP BY event_type",
+    "salted_group_count":
+        "SELECT user_id, count(*) AS n FROM events GROUP BY user_id",
     "filter_search_limit":
         "SELECT doc_id, source FROM documents WHERE contains(text, 'merge') "
         "ORDER BY doc_id LIMIT 50",

@@ -131,6 +131,23 @@ def distinct_counts(sf_dir: str):
     return pd.DataFrame({"parts": [parts], "supps": [supps], "orders": [orders]})
 
 
+# --- skew-safe two-phase aggregation: salt the hot key, partial-count,
+#     then merge (the SURVEY §4.2 salting pattern, provably exact) ---
+def salted_group_count(sf_dir: str, salt: int = 8):
+    import numpy as np
+
+    ds = t(sf_dir, "events", ["user_id"])
+
+    def add_salt(b: pa.Table) -> pa.Table:
+        s = (np.asarray(b["user_id"]) * 2654435761 % salt).astype(np.int32)
+        return b.append_column("salt", pa.array(s))
+
+    partial = (ds.map_batches(add_salt, batch_format="pyarrow",
+                              zero_copy_batch=True)
+               .groupby(["user_id", "salt"]).aggregate(Count(alias_name="pn")))
+    return (partial.groupby("user_id").aggregate(Sum("pn", alias_name="n")))
+
+
 # --- D1: exact dedup keep-first (quad-set semantics, SHACLValidationService.ts:133) ---
 def dedup_first(sf_dir: str):
     return (

@@ -82,3 +82,17 @@ def test_extraction_batchsize_invariance():
     assert whole.num_rows == merged.num_rows
     assert {tuple(r.values()) for r in whole.to_pylist()} == \
         {tuple(r.values()) for r in merged.to_pylist()}
+
+
+def test_hll_approx_distinct_within_error():
+    import ray.data as rd_
+
+    from shacl_validator_ray.functions import sketch
+
+    ds = rd_.read_parquet("/root/testdata/sf0.01/lineitem.parquet",
+                          columns=["l_partkey"])
+    exact = len(ds.unique("l_partkey"))
+    est = sketch.approx_distinct(ds, "l_partkey", p=12)
+    assert abs(est - exact) / exact < 0.05  # ~1.6% expected, 5% bound
+    # determinism: same input → same estimate
+    assert sketch.approx_distinct(ds, "l_partkey", p=12) == est
