@@ -81,15 +81,26 @@ def materialized_graph(sf_dir: str, out_dir: str, **kw) -> dict:
 
 
 def full_pipeline(sf_dir: str, out_dir: str, profile: str = "dcat_ap_demo",
-                  hub_threshold: int = 5000) -> dict:
+                  hub_threshold: int = 5000, instrument: bool = False) -> dict:
     """One production-shaped run sharing intermediates: extract ONCE →
     dedup (checkpointed via materialize) → {validate, link} off the same
     deduped set → canonicalize → rewrite → partitioned graph write.
 
     Returns counts per stage. At 100 TB the ``materialize()`` calls become
     partitioned parquet checkpoints (resume points); nothing else changes.
+    ``instrument=True`` wraps the extraction stage with the A12 metrics
+    sidecar (per-batch rows_in/rows_out/wall into the collector actor).
     """
-    triples = extract.extract_triples(documents_dataset(sf_dir))
+    docs = documents_dataset(sf_dir)
+    if instrument:
+        from ..state import metrics as metrics_mod
+        from ..stages.extract import extract_triples_batch
+
+        fn = metrics_mod.instrument(extract_triples_batch, "extract")
+        triples = docs.map_batches(fn, batch_format="pyarrow", batch_size=1024,
+                                   zero_copy_batch=True)
+    else:
+        triples = extract.extract_triples(docs)
     deduped = shacl.dedup_triples(triples).materialize()
 
     viols = shacl.validate(deduped, shapes_mod.load_profile_ttl(profile),

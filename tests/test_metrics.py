@@ -42,3 +42,24 @@ def test_run_history_window(tmp_path):
     assert tbl.num_rows == 10
     runs = sorted(tbl.column("run").to_pylist())
     assert runs == list(range(3, 13))  # latest 10 kept, oldest 3 dropped
+
+
+def test_full_pipeline_instrumented(tmp_path):
+    from shacl_validator_ray.pipelines import kg
+    from shacl_validator_ray.state import metrics
+
+    h = metrics.collector()
+    ray.get(h.clear.remote())
+    stats = kg.full_pipeline("/root/testdata/sf0.001", str(tmp_path / "g"),
+                             instrument=True)
+    assert stats["manifest"]["complete"]
+    import time
+
+    for _ in range(50):
+        tbl = metrics.stage_summary(h)
+        if tbl.num_rows > 0:
+            break
+        time.sleep(0.1)
+    rows = tbl.to_pylist()
+    assert rows and all(r["stage"] == "extract" for r in rows)
+    assert sum(r["rows_in"] for r in rows) == 200  # sf0.001 corpus docs
