@@ -76,3 +76,26 @@ def test_lang_id_multilingual():
     assert tf.lang_id("le chat est avec la maison pour moi") == "fr"
     assert tf.lang_id("der hund ist mit die katze und das haus") == "de"
     assert tf.lang_id("xyzzy plugh") == "und"
+
+
+def test_sliding_window_epoch_edge():
+    """Events near epoch 0: windows with negative start are not emitted."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    import datetime as dt
+
+    rows = [{"event_id": 1, "ts": dt.datetime(1970, 1, 1, 0, 10),
+             "user_id": 1, "event_type": "x", "value": 1.0}]
+    out = windows.sliding_window(rd.from_arrow(pa.Table.from_pylist(rows)),
+                                 size_s=3600, slide_s=1800).to_pandas()
+    assert (out["window_start"] >= 0).all()
+    assert len(out) == 1  # only window [0, 3600) exists; [-1800, 1800) dropped
+
+
+def test_rolling_fingerprint_deterministic():
+    from shacl_validator_ray.functions import textfns as tf
+
+    a = tf.rolling_fingerprint("Hello World")
+    assert a == tf.rolling_fingerprint("  hello world  ")  # normalized
+    assert a != tf.rolling_fingerprint("hello worlds")
