@@ -186,13 +186,27 @@ class TurtleParser:
                 self._next()
                 dk, dv = self._next()
                 dt = self._resolve_iri(dv[1:-1]) if dk == "iri" else self._expand(dv)
+                # RDF 1.1: "x" and "x"^^xsd:string are the SAME term; the
+                # engine's canonical spelling for xsd:string is the empty
+                # datatype (matching the extraction stage and the
+                # serializer, which omits ^^xsd:string). Without this the
+                # two spellings survive dedup_triples as distinct tuples.
+                if dt == ns.XSD + "string":
+                    dt = ""
             elif nk == "langtag":
                 self._next()
                 lang = nv[1:]
             return Term("literal", lit, dt, lang)
         if k == "number":
             self._next()
-            dt = ns.XSD + ("decimal" if "." in v or "e" in v.lower() else "integer")
+            # Turtle grammar (and N3.js in the reference): exponent forms
+            # are xsd:double, '.'-forms xsd:decimal, bare ints xsd:integer.
+            if "e" in v.lower():
+                dt = ns.XSD + "double"
+            elif "." in v:
+                dt = ns.XSD + "decimal"
+            else:
+                dt = ns.XSD + "integer"
             return Term("literal", v, dt, "")
         if k == "boolean":
             self._next()

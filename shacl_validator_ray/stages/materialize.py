@@ -140,6 +140,8 @@ def materialize_graph(triples: rd.Dataset, out_dir: str, *, n_buckets: int = 16,
                                    zero_copy_batch=True).materialize()
     os.makedirs(out_dir, exist_ok=True)
 
+    import shutil
+
     import numpy as np
 
     for g in range(write_groups):
@@ -147,12 +149,31 @@ def materialize_graph(triples: rd.Dataset, out_dir: str, *, n_buckets: int = 16,
             continue  # resume: this bucket group is already on disk
 
         def group_filter(b: pa.Table, g=g) -> pa.Table:
-            mask = (np.asarray(b["bucket"]) % write_groups) == g
+            # bucket = base*salt + sub-salt, so the UNSALTED base bucket
+            # assigns the group — all of a hub's salted sub-buckets stay
+            # in one group, and groups are non-degenerate for any
+            # (salt, write_groups) combination.
+            mask = ((np.asarray(b["bucket"]) // salt) % write_groups) == g
             return b.filter(pa.array(mask))
 
         part = bucketed.map_batches(group_filter, batch_format="pyarrow",
                                     zero_copy_batch=True)
-        part.write_parquet(out_dir, partition_cols=["bucket"])
+        # Stage-then-commit: write the group into a staging dir, then move
+        # each completed bucket=* partition into place (replacing any
+        # leftover partial files from a crashed attempt) BEFORE the
+        # manifest records the group. A rerun after a crash at any point
+        # rewrites the whole group wholesale — never alongside leftovers.
+        staging = os.path.join(out_dir, f"_staging_g{g}")
+        shutil.rmtree(staging, ignore_errors=True)
+        part.write_parquet(staging, partition_cols=["bucket"])
+        if os.path.isdir(staging):  # empty groups write nothing
+            for d in sorted(os.listdir(staging)):
+                if not d.startswith("bucket="):
+                    continue
+                dst = os.path.join(out_dir, d)
+                shutil.rmtree(dst, ignore_errors=True)
+                os.rename(os.path.join(staging, d), dst)
+            shutil.rmtree(staging, ignore_errors=True)
         manifest["groups_done"] = sorted(set(manifest["groups_done"]) | {g})
         save()
 

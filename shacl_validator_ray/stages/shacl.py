@@ -38,6 +38,12 @@ from .. import schema as S
 
 _TUPLE_COLS = ["subj", "pred", "obj_kind", "obj_value", "obj_datatype", "obj_lang"]
 
+# sh:nodeKind values → the set of obj_kind codes they admit (the three
+# composite kinds are unions — SHACL-core §4.1.1; previously unsupported
+# values silently violated everything). Unknown values are rejected at
+# shape-compile time (state/shapes.py).
+NODEKIND_SETS = shapes_mod.NODEKIND_SETS
+
 
 def dedup_triples(triples: rd.Dataset, n_buckets: int = 64) -> rd.Dataset:
     """Exact (s,p,o) set semantics (D1): ONE shuffle keyed by a vectorized
@@ -145,6 +151,14 @@ class ValueConstraints:
         kinds = np.asarray(b["obj_kind"].to_pandas(), dtype=object)
         vals = np.asarray(b["obj_value"].to_pandas(), dtype=object)
         dts = np.asarray(b["obj_datatype"].to_pandas(), dtype=object)
+        langs = np.asarray(b["obj_lang"].to_pandas(), dtype=object)
+
+        def eff_dt(i) -> str:
+            """RDF 1.1 effective datatype: lang-tagged → rdf:langString,
+            plain → xsd:string (the engine's canonical "" spelling)."""
+            if langs[i]:
+                return ns.RDF + "langString"
+            return dts[i] or (ns.XSD + "string")
 
         def emit_rows(p, idx, component):
             comp = ns.SH + component
@@ -172,17 +186,15 @@ class ValueConstraints:
                     continue
                 if p.datatype:
                     bad = [i for i in fidx
-                           if kinds[i] != "literal" or dts[i] != p.datatype]
+                           if kinds[i] != "literal" or eff_dt(i) != p.datatype]
                     emit_rows(p, bad, "DatatypeConstraintComponent")
                 if p.pattern:
                     rx = p.compiled_pattern()
                     bad = [i for i in fidx if not rx.search(vals[i])]
                     emit_rows(p, bad, "PatternConstraintComponent")
                 if p.node_kind:
-                    want = p.node_kind.rsplit("#", 1)[-1]
-                    want_kind = {"IRI": "iri", "BlankNode": "blank",
-                                 "Literal": "literal"}.get(want, "")
-                    bad = fidx[np.fromiter((kinds[i] != want_kind for i in fidx),
+                    want_kinds = NODEKIND_SETS[p.node_kind.rsplit("#", 1)[-1]]
+                    bad = fidx[np.fromiter((kinds[i] not in want_kinds for i in fidx),
                                            dtype=bool, count=len(fidx))]
                     emit_rows(p, bad, "NodeKindConstraintComponent")
                 if p.node_class:

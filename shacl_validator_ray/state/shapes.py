@@ -106,6 +106,18 @@ _SEVERITY = {
     ns.SH + "Info": "Info",
 }
 
+# sh:nodeKind local name → admitted obj_kind codes (SHACL-core §4.1.1,
+# incl. the three composite union kinds). Anything else is rejected at
+# compile time instead of silently violating every value.
+NODEKIND_SETS = {
+    "IRI": frozenset({"iri"}),
+    "BlankNode": frozenset({"blank"}),
+    "Literal": frozenset({"literal"}),
+    "BlankNodeOrIRI": frozenset({"blank", "iri"}),
+    "IRIOrLiteral": frozenset({"iri", "literal"}),
+    "BlankNodeOrLiteral": frozenset({"blank", "literal"}),
+}
+
 
 def compile_shapes(ttl_text: str) -> CompiledShapes:
     triples = turtle.parse_turtle(ttl_text, bnode_prefix="sh")
@@ -128,6 +140,10 @@ def compile_shapes(ttl_text: str) -> CompiledShapes:
         ps.pattern = first(piri, ns.SH + "pattern")
         ps.flags = first(piri, ns.SH + "flags")
         ps.node_kind = first(piri, ns.SH + "nodeKind")
+        if ps.node_kind and ps.node_kind.rsplit("#", 1)[-1] not in NODEKIND_SETS:
+            raise ValueError(
+                f"unsupported sh:nodeKind {ps.node_kind!r} on {piri} "
+                f"(supported: {sorted(NODEKIND_SETS)})")
         ps.severity = _SEVERITY.get(first(piri, ns.SH + "severity"), "Violation")
         ps.messages = [(v, lang or "en") for k, v, dt, lang in
                        spo.get(piri, {}).get(ns.SH + "message", [])]

@@ -144,6 +144,50 @@ def test_materialize_partial_resume(tmp_path, monkeypatch):
     assert back.count() == deduped.count()  # nothing duplicated, nothing lost
 
 
+def test_materialize_resume_after_written_but_unrecorded_group(tmp_path):
+    """Crash AFTER a group's parquet write completed but BEFORE the
+    manifest recorded it: the rerun must replace the group's files, not
+    write a second copy alongside them (staging + wholesale move)."""
+    import json
+
+    docs, _ = synth.make_corpus_tables(50)
+    triples = rd.from_arrow(extract.extract_triples_batch(docs))
+    out = str(tmp_path / "graph")
+    materialize.materialize_graph(triples, out, n_buckets=4, write_groups=4,
+                                  salt=2, hub_threshold=50)
+    expected = materialize.read_graph(out).count()
+
+    # simulate the crash window: group 1's files are on disk but the
+    # manifest says it never finished
+    with open(f"{out}/_MANIFEST.json") as f:
+        man = json.load(f)
+    man["complete"] = False
+    man["groups_done"] = [0, 2, 3]
+    with open(f"{out}/_MANIFEST.json", "w") as f:
+        json.dump(man, f)
+
+    m = materialize.materialize_graph(triples, out, n_buckets=4, write_groups=4,
+                                      salt=2, hub_threshold=50)
+    assert m["complete"]
+    assert materialize.read_graph(out).count() == expected  # no duplicates
+
+
+def test_materialize_write_groups_nondegenerate(tmp_path):
+    """salt divisible by write_groups must NOT collapse all non-hub data
+    into write group 0 (group = unsalted base bucket % write_groups)."""
+    import os
+
+    docs, _ = synth.make_corpus_tables(60)
+    triples = rd.from_arrow(extract.extract_triples_batch(docs))
+    out = str(tmp_path / "graph")
+    materialize.materialize_graph(triples, out, n_buckets=8, write_groups=4,
+                                  salt=4, hub_threshold=10 ** 9)
+    bases = {int(d.split("=")[1]) // 4 for d in os.listdir(out)
+             if d.startswith("bucket=")}
+    groups_with_data = {b % 4 for b in bases}
+    assert len(groups_with_data) > 1, groups_with_data
+
+
 def test_full_pipeline_sidecars_and_conformant_graph(tmp_path):
     """full_pipeline writes the graph + violations/history sidecars; the
     sidecar dirs are invisible to read_graph (underscore prefix); the

@@ -75,6 +75,85 @@ def test_turtle_parser_basics():
     assert norm(turtle.parse_turtle(nt)) == norm(rows)
 
 
+def test_turtle_xsd_string_canonicalized():
+    """RDF 1.1: "x" and "x"^^xsd:string are the same term — both parse to
+    the engine's canonical plain-literal spelling (empty datatype), so
+    the two spellings dedup together and sh:datatype xsd:string matches."""
+    ttl = ('@prefix ex: <http://example.org/> . '
+           '@prefix xsd: <http://www.w3.org/2001/XMLSchema#> . '
+           'ex:a ex:p "plain" . ex:b ex:p "typed"^^xsd:string .')
+    rows = turtle.parse_turtle(ttl)
+    dts = {v: dt for _, _, _, v, dt, _ in rows}
+    assert dts["plain"] == "" and dts["typed"] == ""
+
+
+def test_turtle_numeric_exponent_types():
+    """Exponent forms are xsd:double per the Turtle grammar (N3.js parity);
+    '.'-only forms are xsd:decimal; bare integers xsd:integer."""
+    ttl = ('@prefix ex: <http://example.org/> . '
+           'ex:a ex:p 1e3 , 2.5e-2 , 3.14 , 7 .')
+    rows = turtle.parse_turtle(ttl)
+    dts = {v: dt for _, _, _, v, dt, _ in rows}
+    assert dts["1e3"] == ns.XSD + "double"
+    assert dts["2.5e-2"] == ns.XSD + "double"
+    assert dts["3.14"] == ns.XSD + "decimal"
+    assert dts["7"] == ns.XSD + "integer"
+
+
+def test_composite_node_kinds():
+    """sh:BlankNodeOrIRI admits both kinds; unknown nodeKind values are
+    rejected at compile time instead of mass-false-flagging."""
+    import pytest
+
+    shapes_ttl = """
+    @prefix sh: <http://www.w3.org/ns/shacl#> .
+    @prefix ex: <http://example.org/> .
+    ex:S a sh:NodeShape ; sh:targetClass ex:T ;
+         sh:property [ sh:path ex:p ; sh:nodeKind sh:BlankNodeOrIRI ] .
+    """
+    data_ttl = """
+    @prefix ex: <http://example.org/> .
+    ex:x a ex:T ; ex:p ex:ok , _:b1 , "bad literal" .
+    """
+    rows = turtle.parse_turtle(data_ttl)
+    tbl = pa.Table.from_pylist(
+        [{"subj": s, "pred": p, "obj_kind": k, "obj_value": v,
+          "obj_datatype": dt, "obj_lang": lg, "doc_id": "d0", "span_idx": 0}
+         for s, p, k, v, dt, lg in rows], schema=S.TRIPLES)
+    viols = shacl.validate(rd.from_arrow(tbl), shapes_ttl, concurrency=1)
+    recs = viols.to_pandas().to_dict("records")
+    assert len(recs) == 1 and recs[0]["value"] == "bad literal"
+
+    with pytest.raises(ValueError, match="nodeKind"):
+        shapes_mod.compile_shapes(shapes_ttl.replace(
+            "sh:BlankNodeOrIRI", "sh:NoSuchKind"))
+
+
+def test_datatype_xsd_string_and_langstring():
+    """sh:datatype xsd:string accepts plain literals; lang-tagged literals
+    are rdf:langString, not xsd:string (RDF 1.1 semantics)."""
+    shapes_ttl = """
+    @prefix sh: <http://www.w3.org/ns/shacl#> .
+    @prefix xsd: <http://www.w3.org/2001/XMLSchema#> .
+    @prefix ex: <http://example.org/> .
+    ex:S a sh:NodeShape ; sh:targetClass ex:T ;
+         sh:property [ sh:path ex:p ; sh:datatype xsd:string ] .
+    """
+    data_ttl = """
+    @prefix ex: <http://example.org/> .
+    @prefix xsd: <http://www.w3.org/2001/XMLSchema#> .
+    ex:x a ex:T ; ex:p "plain" , "typed"^^xsd:string , "tagged"@en , 5 .
+    """
+    rows = turtle.parse_turtle(data_ttl)
+    tbl = pa.Table.from_pylist(
+        [{"subj": s, "pred": p, "obj_kind": k, "obj_value": v,
+          "obj_datatype": dt, "obj_lang": lg, "doc_id": "d0", "span_idx": 0}
+         for s, p, k, v, dt, lg in rows], schema=S.TRIPLES)
+    viols = shacl.validate(rd.from_arrow(tbl), shapes_ttl, concurrency=1)
+    bad = sorted(r["value"] for r in viols.to_pandas().to_dict("records"))
+    assert bad == ["5", "tagged"]
+
+
 def test_compile_shapes_profile():
     cs = shapes_mod.compile_shapes(_read(f"{FIX}/shapes/profile.ttl"))
     assert len(cs.node_shapes) == 1
