@@ -86,45 +86,38 @@ class _MinHashStage:
         })
 
 
-def minhash_lsh_dup_pairs(docs: rd.Dataset, tau: float = 0.95, n_perm: int = 32,
-                          n_bands: int = 8, id_col: str = "doc_id",
-                          text_col: str = "text", block_col: str | None = "lang",
-                          concurrency: int = 4, n_buckets: int = 64) -> rd.Dataset:
-    """MinHash+LSH near-dup: signature → band rows → ONE shuffle keyed by
-    bucket-hash → vectorized within-bucket pair generation → exact-Jaccard
-    verification.
+def minhash_lsh_candidates(docs: rd.Dataset, n_perm: int = 32,
+                           n_bands: int = 8, id_col: str = "doc_id",
+                           text_col: str = "text", block_col: str | None = "lang",
+                           concurrency: int = 4,
+                           n_buckets: int | None = None) -> rd.Dataset:
+    """LSH candidate generation: signature → band rows → ONE shuffle keyed
+    by bucket-hash → vectorized within-bucket pair generation.
 
     Each candidate pair is emitted exactly once — from its FIRST matching
     band (a pair in bucket (band i, h) is skipped when its band-hash
     vectors already agree at some band j < i) — so no global pair-dedup
     shuffle is needed. r = n_perm/n_bands = 4 rows/band keeps low-Jaccard
     pairs out of the candidate set while recall at τ=0.95 stays ~1-1e-6.
-
-    The verification side table (id → word-set) is broadcast; at 100 TB it
-    would be replaced by a join of candidate pairs back to the text table
-    (same bucket key), keeping everything distributed.
     """
-    import hashlib
+    from ..sources import io as io_mod
 
-    import ray
-
-    texts_tbl = pa.concat_tables(
-        docs.select_columns([id_col, text_col]).iter_batches(batch_format="pyarrow"))
-    lookup = {i: tf.word_set(t or "") for i, t in
-              zip(texts_tbl.column(id_col).to_pylist(), texts_tbl.column(text_col).to_pylist())}
-    ref = ray.put(lookup)
+    if n_buckets is None:
+        n_buckets = io_mod.default_num_blocks(factor=4, cap=512)
 
     band_rows = docs.map_batches(
         _MinHashStage, fn_constructor_args=(n_perm, n_bands, id_col, text_col, block_col),
         batch_format="pyarrow", concurrency=concurrency, batch_size=1024)
 
     def add_bucket(b: pa.Table) -> pa.Table:
-        bk = [int.from_bytes(
-            hashlib.blake2b(f"{bl}|{bd}|{h}".encode(), digest_size=4).digest(),
-            "little") % n_buckets
-            for bl, bd, h in zip(b["block"].to_pylist(), b["band"].to_pylist(),
-                                 b["bhash"].to_pylist())]
-        return b.append_column("bucket", pa.array(bk, pa.int32()))
+        import pyarrow.compute as pc
+
+        key = pc.binary_join_element_wise(
+            b["block"].cast(pa.string()), b["band"].cast(pa.string()),
+            b["bhash"].cast(pa.string()), "|")
+        h = pd.util.hash_pandas_object(pd.Series(key.to_pandas()), index=False)
+        return b.append_column("bucket",
+                               pa.array((h % n_buckets).astype("int32")))
 
     bucketed = band_rows.map_batches(add_bucket, batch_format="pyarrow")
 
@@ -145,20 +138,89 @@ def minhash_lsh_dup_pairs(docs: rd.Dataset, tau: float = 0.95, n_perm: int = 32,
         return pd.DataFrame({"doc1": pd.array(d1, dtype="int64"),
                              "doc2": pd.array(d2, dtype="int64")})
 
-    cand = bucketed.groupby("bucket").map_groups(gen_pairs, batch_format="pandas")
+    return bucketed.groupby("bucket").map_groups(gen_pairs, batch_format="pandas")
+
+
+def minhash_lsh_dup_pairs(docs: rd.Dataset, tau: float = 0.95, n_perm: int = 32,
+                          n_bands: int = 8, id_col: str = "doc_id",
+                          text_col: str = "text", block_col: str | None = "lang",
+                          concurrency: int = 4, n_buckets: int | None = None,
+                          num_join_partitions: int | None = None) -> rd.Dataset:
+    """MinHash+LSH near-dup: :func:`minhash_lsh_candidates` → exact-Jaccard
+    verification via a REDUCE-SIDE join (fully distributed — the corpus is
+    never materialized on the driver).
+
+    Verification: candidate pairs hash-join back to a (doc_id, word-set)
+    table on doc1 then doc2 (two shuffles of pair-sized data + two of the
+    token table), then the exact Jaccard runs inside the join partitions.
+    Shuffle fan-out scales with the cluster (``io.default_num_blocks``).
+    """
+    cand = minhash_lsh_candidates(docs, n_perm=n_perm, n_bands=n_bands,
+                                  id_col=id_col, text_col=text_col,
+                                  block_col=block_col, concurrency=concurrency,
+                                  n_buckets=n_buckets)
+
+    # Tokens travel as a single \x1f-delimited string column: Acero join
+    # payloads cannot be list-typed, and a flat string is cheaper to
+    # shuffle anyway.
+    def to_tokens(b: pa.Table) -> pa.Table:
+        toks = ["\x1f".join(sorted(tf.word_set(t or "")))
+                for t in b.column(text_col).to_pylist()]
+        return pa.table({id_col: b.column(id_col).cast(pa.int64()),
+                         "toks": pa.array(toks, pa.string())})
+
+    # Pinned in the (distributed, spillable) object store: `tokens` feeds
+    # BOTH joins, and breaking the DAG here keeps the hash-join
+    # aggregator actors from competing with the upstream MinHash actor
+    # pool inside one streaming execution (deadlock-prone on small CPU
+    # counts). Nothing is collected to the driver.
+    tokens = docs.select_columns([id_col, text_col]).map_batches(
+        to_tokens, batch_format="pyarrow", zero_copy_batch=True).materialize()
+    cand = cand.materialize()
+
+    if num_join_partitions is None:
+        # scale with the PAIR volume (cand is materialized → count is
+        # free metadata): ~250k pairs per partition. Each hash-join
+        # partition is one aggregator actor — at small volumes actor
+        # startup dominates, at 1e10 pairs this fans out to the cap.
+        num_join_partitions = max(8, min(512, -(-cand.count() // 250_000)))
+
+    j1 = cand.join(tokens, "inner", num_join_partitions,
+                   on=("doc1",), right_on=(id_col,))
+    # pinned: chaining two JoinOperators in one streaming execution spawns
+    # 2 × num_join_partitions aggregator actors at once and thrashes /
+    # deadlocks on small clusters; the checkpoint is pair-sized,
+    # distributed, and spillable
+    j1 = j1.map_batches(
+        lambda b: pa.table({"doc1": b["doc1"], "doc2": b["doc2"],
+                            "toks1": b["toks"]}),
+        batch_format="pyarrow", zero_copy_batch=True).materialize()
+    j2 = j1.join(tokens, "inner", num_join_partitions,
+                 on=("doc2",), right_on=(id_col,))
 
     def verify(b: pa.Table) -> pa.Table:
-        lk = ray.get(ref)
+        # memo: a doc appears in many pairs within a batch — split its
+        # token string and build the set once
+        memo: dict[int, frozenset] = {}
+
+        def ws(i: int, s: str) -> frozenset:
+            v = memo.get(i)
+            if v is None:
+                v = frozenset(s.split("\x1f")) if s else frozenset()
+                memo[i] = v
+            return v
+
         d1o, d2o, jo = [], [], []
-        for x, y in zip(b["doc1"].to_pylist(), b["doc2"].to_pylist()):
-            j = tf.jaccard(lk[x], lk[y])
+        for x, y, t1, t2 in zip(b["doc1"].to_pylist(), b["doc2"].to_pylist(),
+                                b["toks1"].to_pylist(), b["toks"].to_pylist()):
+            j = tf.jaccard(ws(x, t1), ws(y, t2))
             if j >= tau:
                 d1o.append(x); d2o.append(y); jo.append(round(j, 6))
         return pa.table({"doc1": pa.array(d1o, pa.int64()),
                          "doc2": pa.array(d2o, pa.int64()),
                          "jac": pa.array(jo, pa.float64())})
 
-    return cand.map_batches(verify, batch_format="pyarrow", batch_size=65536)
+    return j2.map_batches(verify, batch_format="pyarrow", batch_size=65536)
 
 
 def simhash_dup_pairs(docs: rd.Dataset, max_hamming: int = 3, id_col: str = "doc_id",
