@@ -7,8 +7,9 @@ documents, and serialized validation reports (round-trip, FIXTURES.md
 F5). Supports: @prefix / PREFIX, IRIs, CURIEs, blank nodes (labelled
 and ``[ ... ]``), ``a``, ``;`` / ``,`` lists, string literals with
 ``\\``-escapes, ``@lang`` tags, ``^^`` datatypes, triple-quoted longs,
-integers / decimals / booleans. Not supported (out of v1 scope, see
-SURVEY.md §7.3): RDF collections ``( … )``, named graphs.
+integers / decimals / doubles / booleans, RDF collections ``( … )``
+(as rdf:first/rdf:rest lists — SHACL sequence paths and sh:in need
+them). Not supported (out of scope, see SURVEY.md §7.3): named graphs.
 
 Triples are returned in the engine's columnar quad shape:
 ``(subj, pred, obj_kind, obj_value, obj_datatype, obj_lang)``.
@@ -160,6 +161,8 @@ class TurtleParser:
         k, v = self._peek()
         if v == "[":
             return self._bnode_props()
+        if v == "(":
+            return self._collection()
         return self._resource()
 
     def _predicate(self) -> str:
@@ -176,6 +179,8 @@ class TurtleParser:
         k, v = self._peek()
         if v == "[":
             return self._bnode_props()
+        if v == "(":
+            return self._collection()
         if k in ("string", "longstr"):
             self._next()
             raw = v[3:-3] if k == "longstr" else v[1:-1]
@@ -222,6 +227,32 @@ class TurtleParser:
         if k == "bnode":
             return Term("blank", f"_:{self.bnode_prefix}_{v[2:]}")
         raise ValueError(f"turtle parse: bad resource token {k}:{v!r}")
+
+    def _collection(self) -> Term:
+        """RDF collection ``( o1 o2 … )`` → rdf:first/rdf:rest list triples;
+        returns the head term (rdf:nil for the empty collection). Needed
+        for SHACL sequence paths and sh:in value lists."""
+        self._expect("(")
+        items: list[Term] = []
+        while self._peek()[1] != ")":
+            if self._peek()[0] == "eof":
+                raise ValueError("turtle parse: unterminated collection")
+            items.append(self._object())
+        self._expect(")")
+        if not items:
+            return Term("iri", ns.RDF + "nil")
+        head = self._new_bnode()
+        cur = head
+        for i, it in enumerate(items):
+            self._emit(Term("blank", cur), ns.RDF + "first", it)
+            if i + 1 < len(items):
+                nxt = self._new_bnode()
+                self._emit(Term("blank", cur), ns.RDF + "rest", Term("blank", nxt))
+                cur = nxt
+            else:
+                self._emit(Term("blank", cur), ns.RDF + "rest",
+                           Term("iri", ns.RDF + "nil"))
+        return Term("blank", head)
 
     def _bnode_props(self) -> Term:
         self._expect("[")

@@ -178,6 +178,28 @@ def q_kg_validate(sf_dir: str):
         ["severity", "focus_node", "path", "value", "source_constraint_component"])
 
 
+def q_kg_validate_paths(sf_dir: str):
+    """Round-2 breadth: property paths (sequence/alternative), target
+    selectors, and length/in/hasValue components over the same corpus."""
+    from ..stages import shacl
+    from ..state import shapes as shapes_mod
+    from . import kg
+    return shacl.validate(
+        kg.triples_dataset(sf_dir),
+        shapes_mod.load_profile_ttl("paths_demo")).select_columns(
+        ["severity", "focus_node", "path", "value",
+         "source_constraint_component"])
+
+
+def q_kg_paths_constraint_counts(sf_dir: str):
+    from ..stages import report, shacl
+    from ..state import shapes as shapes_mod
+    from . import kg
+    viols = shacl.validate(kg.triples_dataset(sf_dir),
+                           shapes_mod.load_profile_ttl("paths_demo"))
+    return report.constraint_components(viols)
+
+
 def q_kg_severity_counts(sf_dir: str):
     from ..stages import shacl
     from . import kg
@@ -230,6 +252,8 @@ QUERIES = {
     "kg_canonical": q_kg_canonical,
     "kg_conformant": q_kg_conformant,
     "kg_validate": q_kg_validate,
+    "kg_validate_paths": q_kg_validate_paths,
+    "kg_paths_constraint_counts": q_kg_paths_constraint_counts,
     "kg_severity_counts": q_kg_severity_counts,
     "kg_constraint_counts": q_kg_constraint_counts,
     "kg_top_shapes": q_kg_top_shapes,
@@ -490,7 +514,63 @@ viol AS (
       WHEN '{shp}DatasetDistShape' THEN 'en::dcat:distribution must point to a typed dcat:Distribution.'
       END"""
 
+    # paths_demo profile (q_kg_validate_paths): canonical path strings as
+    # the engine renders them (seq "a/b", alternative "(a | b)")
+    seq_fmt = f"{dcat}distribution/{dct}format"
+    alt_label = f"({dct}title | {dct}description)"
+    cat_path = f"{dcat}dataset/{dct}title"
+    paths_viol = f"""
+WITH gt AS (SELECT DISTINCT subj, pred, obj_kind, obj_value, obj_datatype, obj_lang
+            FROM {gt}),
+datasets AS (SELECT DISTINCT subj FROM gt
+             WHERE pred = '{ns.RDF_TYPE}' AND obj_value = '{dcat}Dataset'),
+distfmt AS (SELECT DISTINCT d.subj AS ds, f.obj_value AS fmt
+            FROM gt d JOIN gt f ON d.obj_value = f.subj
+            WHERE d.pred = '{dcat}distribution' AND f.pred = '{dct}format'),
+viol AS (
+  SELECT 'Warning' AS severity, ds AS focus_node, '{seq_fmt}' AS path,
+         fmt AS value, '{sh}InConstraintComponent' AS source_constraint_component
+  FROM distfmt
+  WHERE ds IN (SELECT subj FROM datasets)
+    AND fmt NOT IN ('text/csv', 'application/json', 'text/turtle')
+  UNION ALL
+  SELECT 'Violation', d.subj, '{alt_label}', '', '{sh}MinCountConstraintComponent'
+  FROM datasets d
+  WHERE d.subj NOT IN (SELECT subj FROM gt
+                       WHERE pred IN ('{dct}title', '{dct}description'))
+  UNION ALL
+  SELECT 'Info', g.subj, '{dct}format', g.obj_value,
+         '{sh}MinLengthConstraintComponent'
+  FROM gt g WHERE g.pred = '{dct}format' AND length(g.obj_value) < 9
+  UNION ALL
+  SELECT 'Info', g.subj, '{dct}format', g.obj_value,
+         '{sh}MaxLengthConstraintComponent'
+  FROM gt g WHERE g.pred = '{dct}format' AND length(g.obj_value) > 32
+  UNION ALL
+  SELECT 'Violation', o.obj_value, '{ns.RDF_TYPE}', '',
+         '{sh}HasValueConstraintComponent'
+  FROM (SELECT DISTINCT obj_value FROM gt WHERE pred = '{dcat}distribution') o
+  WHERE o.obj_value NOT IN
+      (SELECT subj FROM gt
+       WHERE pred = '{ns.RDF_TYPE}' AND obj_value = '{dcat}Distribution')
+  UNION ALL
+  SELECT 'Violation', '{ns.EX}catalog/main', '{cat_path}', '',
+         '{sh}MinCountConstraintComponent'
+  WHERE NOT EXISTS
+      (SELECT 1 FROM gt c JOIN gt t ON c.obj_value = t.subj
+       WHERE c.subj = '{ns.EX}catalog/main' AND c.pred = '{dcat}dataset'
+         AND t.pred = '{dct}title')
+)
+"""
+
     return {
+        "kg_validate_paths": paths_viol +
+            "SELECT severity, focus_node, path, value, "
+            "source_constraint_component FROM viol",
+        "kg_paths_constraint_counts": paths_viol + """
+SELECT regexp_extract(source_constraint_component, '[^#/]+$') AS name,
+       count(*) AS value
+FROM viol GROUP BY 1 ORDER BY value DESC, name LIMIT 8""",
         "kg_canonical":
             f"SELECT DISTINCT subj, pred, obj_kind, obj_value, obj_datatype, obj_lang "
             f"FROM {gt}",

@@ -6,15 +6,28 @@ validation is re-expressed as vectorized per-triple predicates over the
 triples Dataset:
 
 - **value constraints** (``sh:datatype``, ``sh:pattern``, ``sh:nodeKind``,
-  ``sh:class``) — an actor-pool ``map_batches`` stage; each actor compiles
-  the shapes graph once in ``__init__`` and holds the broadcast
-  focus-node / class-membership sets (map-side semi-join J5).
-- **cardinality constraints** (``sh:minCount`` / ``sh:maxCount``) — the
-  absence problem (SURVEY.md §7.3): a "required" row is emitted per
-  (focus node, counted property shape) from the type triples, unioned
-  with observed rows, then one ``groupby`` + vectorized compare. A focus
-  node with zero values yields n=0 < minCount without any anti-join
-  materialization on the driver.
+  ``sh:class``, ``sh:minLength``/``sh:maxLength``, ``sh:in``) — a
+  ``map_batches`` stage; each worker compiles the shapes graph once and
+  holds the broadcast focus-node / class-membership sets (map-side
+  semi-join J5).
+- **cardinality constraints** (``sh:minCount`` / ``sh:maxCount``) and
+  ``sh:hasValue`` — the absence problem (SURVEY.md §7.3): a "required"
+  row is emitted per (focus node, counted property shape) from the
+  target triples, unioned with observed rows, then one ``groupby`` +
+  vectorized compare. A focus node with zero values yields n=0 without
+  any anti-join materialization on the driver; ``sh:hasValue`` is the
+  same machinery counting only matching values.
+- **property paths** (sequence ``a/b``, alternative ``(a | b)`` —
+  reference path extractor SHACLValidationService.ts:207-247): derived
+  "virtual predicate" rows are built once per path (alternatives by
+  re-predicating matching rows, sequences by a distributed self-join on
+  the intermediate node), deduped to value-SET semantics, and unioned
+  with the base triples — every downstream constraint then treats the
+  path exactly like a single predicate.
+- **target selectors** (``sh:targetClass``, ``sh:targetNode``,
+  ``sh:targetSubjectsOf``, ``sh:targetObjectsOf`` —
+  SHACLValidationService.ts:401-408): focus membership per target is
+  collected in one vectorized scan and broadcast.
 
 Scale note: focus/class membership sets are broadcast via ``ray.put``
 (entity dictionaries are ~e6 at 1e12-doc scale after canonicalization);
@@ -38,10 +51,7 @@ from .. import schema as S
 
 _TUPLE_COLS = ["subj", "pred", "obj_kind", "obj_value", "obj_datatype", "obj_lang"]
 
-# sh:nodeKind values → the set of obj_kind codes they admit (the three
-# composite kinds are unions — SHACL-core §4.1.1; previously unsupported
-# values silently violated everything). Unknown values are rejected at
-# shape-compile time (state/shapes.py).
+# re-exported (compat): admitted obj_kind codes per sh:nodeKind value
 NODEKIND_SETS = shapes_mod.NODEKIND_SETS
 
 
@@ -70,26 +80,159 @@ def dedup_triples(triples: rd.Dataset, n_buckets: int = 64) -> rd.Dataset:
             .groupby("_bucket").map_groups(per_bucket, batch_format="pandas"))
 
 
-def collect_class_members(triples: rd.Dataset, classes: set[str]) -> dict[str, set[str]]:
-    """class IRI → set of instance IRIs, from rdf:type triples.
+def collect_members(triples: rd.Dataset,
+                    compiled: "shapes_mod.CompiledShapes") -> dict[str, set[str]]:
+    """Broadcast membership sets, ONE vectorized scan over the triples:
 
-    Driver-side collect of only the *referenced* classes' members (a tiny
-    slice of the data); at 10^12 scale this becomes a Bloom filter per
-    class, built with a distributed aggregate — same broadcast shape.
+    - ``class:<IRI>`` → instances (rdf:type objects) — used both for
+      class-target focus sets and the ``sh:class`` semi-join (J5);
+    - ``subjects_of:<pred>`` / ``objects_of:<pred>`` → focus sets for
+      the corresponding target selectors.
+
+    Driver-side collect of only the *referenced* keys' members (a tiny,
+    entity-scale slice); at 10^12 scale each set becomes a Bloom filter
+    built with the same mergeable shape.
     """
-    if not classes:
+    classes = compiled.referenced_classes()
+    subj_preds = {t.value for t in compiled.targets() if t.kind == "subjects_of"}
+    obj_preds = {t.value for t in compiled.targets() if t.kind == "objects_of"}
+    if not (classes or subj_preds or obj_preds):
         return {}
-    typed = triples.map_batches(
-        lambda b: b.filter(
-            pc.and_(pc.equal(b["pred"], ns.RDF_TYPE),
-                    pc.is_in(b["obj_value"], value_set=pa.array(sorted(classes))))
-        ).select(["subj", "obj_value"]),
-        batch_format="pyarrow", zero_copy_batch=True)
-    members: dict[str, set[str]] = {c: set() for c in classes}
-    for batch in typed.iter_batches(batch_format="pyarrow"):
-        for subj, cls in zip(batch["subj"].to_pylist(), batch["obj_value"].to_pylist()):
-            members[cls].add(subj)
+
+    cls_arr = pa.array(sorted(classes))
+    sp_arr = pa.array(sorted(subj_preds))
+    op_arr = pa.array(sorted(obj_preds))
+
+    def member_rows(b: pa.Table) -> pa.Table:
+        outs = []
+        if len(cls_arr):
+            t = b.filter(pc.and_(pc.equal(b["pred"], ns.RDF_TYPE),
+                                 pc.is_in(b["obj_value"], value_set=cls_arr)))
+            if t.num_rows:
+                key = pc.binary_join_element_wise(
+                    pa.array(["class"] * t.num_rows), t["obj_value"], ":")
+                outs.append(pa.table({"key": key, "member": t["subj"]}))
+        if len(sp_arr):
+            t = b.filter(pc.is_in(b["pred"], value_set=sp_arr))
+            if t.num_rows:
+                key = pc.binary_join_element_wise(
+                    pa.array(["subjects_of"] * t.num_rows), t["pred"], ":")
+                outs.append(pa.table({"key": key, "member": t["subj"]}))
+        if len(op_arr):
+            t = b.filter(pc.is_in(b["pred"], value_set=op_arr))
+            if t.num_rows:
+                key = pc.binary_join_element_wise(
+                    pa.array(["objects_of"] * t.num_rows), t["pred"], ":")
+                outs.append(pa.table({"key": key, "member": t["obj_value"]}))
+        if outs:
+            return pa.concat_tables(outs)
+        return pa.table({"key": pa.array([], pa.string()),
+                         "member": pa.array([], pa.string())})
+
+    rows = triples.map_batches(member_rows, batch_format="pyarrow",
+                               zero_copy_batch=True)
+    members: dict[str, set[str]] = {}
+    for c in classes:
+        members[f"class:{c}"] = set()
+    for batch in rows.iter_batches(batch_format="pyarrow"):
+        for key, m in zip(batch["key"].to_pylist(), batch["member"].to_pylist()):
+            members.setdefault(key, set()).add(m)
     return members
+
+
+def collect_class_members(triples: rd.Dataset, classes: set[str]) -> dict[str, set[str]]:
+    """Compatibility shim: class IRI → instance set (see collect_members)."""
+    fake = shapes_mod.CompiledShapes([
+        shapes_mod.NodeShape(iri=c, targets=[shapes_mod.Target("class", c)])
+        for c in sorted(classes)])
+    got = collect_members(triples, fake)
+    return {c: got.get(f"class:{c}", set()) for c in classes}
+
+
+def _seq_rows(triples: rd.Dataset, path_str: str, preds: tuple[str, ...],
+              num_partitions: int) -> rd.Dataset:
+    """Derived rows for a sequence path: fold a distributed self-join over
+    the predicate chain; output rows are TRIPLES-schema with the virtual
+    predicate ``path_str`` (lineage columns from the FINAL step)."""
+    first_pred = preds[0]
+    cur = triples.map_batches(
+        lambda b, p0=first_pred: pa.table({
+            "src": (f := b.filter(pc.equal(b["pred"], p0)))["subj"],
+            "mid": f["obj_value"]}),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+    for step in preds[1:-1]:
+        nxt = triples.map_batches(
+            lambda b, p0=step: pa.table({
+                "mid": (f := b.filter(pc.equal(b["pred"], p0)))["subj"],
+                "nxt": f["obj_value"]}),
+            batch_format="pyarrow", zero_copy_batch=True)
+        # materialized between joins: chained hash-join operators in one
+        # streaming execution thrash on small clusters (see dedup.py)
+        cur = (cur.join(nxt, "inner", num_partitions, on=("mid",))
+               .map_batches(lambda b: pa.table({"src": b["src"],
+                                                "mid": b["nxt"]}),
+                            batch_format="pyarrow").materialize())
+
+    last_pred = preds[-1]
+    final = triples.map_batches(
+        lambda b, p0=last_pred: (f := b.filter(pc.equal(b["pred"], p0))).select(
+            ["subj", "obj_kind", "obj_value", "obj_datatype", "obj_lang",
+             "doc_id", "span_idx"]).rename_columns(
+            ["mid", "obj_kind", "obj_value", "obj_datatype", "obj_lang",
+             "doc_id", "span_idx"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    joined = cur.join(final, "inner", num_partitions, on=("mid",))
+    return joined.map_batches(
+        lambda b: pa.table({
+            "subj": b["src"],
+            "pred": pa.array([path_str] * b.num_rows, pa.string()),
+            "obj_kind": b["obj_kind"], "obj_value": b["obj_value"],
+            "obj_datatype": b["obj_datatype"], "obj_lang": b["obj_lang"],
+            "doc_id": b["doc_id"], "span_idx": b["span_idx"]}),
+        batch_format="pyarrow")
+
+
+def augment_paths(triples: rd.Dataset,
+                  compiled: "shapes_mod.CompiledShapes",
+                  num_partitions: int | None = None) -> rd.Dataset | None:
+    """Derived virtual-predicate rows for every sequence / alternative
+    path in the shapes graph, deduped to SHACL value-SET semantics.
+    Returns None when the shapes use only single-predicate paths."""
+    from ..sources import io as io_mod
+
+    alts = compiled.alt_paths()
+    seqs = compiled.seq_paths()
+    if not alts and not seqs:
+        return None
+    if num_partitions is None:
+        num_partitions = max(8, io_mod.default_num_blocks() // 2)
+
+    derived: list[rd.Dataset] = []
+    if alts:
+        def alt_rows(b: pa.Table) -> pa.Table:
+            outs = []
+            for path_str, preds in alts:
+                sub = b.filter(pc.is_in(b["pred"], value_set=pa.array(list(preds))))
+                if sub.num_rows:
+                    sub = sub.set_column(
+                        sub.column_names.index("pred"), "pred",
+                        pa.array([path_str] * sub.num_rows, pa.string()))
+                    outs.append(sub)
+            return pa.concat_tables(outs) if outs else b.slice(0, 0)
+
+        derived.append(triples.map_batches(alt_rows, batch_format="pyarrow",
+                                           zero_copy_batch=True))
+    for path_str, preds in seqs:
+        derived.append(
+            _seq_rows(triples, path_str, preds, num_partitions).materialize())
+
+    out = derived[0]
+    for d in derived[1:]:
+        out = out.union(d)
+    # dedup: a path value reachable via two intermediates (or two
+    # alternatives) is ONE value node, not two
+    return dedup_triples(out).materialize()
 
 
 _STATE_CACHE: dict = {}
@@ -122,18 +265,38 @@ def _violation_rows(rows: list[dict]) -> pa.Table:
     return pa.Table.from_pylist(rows, schema=S.VIOLATIONS)
 
 
+def _focus_sets(members: dict[str, set[str]],
+                targets: tuple["shapes_mod.Target", ...]) -> list:
+    """Target selectors → membership sets (node targets are literal sets)."""
+    out = []
+    for t in targets:
+        if t.kind == "node":
+            out.append(frozenset({t.value}))
+        else:
+            out.append(members.get(t.key) or frozenset())
+    return out
+
+
 class ValueConstraints:
-    """Actor-pool stage for per-value constraints; shapes compiled once per actor."""
+    """Per-value constraint stage; shapes compiled once per worker/actor."""
 
     def __init__(self, shapes_ttl: str, members_ref):
         self.shapes = shapes_mod.compile_shapes(shapes_ttl)
         self.members = ray.get(members_ref)
         self.pages = self.shapes.foaf_pages()
-        # pre-group property shapes by path for a single pass per batch
-        self.by_path: dict[str, list[tuple[str, shapes_mod.PropertyShape]]] = {}
-        for nshape, p, _ in self.shapes.property_shapes():
-            if p.datatype or p.pattern or p.node_kind or p.node_class:
-                self.by_path.setdefault(p.path, []).append((nshape.target_class, p))
+        # pre-group property shapes by (canonical) path for a single pass
+        # per batch; each entry keeps its node shape's target tuple so a
+        # focus node matching ANY target is validated exactly once
+        self.by_path: dict[str, list[tuple[list, shapes_mod.PropertyShape]]] = {}
+        self.in_sets: dict[int, frozenset] = {}
+        for nshape, p, idx in self.shapes.property_shapes():
+            if (p.datatype or p.pattern or p.node_kind or p.node_class
+                    or p.min_length >= 0 or p.max_length >= 0 or p.in_values):
+                fsets = _focus_sets(self.members, tuple(nshape.targets))
+                self.by_path.setdefault(p.path, []).append((fsets, p))
+                if p.in_values:
+                    self.in_sets[idx] = frozenset(p.in_values)
+                p._global_idx = idx  # type: ignore[attr-defined]
 
     def __call__(self, b: pa.Table) -> pa.Table:
         """Vectorized: one numpy mask pipeline per (path, property shape);
@@ -177,10 +340,10 @@ class ValueConstraints:
             if not pm.any():
                 continue
             pidx = np.flatnonzero(pm)
-            for tclass, p in shapes:
-                focus = self.members.get(tclass, frozenset())
-                fm = np.fromiter((subjs[i] in focus for i in pidx),
-                                 dtype=bool, count=len(pidx))
+            for fsets, p in shapes:
+                fm = np.fromiter(
+                    (any(subjs[i] in s for s in fsets) for i in pidx),
+                    dtype=bool, count=len(pidx))
                 fidx = pidx[fm]
                 if len(fidx) == 0:
                     continue
@@ -198,78 +361,112 @@ class ValueConstraints:
                                            dtype=bool, count=len(fidx))]
                     emit_rows(p, bad, "NodeKindConstraintComponent")
                 if p.node_class:
-                    cls = self.members.get(p.node_class, frozenset())
+                    cls = self.members.get(f"class:{p.node_class}", frozenset())
                     bad = [i for i in fidx
                            if kinds[i] != "iri" or vals[i] not in cls]
                     emit_rows(p, bad, "ClassConstraintComponent")
+                if p.min_length >= 0:
+                    bad = [i for i in fidx
+                           if kinds[i] == "blank" or len(vals[i]) < p.min_length]
+                    emit_rows(p, bad, "MinLengthConstraintComponent")
+                if p.max_length >= 0:
+                    bad = [i for i in fidx
+                           if kinds[i] == "blank" or len(vals[i]) > p.max_length]
+                    emit_rows(p, bad, "MaxLengthConstraintComponent")
+                if p.in_values:
+                    inset = self.in_sets[p._global_idx]  # type: ignore[attr-defined]
+                    bad = [i for i in fidx if vals[i] not in inset]
+                    emit_rows(p, bad, "InConstraintComponent")
         return _violation_rows(out)
 
 
+# card-row kinds: 0 = min/maxCount counting, 1 = hasValue matching
+_CARD_SCHEMA = pa.schema([
+    pa.field("subj", pa.string()),
+    pa.field("shape_idx", pa.int32()),
+    pa.field("kind", pa.int32()),
+    pa.field("req_min", pa.int32()),
+    pa.field("req_max", pa.int32()),
+    pa.field("n", pa.int64()),
+])
+
+
 class CardinalityRows:
-    """Emit required+observed rows for the cardinality groupby (see module doc)."""
+    """Emit required+observed rows for the cardinality/hasValue groupby
+    (see module doc). Required rows come from the target triples
+    (class / subjects_of / objects_of); sh:targetNode required rows are
+    injected as a tiny side table in :func:`validate`."""
 
     def __init__(self, shapes_ttl: str, members_ref):
         self.shapes = shapes_mod.compile_shapes(shapes_ttl)
         self.members = ray.get(members_ref)
-        # shape_idx → (target_class, pshape); only shapes with bounds
-        self.card: list[tuple[str, shapes_mod.PropertyShape, int]] = []
+        # (targets, pshape, global idx, kind)
+        self.card: list[tuple[tuple, shapes_mod.PropertyShape, int, int]] = []
         for nshape, p, idx in self.shapes.property_shapes():
             if p.min_count >= 0 or p.max_count >= 0:
-                self.card.append((nshape.target_class, p, idx))
-        self.paths = {p.path for _, p, _ in self.card}
-        self.tclasses = {c for c, _, _ in self.card}
+                self.card.append((tuple(nshape.targets), p, idx, 0))
+            if p.has_value:
+                self.card.append((tuple(nshape.targets), p, idx, 1))
 
     def __call__(self, b: pa.Table) -> pa.Table:
         """Vectorized: per card-shape numpy masks; no per-triple Python loop."""
         import numpy as np
 
-        subj_chunks, idx_chunks, min_chunks, max_chunks, n_chunks = [], [], [], [], []
+        chunks: dict[str, list] = {k: [] for k in
+                                   ("subj", "idx", "kind", "mn", "mx", "n")}
 
-        def emit(subjset: np.ndarray, idx: int, rmin: int, rmax: int, n: int):
+        def emit(subjset: np.ndarray, idx: int, kind: int, rmin: int,
+                 rmax: int, n: int):
             k = len(subjset)
             if not k:
                 return
-            subj_chunks.append(subjset)
-            idx_chunks.append(np.full(k, idx, dtype=np.int32))
-            min_chunks.append(np.full(k, rmin, dtype=np.int32))
-            max_chunks.append(np.full(k, rmax, dtype=np.int32))
-            n_chunks.append(np.full(k, n, dtype=np.int64))
+            chunks["subj"].append(subjset)
+            chunks["idx"].append(np.full(k, idx, dtype=np.int32))
+            chunks["kind"].append(np.full(k, kind, dtype=np.int32))
+            chunks["mn"].append(np.full(k, rmin, dtype=np.int32))
+            chunks["mx"].append(np.full(k, rmax, dtype=np.int32))
+            chunks["n"].append(np.full(k, n, dtype=np.int64))
 
         preds = np.asarray(b["pred"].to_pandas(), dtype=object)
         subjs = np.asarray(b["subj"].to_pandas(), dtype=object)
         objs = np.asarray(b["obj_value"].to_pandas(), dtype=object)
-
-        # required rows from type triples (one per deduped (subj, targetClass))
         tmask = preds == ns.RDF_TYPE
-        for tclass, p, idx in self.card:
-            sel = subjs[tmask & (objs == tclass)]
-            emit(sel, idx, p.min_count, p.max_count, 0)
 
-        # observed rows (focus membership via broadcast set)
-        for tclass, p, idx in self.card:
+        for targets, p, idx, kind in self.card:
+            rmin = p.min_count if kind == 0 else 1
+            rmax = p.max_count if kind == 0 else -1
+            # required rows, per target selector (sh:targetNode → side table)
+            for t in targets:
+                if t.kind == "class":
+                    emit(subjs[tmask & (objs == t.value)], idx, kind, rmin, rmax, 0)
+                elif t.kind == "subjects_of":
+                    emit(subjs[preds == t.value], idx, kind, rmin, rmax, 0)
+                elif t.kind == "objects_of":
+                    emit(objs[preds == t.value], idx, kind, rmin, rmax, 0)
+
+            # observed rows (focus membership via broadcast sets)
             pm = preds == p.path
+            if kind == 1:
+                pm = pm & (objs == p.has_value)
             if not pm.any():
                 continue
-            focus = self.members.get(tclass, frozenset())
+            fsets = _focus_sets(self.members, targets)
             cand = subjs[pm]
-            fm = np.fromiter((s in focus for s in cand), dtype=bool, count=len(cand))
-            emit(cand[fm], idx, -1, -1, 1)
+            fm = np.fromiter((any(s in fs for fs in fsets) for s in cand),
+                             dtype=bool, count=len(cand))
+            emit(cand[fm], idx, kind, -1, -1, 1)
 
-        if subj_chunks:
+        if chunks["subj"]:
             return pa.table({
-                "subj": pa.array(np.concatenate(subj_chunks).tolist(), pa.string()),
-                "shape_idx": pa.array(np.concatenate(idx_chunks)),
-                "req_min": pa.array(np.concatenate(min_chunks)),
-                "req_max": pa.array(np.concatenate(max_chunks)),
-                "n": pa.array(np.concatenate(n_chunks)),
-            })
-        return pa.table({
-            "subj": pa.array([], pa.string()),
-            "shape_idx": pa.array([], pa.int32()),
-            "req_min": pa.array([], pa.int32()),
-            "req_max": pa.array([], pa.int32()),
-            "n": pa.array([], pa.int64()),
-        })
+                "subj": pa.array(np.concatenate(chunks["subj"]).tolist(),
+                                 pa.string()),
+                "shape_idx": pa.array(np.concatenate(chunks["idx"])),
+                "kind": pa.array(np.concatenate(chunks["kind"])),
+                "req_min": pa.array(np.concatenate(chunks["mn"])),
+                "req_max": pa.array(np.concatenate(chunks["mx"])),
+                "n": pa.array(np.concatenate(chunks["n"])),
+            }, schema=_CARD_SCHEMA)
+        return _CARD_SCHEMA.empty_table()
 
 
 def validate(triples: rd.Dataset, shapes_ttl: str, *, deduped: bool = False,
@@ -278,12 +475,12 @@ def validate(triples: rd.Dataset, shapes_ttl: str, *, deduped: bool = False,
     """triples Dataset → violations Dataset (schema.VIOLATIONS).
 
     The deduped triple set is materialized once — it is consumed by three
-    downstream passes (class-membership collect, value constraints,
-    cardinality rows); without pinning it, each branch would re-run the
-    dedup shuffle. At 100 TB this materialization is instead the
-    partitioned checkpoint write of the materialize stage (the validation
-    passes then read the checkpoint), so nothing holds the full set in
-    one node's memory.
+    downstream passes (membership collect, value constraints, cardinality
+    rows) plus the path-augmentation joins; without pinning it, each
+    branch would re-run the dedup shuffle. At 100 TB this materialization
+    is instead the partitioned checkpoint write of the materialize stage
+    (the validation passes then read the checkpoint), so nothing holds
+    the full set in one node's memory.
     """
     from ..sources import io as io_mod
 
@@ -296,7 +493,12 @@ def validate(triples: rd.Dataset, shapes_ttl: str, *, deduped: bool = False,
         triples = dedup_triples(triples)
     if not isinstance(triples, MaterializedDataset):
         triples = triples.materialize()
-    members = collect_class_members(triples, compiled.referenced_classes())
+
+    # derived virtual-predicate rows for sequence/alternative paths
+    derived = augment_paths(triples, compiled)
+    eval_triples = triples.union(derived) if derived is not None else triples
+
+    members = collect_members(triples, compiled)
     members_ref = ray.put(members)
 
     # Stateless task pools + a per-worker-process compile cache (see
@@ -311,42 +513,62 @@ def validate(triples: rd.Dataset, shapes_ttl: str, *, deduped: bool = False,
     def card_fn(b: pa.Table) -> pa.Table:
         return _worker_state(CardinalityRows, shapes_ttl, members_ref)(b)
 
-    value_viols = triples.map_batches(value_fn, batch_format="pyarrow",
-                                      batch_size=batch_size)
+    value_viols = eval_triples.map_batches(value_fn, batch_format="pyarrow",
+                                           batch_size=batch_size)
 
-    card_rows = triples.map_batches(card_fn, batch_format="pyarrow",
-                                    batch_size=batch_size)
+    card_rows = eval_triples.map_batches(card_fn, batch_format="pyarrow",
+                                         batch_size=batch_size)
 
-    counts = card_rows.groupby(["subj", "shape_idx"]).aggregate(
+    # sh:targetNode required rows: a fixed, shape-sized list — injected once
+    node_req: list[dict] = []
+    for nshape, p, idx in compiled.property_shapes():
+        for t in nshape.targets:
+            if t.kind != "node":
+                continue
+            if p.min_count >= 0 or p.max_count >= 0:
+                node_req.append({"subj": t.value, "shape_idx": idx, "kind": 0,
+                                 "req_min": p.min_count, "req_max": p.max_count,
+                                 "n": 0})
+            if p.has_value:
+                node_req.append({"subj": t.value, "shape_idx": idx, "kind": 1,
+                                 "req_min": 1, "req_max": -1, "n": 0})
+    if node_req:
+        card_rows = card_rows.union(
+            rd.from_arrow(pa.Table.from_pylist(node_req, schema=_CARD_SCHEMA)))
+
+    counts = card_rows.groupby(["subj", "shape_idx", "kind"]).aggregate(
         Max("req_min", alias_name="req_min"),
         Max("req_max", alias_name="req_max"),
         Sum("n", alias_name="n"),
     )
 
-    pshapes = {idx: p for _, p, idx in
-               ((n, p, i) for n, p, i in compiled.property_shapes())}
+    pshapes = {idx: p for _, p, idx in compiled.property_shapes()}
     pages = compiled.foaf_pages()
 
     def card_violations(b: pa.Table) -> pa.Table:
         rows: list[dict] = []
-        for subj, idx, rmin, rmax, n in zip(
+        for subj, idx, kind, rmin, rmax, n in zip(
                 b["subj"].to_pylist(), b["shape_idx"].to_pylist(),
-                b["req_min"].to_pylist(), b["req_max"].to_pylist(), b["n"].to_pylist()):
+                b["kind"].to_pylist(), b["req_min"].to_pylist(),
+                b["req_max"].to_pylist(), b["n"].to_pylist()):
             p = pshapes[idx]
+
+            def row(comp_local: str) -> dict:
+                comp = ns.SH + comp_local
+                return {
+                    "severity": p.severity, "focus_node": subj, "path": p.path,
+                    "value": "", "message": _synth_message(comp, p),
+                    "source_constraint_component": comp, "source_shape": p.iri,
+                    "foaf_page": pages.get(p.iri, "")}
+
+            if kind == 1:
+                if n == 0:
+                    rows.append(row("HasValueConstraintComponent"))
+                continue
             if rmin is not None and rmin >= 0 and n < rmin:
-                comp = ns.SH + "MinCountConstraintComponent"
-                rows.append({
-                    "severity": p.severity, "focus_node": subj, "path": p.path,
-                    "value": "", "message": _synth_message(comp, p),
-                    "source_constraint_component": comp, "source_shape": p.iri,
-                    "foaf_page": pages.get(p.iri, "")})
+                rows.append(row("MinCountConstraintComponent"))
             if rmax is not None and rmax >= 0 and n > rmax:
-                comp = ns.SH + "MaxCountConstraintComponent"
-                rows.append({
-                    "severity": p.severity, "focus_node": subj, "path": p.path,
-                    "value": "", "message": _synth_message(comp, p),
-                    "source_constraint_component": comp, "source_shape": p.iri,
-                    "foaf_page": pages.get(p.iri, "")})
+                rows.append(row("MaxCountConstraintComponent"))
         return _violation_rows(rows)
 
     card_viols = counts.map_batches(card_violations, batch_format="pyarrow")

@@ -5,12 +5,25 @@ plain dataclasses that validator actors hold in memory — the actor-pool
 analog of the reference's static shapes cache
 (/root/reference/src/services/SHACLValidationService.ts:35,114-138).
 
-v1 scope (per BASELINE.json north_star): ``sh:minCount``,
-``sh:maxCount``, ``sh:datatype``, ``sh:class``, ``sh:pattern`` (+flags)
-and ``sh:nodeKind`` on node/property shapes with single-predicate
-``sh:path`` (property-path restriction documented in SURVEY.md §7.3).
+Scope (BASELINE.json north_star subset + round-2 breadth):
+
+- **components**: ``sh:minCount`` / ``sh:maxCount``, ``sh:datatype``,
+  ``sh:class``, ``sh:pattern`` (+``sh:flags``), ``sh:nodeKind`` (incl.
+  composite kinds), ``sh:minLength`` / ``sh:maxLength``, ``sh:in``,
+  ``sh:hasValue``.
+- **paths**: single predicates, sequence paths ``( a b … )`` and
+  alternative paths ``[ sh:alternativePath ( a b ) ]`` — mirroring the
+  reference's path extractor
+  (/root/reference/src/services/SHACLValidationService.ts:207-247).
+  Inverse/zero-or-more path operators remain out of scope and are
+  rejected at compile time.
+- **targets**: ``sh:targetClass``, ``sh:targetNode``,
+  ``sh:targetSubjectsOf``, ``sh:targetObjectsOf``
+  (/root/reference/src/services/SHACLValidationService.ts:401-408 gets
+  these from shacl-engine).
+
 Pattern strings get the PCRE→Python cleanup analog of the reference's
-PCRE→JS rewrite (/root/reference/src/services/SHACLValidationService.ts:77-99).
+PCRE→JS rewrite (SHACLValidationService.ts:77-99).
 """
 
 from __future__ import annotations
@@ -21,10 +34,24 @@ from dataclasses import dataclass, field
 from ..functions import ns, turtle
 
 
+@dataclass(frozen=True)
+class Target:
+    """One target selector; ``key`` is the broadcast-membership dict key."""
+
+    kind: str  # "class" | "node" | "subjects_of" | "objects_of"
+    value: str
+
+    @property
+    def key(self) -> str:
+        return f"{self.kind}:{self.value}"
+
+
 @dataclass
 class PropertyShape:
     iri: str
-    path: str
+    path: str                      # canonical string ("p", "a/b", "(a | b)")
+    path_kind: str = "single"      # "single" | "seq" | "alt"
+    path_preds: list[str] = field(default_factory=list)
     min_count: int = -1
     max_count: int = -1
     datatype: str = ""
@@ -32,6 +59,11 @@ class PropertyShape:
     pattern: str = ""
     flags: str = ""
     node_kind: str = ""
+    min_length: int = -1
+    max_length: int = -1
+    in_values: list[str] = field(default_factory=list)   # obj_value strings
+    has_value: str = ""            # required value (sh:hasValue)
+    has_value_kind: str = ""       # its term kind ("iri" | "literal" | …)
     severity: str = "Violation"
     messages: list[tuple[str, str]] = field(default_factory=list)  # (text, lang)
     foaf_page: str = ""
@@ -46,9 +78,17 @@ class PropertyShape:
 @dataclass
 class NodeShape:
     iri: str
-    target_class: str
+    targets: list[Target] = field(default_factory=list)
     properties: list[PropertyShape] = field(default_factory=list)
     foaf_page: str = ""
+
+    @property
+    def target_class(self) -> str:
+        """First class target (compatibility accessor; '' if none)."""
+        for t in self.targets:
+            if t.kind == "class":
+                return t.value
+        return ""
 
 
 @dataclass
@@ -63,12 +103,41 @@ class CompiledShapes:
                 yield nshape, p, i
                 i += 1
 
+    def targets(self) -> list[Target]:
+        out, seen = [], set()
+        for n in self.node_shapes:
+            for t in n.targets:
+                if t.key not in seen:
+                    seen.add(t.key)
+                    out.append(t)
+        return out
+
     def referenced_classes(self) -> set[str]:
-        out = {n.target_class for n in self.node_shapes}
+        out = {t.value for t in self.targets() if t.kind == "class"}
         for n in self.node_shapes:
             for p in n.properties:
                 if p.node_class:
                     out.add(p.node_class)
+        return out
+
+    def seq_paths(self) -> list[tuple[str, tuple[str, ...]]]:
+        """Distinct sequence paths: (canonical string, predicate chain)."""
+        out, seen = [], set()
+        for n in self.node_shapes:
+            for p in n.properties:
+                if p.path_kind == "seq" and p.path not in seen:
+                    seen.add(p.path)
+                    out.append((p.path, tuple(p.path_preds)))
+        return out
+
+    def alt_paths(self) -> list[tuple[str, tuple[str, ...]]]:
+        """Distinct alternative paths: (canonical string, predicates)."""
+        out, seen = [], set()
+        for n in self.node_shapes:
+            for p in n.properties:
+                if p.path_kind == "alt" and p.path not in seen:
+                    seen.add(p.path)
+                    out.append((p.path, tuple(p.path_preds)))
         return out
 
     def foaf_pages(self) -> dict[str, str]:
@@ -118,6 +187,13 @@ NODEKIND_SETS = {
     "BlankNodeOrLiteral": frozenset({"blank", "literal"}),
 }
 
+_TARGET_PREDS = [
+    (ns.SH + "targetClass", "class"),
+    (ns.SH + "targetNode", "node"),
+    (ns.SH + "targetSubjectsOf", "subjects_of"),
+    (ns.SH + "targetObjectsOf", "objects_of"),
+]
+
 
 def compile_shapes(ttl_text: str) -> CompiledShapes:
     triples = turtle.parse_turtle(ttl_text, bnode_prefix="sh")
@@ -129,8 +205,56 @@ def compile_shapes(ttl_text: str) -> CompiledShapes:
         vals = spo.get(subj, {}).get(pred)
         return vals[0][1] if vals else default
 
+    def read_list(head: str) -> list[tuple[str, str]]:
+        """rdf:first/rdf:rest chain → [(kind, value), …]."""
+        out: list[tuple[str, str]] = []
+        seen: set[str] = set()
+        while head and head != ns.RDF + "nil" and head not in seen:
+            seen.add(head)
+            node = spo.get(head, {})
+            f = node.get(ns.RDF + "first")
+            if not f:
+                break
+            out.append((f[0][0], f[0][1]))
+            r = node.get(ns.RDF + "rest")
+            head = r[0][1] if r else ""
+        return out
+
+    def parse_path(piri: str) -> tuple[str, str, list[str]]:
+        """sh:path object → (canonical string, path kind, predicates)."""
+        vals = spo.get(piri, {}).get(ns.SH + "path")
+        if not vals:
+            return "", "single", []
+        kind, value = vals[0][0], vals[0][1]
+        if kind == "iri":
+            return value, "single", [value]
+        node = spo.get(value, {})
+        if ns.SH + "alternativePath" in node:
+            head = node[ns.SH + "alternativePath"][0][1]
+            preds = [v for k, v in read_list(head)]
+            if any(k != "iri" for k, _ in read_list(head)) or not preds:
+                raise ValueError(f"unsupported sh:alternativePath members on {piri}")
+            if len(preds) == 1:
+                return preds[0], "single", preds
+            return "(" + " | ".join(preds) + ")", "alt", preds
+        if ns.RDF + "first" in node:
+            items = read_list(value)
+            preds = [v for _, v in items]
+            if any(k != "iri" for k, _ in items) or not preds:
+                raise ValueError(
+                    f"unsupported sequence-path member on {piri} "
+                    "(only IRI steps are supported)")
+            if len(preds) == 1:
+                return preds[0], "single", preds
+            return "/".join(preds), "seq", preds
+        raise ValueError(
+            f"unsupported sh:path structure on {piri} (supported: IRI, "
+            "sequence list, sh:alternativePath)")
+
     def prop_shape(piri: str) -> PropertyShape:
-        ps = PropertyShape(iri=piri, path=first(piri, ns.SH + "path"))
+        path_str, path_kind, path_preds = parse_path(piri)
+        ps = PropertyShape(iri=piri, path=path_str, path_kind=path_kind,
+                           path_preds=path_preds)
         mc = first(piri, ns.SH + "minCount")
         xc = first(piri, ns.SH + "maxCount")
         ps.min_count = int(mc) if mc else -1
@@ -144,6 +268,16 @@ def compile_shapes(ttl_text: str) -> CompiledShapes:
             raise ValueError(
                 f"unsupported sh:nodeKind {ps.node_kind!r} on {piri} "
                 f"(supported: {sorted(NODEKIND_SETS)})")
+        ml = first(piri, ns.SH + "minLength")
+        xl = first(piri, ns.SH + "maxLength")
+        ps.min_length = int(ml) if ml else -1
+        ps.max_length = int(xl) if xl else -1
+        in_head = first(piri, ns.SH + "in")
+        if in_head:
+            ps.in_values = [v for _, v in read_list(in_head)]
+        hv = spo.get(piri, {}).get(ns.SH + "hasValue")
+        if hv:
+            ps.has_value_kind, ps.has_value = hv[0][0], hv[0][1]
         ps.severity = _SEVERITY.get(first(piri, ns.SH + "severity"), "Violation")
         ps.messages = [(v, lang or "en") for k, v, dt, lang in
                        spo.get(piri, {}).get(ns.SH + "message", [])]
@@ -152,10 +286,12 @@ def compile_shapes(ttl_text: str) -> CompiledShapes:
 
     shapes: list[NodeShape] = []
     for subj, preds in spo.items():
-        tclass = preds.get(ns.SH + "targetClass")
-        if not tclass:
+        targets = [Target(kind, v)
+                   for pred, kind in _TARGET_PREDS
+                   for _, v, _, _ in preds.get(pred, [])]
+        if not targets:
             continue
-        nshape = NodeShape(iri=subj, target_class=tclass[0][1],
+        nshape = NodeShape(iri=subj, targets=targets,
                            foaf_page=first(subj, ns.FOAF + "page"))
         for _, piri, _, _ in preds.get(ns.SH + "property", []):
             nshape.properties.append(prop_shape(piri))

@@ -154,6 +154,143 @@ def test_datatype_xsd_string_and_langstring():
     assert bad == ["5", "tagged"]
 
 
+def _ds_from_ttl_text(ttl: str):
+    rows = turtle.parse_turtle(ttl)
+    tbl = pa.Table.from_pylist(
+        [{"subj": s, "pred": p, "obj_kind": k, "obj_value": v,
+          "obj_datatype": dt, "obj_lang": lg, "doc_id": "d0", "span_idx": 0}
+         for s, p, k, v, dt, lg in rows], schema=S.TRIPLES)
+    return rd.from_arrow(tbl)
+
+
+def test_turtle_collections():
+    ttl = ('@prefix ex: <http://example.org/> . '
+           'ex:a ex:list ( ex:x "lit" 2 ) ; ex:empty ( ) .')
+    rows = turtle.parse_turtle(ttl)
+    by_pred = {}
+    for s, p, k, v, dt, lg in rows:
+        by_pred.setdefault(p, []).append((s, k, v))
+    firsts = [v for _, k, v in by_pred[ns.RDF + "first"]]
+    assert firsts == ["http://example.org/x", "lit", "2"]
+    rests = [v for _, k, v in by_pred[ns.RDF + "rest"]]
+    assert rests[-1] == ns.RDF + "nil"
+    # empty collection → rdf:nil object directly
+    assert by_pred["http://example.org/empty"][0][2] == ns.RDF + "nil"
+
+
+def test_sequence_path_validation():
+    """sh:path ( ex:a ex:b ): constraints apply to the two-hop value set,
+    deduped across intermediates (SET semantics)."""
+    shapes_ttl = """
+    @prefix sh: <http://www.w3.org/ns/shacl#> .
+    @prefix ex: <http://example.org/> .
+    ex:S a sh:NodeShape ; sh:targetClass ex:T ;
+         sh:property [ sh:path ( ex:a ex:b ) ; sh:pattern "^good" ;
+                       sh:minCount 1 ] .
+    """
+    data_ttl = """
+    @prefix ex: <http://example.org/> .
+    ex:x a ex:T ; ex:a ex:m1 , ex:m2 .
+    ex:m1 ex:b "good one" , "bad value" .
+    ex:m2 ex:b "good one" .
+    ex:y a ex:T .
+    """
+    viols = shacl.validate(_ds_from_ttl_text(data_ttl), shapes_ttl, concurrency=1)
+    recs = viols.to_pandas().to_dict("records")
+    got = {(r["focus_node"].rsplit("/")[-1],
+            r["source_constraint_component"].rsplit("#", 1)[-1], r["value"])
+           for r in recs}
+    # "good one" reachable via BOTH m1 and m2 → one value node, no dup rows
+    assert len(recs) == 2, recs
+    assert got == {("x", "PatternConstraintComponent", "bad value"),
+                   ("y", "MinCountConstraintComponent", "")}
+    assert all(r["path"] == "http://example.org/a/http://example.org/b"
+               for r in recs)
+
+
+def test_alternative_path_validation():
+    """sh:alternativePath ( a b ): value set is the union over predicates."""
+    shapes_ttl = """
+    @prefix sh: <http://www.w3.org/ns/shacl#> .
+    @prefix ex: <http://example.org/> .
+    ex:S a sh:NodeShape ; sh:targetClass ex:T ;
+         sh:property [ sh:path [ sh:alternativePath ( ex:a ex:b ) ] ;
+                       sh:minCount 1 ; sh:maxCount 2 ] .
+    """
+    data_ttl = """
+    @prefix ex: <http://example.org/> .
+    ex:ok a ex:T ; ex:a "v1" .
+    ex:ok2 a ex:T ; ex:b "v1" ; ex:a "v2" .
+    ex:none a ex:T .
+    ex:many a ex:T ; ex:a "v1" , "v2" ; ex:b "v3" .
+    ex:shared a ex:T ; ex:a "same" ; ex:b "same" .
+    """
+    viols = shacl.validate(_ds_from_ttl_text(data_ttl), shapes_ttl, concurrency=1)
+    got = {(r["focus_node"].rsplit("/")[-1],
+            r["source_constraint_component"].rsplit("#", 1)[-1])
+           for r in viols.to_pandas().to_dict("records")}
+    # "same" via both predicates is ONE value → shared conforms (1 ≤ 1 ≤ 2)
+    assert got == {("none", "MinCountConstraintComponent"),
+                   ("many", "MaxCountConstraintComponent")}
+
+
+def test_target_selectors():
+    """sh:targetNode / sh:targetSubjectsOf / sh:targetObjectsOf."""
+    shapes_ttl = """
+    @prefix sh: <http://www.w3.org/ns/shacl#> .
+    @prefix ex: <http://example.org/> .
+    ex:NodeS a sh:NodeShape ; sh:targetNode ex:n1 , ex:n2 ;
+         sh:property [ sh:path ex:p ; sh:minCount 1 ] .
+    ex:SubS a sh:NodeShape ; sh:targetSubjectsOf ex:q ;
+         sh:property [ sh:path ex:q ; sh:maxCount 1 ] .
+    ex:ObjS a sh:NodeShape ; sh:targetObjectsOf ex:r ;
+         sh:property [ sh:path ex:p ; sh:minCount 1 ] .
+    """
+    data_ttl = """
+    @prefix ex: <http://example.org/> .
+    ex:n1 ex:p "present" .
+    ex:s1 ex:q "one" ; ex:r ex:o1 .
+    ex:s2 ex:q "one" , "two" .
+    ex:o1 ex:p "present" .
+    ex:s3 ex:r ex:o2 .
+    """
+    viols = shacl.validate(_ds_from_ttl_text(data_ttl), shapes_ttl, concurrency=1)
+    got = {(r["focus_node"].rsplit("/")[-1],
+            r["source_constraint_component"].rsplit("#", 1)[-1])
+           for r in viols.to_pandas().to_dict("records")}
+    # n2 (targetNode, absent from the data!), s2 (two ex:q), o2 (no ex:p)
+    assert got == {("n2", "MinCountConstraintComponent"),
+                   ("s2", "MaxCountConstraintComponent"),
+                   ("o2", "MinCountConstraintComponent")}
+
+
+def test_length_in_hasvalue_components():
+    """sh:minLength / sh:maxLength / sh:in / sh:hasValue."""
+    shapes_ttl = """
+    @prefix sh: <http://www.w3.org/ns/shacl#> .
+    @prefix ex: <http://example.org/> .
+    ex:S a sh:NodeShape ; sh:targetClass ex:T ;
+         sh:property [ sh:path ex:code ; sh:minLength 3 ; sh:maxLength 5 ] ;
+         sh:property [ sh:path ex:fmt ; sh:in ( "csv" "json" ) ] ;
+         sh:property [ sh:path ex:flag ; sh:hasValue "on" ] .
+    """
+    data_ttl = """
+    @prefix ex: <http://example.org/> .
+    ex:x a ex:T ; ex:code "abcd" ; ex:fmt "csv" ; ex:flag "on" , "extra" .
+    ex:y a ex:T ; ex:code "ab" ; ex:fmt "xml" ; ex:flag "off" .
+    ex:z a ex:T ; ex:code "toolong" .
+    """
+    viols = shacl.validate(_ds_from_ttl_text(data_ttl), shapes_ttl, concurrency=1)
+    got = {(r["focus_node"].rsplit("/")[-1],
+            r["source_constraint_component"].rsplit("#", 1)[-1], r["value"])
+           for r in viols.to_pandas().to_dict("records")}
+    assert got == {("y", "MinLengthConstraintComponent", "ab"),
+                   ("z", "MaxLengthConstraintComponent", "toolong"),
+                   ("y", "InConstraintComponent", "xml"),
+                   ("y", "HasValueConstraintComponent", ""),
+                   ("z", "HasValueConstraintComponent", "")}
+
+
 def test_compile_shapes_profile():
     cs = shapes_mod.compile_shapes(_read(f"{FIX}/shapes/profile.ttl"))
     assert len(cs.node_shapes) == 1
