@@ -45,6 +45,27 @@ def auto_pool(num_cpus_per_actor: float = 0.5, cap: int = 64) -> tuple[int, int]
     return (1, hi)
 
 
+def shuffle_buckets(factor: int = 4, cap: int = 1024) -> int:
+    """Fan-out for hash-bucketed shuffles (one bucket ≈ one reduce task):
+    scales with cluster CPUs instead of a fixed constant, so per-bucket
+    memory shrinks as the cluster grows — a fixed 16/64-bucket shuffle
+    caps parallelism AND makes each bucket data/16 regardless of cluster
+    size (the 100 TB failure mode)."""
+    return default_num_blocks(factor=factor, cap=cap)
+
+
+def hash_bucket_column(values, n_buckets: int):
+    """Vectorized, process-stable hash bucket for a string/int Arrow array
+    (pandas hash_array with its fixed key — deterministic across runs, so
+    resumable layouts stay consistent). Returns an int32 Arrow array."""
+    import pandas as pd
+    import pyarrow as pa
+
+    s = values.to_pandas() if hasattr(values, "to_pandas") else values
+    h = pd.util.hash_pandas_object(pd.Series(s), index=False)
+    return pa.array((h % n_buckets).astype("int32"))
+
+
 def read_table(path: str, columns: list[str] | None = None,
                parallel: bool = True, **kwargs) -> rd.Dataset:
     if parallel and "override_num_blocks" not in kwargs:

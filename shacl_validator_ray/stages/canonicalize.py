@@ -91,10 +91,13 @@ def connected_components(edges: rd.Dataset, max_rounds: int = 8,
                   batch_format="pyarrow")
               .materialize())
 
+    from ..sources import io as io_mod
+
+    n_buckets = io_mod.shuffle_buckets()
+
     def bucketize(b: pa.Table) -> pa.Table:
-        bk = [int.from_bytes(hashlib.blake2b(n.encode(), digest_size=4).digest(),
-                             "little") % 16 for n in b["node"].to_pylist()]
-        return b.append_column("bucket", pa.array(bk, pa.int32()))
+        return b.append_column("bucket",
+                               io_mod.hash_bucket_column(b["node"], n_buckets))
 
     def tag_adj(b: pa.Table) -> pa.Table:
         return pa.table({"node": b["node"], "nbr": b["nbr"],

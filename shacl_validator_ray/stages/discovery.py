@@ -81,18 +81,21 @@ def format_node_labels(triples: rd.Dataset) -> dict[str, str]:
     return out
 
 
-def bucketed_groupby_apply(ds: rd.Dataset, key: str, fn_group, n_buckets: int = 64):
+def bucketed_groupby_apply(ds: rd.Dataset, key: str, fn_group,
+                           n_buckets: int | None = None):
     """groupby(key).map_groups with one Ray group per HASH BUCKET instead of
-    one per key: Ray's per-group task overhead is paid 64 times, not once
-    per subject; the per-key work runs in a pandas groupby inside the
-    bucket. Same partitioning guarantee (hash of key → same bucket)."""
-    import hashlib
+    one per key: Ray's per-group task overhead is paid once per bucket,
+    not once per subject; the per-key work runs in a pandas groupby inside
+    the bucket. Same partitioning guarantee (hash of key → same bucket);
+    bucket count scales with the cluster (vectorized bucket hash)."""
+    from ..sources import io as io_mod
+
+    if n_buckets is None:
+        n_buckets = io_mod.shuffle_buckets()
+    nb = n_buckets
 
     def add_bucket(b: pa.Table) -> pa.Table:
-        keys = b[key].to_pylist()
-        bk = [int.from_bytes(hashlib.blake2b(str(k).encode(), digest_size=4).digest(),
-                             "little") % n_buckets for k in keys]
-        return b.append_column("_bucket", pa.array(bk, pa.int32()))
+        return b.append_column("_bucket", io_mod.hash_bucket_column(b[key], nb))
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         parts = [fn_group(sub) for _, sub in g.groupby(key, sort=True)]
@@ -104,17 +107,18 @@ def bucketed_groupby_apply(ds: rd.Dataset, key: str, fn_group, n_buckets: int = 
 
 
 def bucketed_block_apply(ds: rd.Dataset, key: str, fn_bucket,
-                         n_buckets: int = 64):
+                         n_buckets: int | None = None):
     """Like :func:`bucketed_groupby_apply` but hands the WHOLE bucket to
     ``fn_bucket`` — for fns that vectorize across keys with pandas
     groupby/merge instead of running per key."""
-    import hashlib
+    from ..sources import io as io_mod
+
+    if n_buckets is None:
+        n_buckets = io_mod.shuffle_buckets()
+    nb = n_buckets
 
     def add_bucket(b: pa.Table) -> pa.Table:
-        keys = b[key].to_pylist()
-        bk = [int.from_bytes(hashlib.blake2b(str(k).encode(), digest_size=4).digest(),
-                             "little") % n_buckets for k in keys]
-        return b.append_column("_bucket", pa.array(bk, pa.int32()))
+        return b.append_column("_bucket", io_mod.hash_bucket_column(b[key], nb))
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         return fn_bucket(g.drop(columns=["_bucket"]))
@@ -239,26 +243,50 @@ def discover_datasets(triples: rd.Dataset, query: str = "", limit: int = 50,
 
     joined = bucketed_block_apply(edges.union(dist_tagged), "key", join_bucket)
 
-    # assemble nested records per dataset (small result; driver-side merge)
-    dist_by_ds: dict[str, list] = {}
-    for b in joined.iter_batches(batch_format="pyarrow"):
-        for ds_id, rec in zip(b["ds_id"].to_pylist(), b["rec"].to_pylist()):
-            r = _json.loads(rec) if rec else None
-            if r and (r.get("compatible") or not require_compatible):
-                dist_by_ds.setdefault(ds_id, []).append(r)
+    # assemble nested records per dataset DISTRIBUTED: one more bucketed
+    # shuffle keyed by ds_id merges each dataset's record with its
+    # distribution records; filters (compatibility, query) run inside the
+    # buckets; sort+limit run in Ray — the driver only materializes the
+    # ≤ limit final rows (the reference caps at 50, ts:30).
+    ds_tagged = datasets.map_batches(
+        lambda b: pa.table({
+            "ds_id": b["id"],
+            "kind": pa.array(["ds"] * b.num_rows, pa.string()),
+            "rec": pa.array([_json.dumps(r, sort_keys=True) for r in b.to_pylist()],
+                            pa.string())}),
+        batch_format="pyarrow")
+    dist_assign = joined.map_batches(
+        lambda b: pa.table({
+            "ds_id": b["ds_id"],
+            "kind": pa.array(["dist"] * b.num_rows, pa.string()),
+            "rec": b["rec"]}),
+        batch_format="pyarrow")
 
-    out = []
-    for b in datasets.iter_batches(batch_format="pyarrow"):
-        for rec in b.to_pylist():
-            dl = sorted(dist_by_ds.get(rec["id"], []), key=lambda r: r["id"])
+    q = (query or "").lower()
+
+    def assemble(g: pd.DataFrame) -> pd.DataFrame:
+        recs = []
+        for ds_id, sub in g.groupby("ds_id", sort=False):
+            ds_rows = sub.loc[sub["kind"] == "ds", "rec"]
+            if ds_rows.empty:
+                continue
+            rec = _json.loads(ds_rows.iloc[0])
+            dl = [_json.loads(r) for r in sub.loc[sub["kind"] == "dist", "rec"]
+                  if r]
+            dl = [r for r in dl if r.get("compatible") or not require_compatible]
+            dl.sort(key=lambda r: r["id"])
             if require_compatible and not dl:
                 continue  # no compatible distributions → dropped (ts:172-174)
-            rec = dict(rec)
             rec.pop("dists", None)
             rec["distributions"] = dl
-            if query and query.lower() not in (rec["title"] + " " +
-                                               (rec["description"] or "")).lower():
+            if q and q not in (rec["title"] + " " +
+                               (rec["description"] or "")).lower():
                 continue
-            out.append(rec)
-    out.sort(key=lambda r: r["id"])
-    return pd.DataFrame(out[:limit])
+            recs.append({"id": rec["id"],
+                         "rec": _json.dumps(rec, sort_keys=True)})
+        return pd.DataFrame(recs, columns=["id", "rec"])
+
+    assembled = bucketed_block_apply(ds_tagged.union(dist_assign), "ds_id",
+                                     assemble)
+    final = assembled.sort("id").limit(limit).to_pandas()
+    return pd.DataFrame([_json.loads(r) for r in final["rec"]])

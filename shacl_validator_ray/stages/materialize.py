@@ -9,7 +9,6 @@ listing completed buckets — a rerun skips buckets already present
 
 from __future__ import annotations
 
-import hashlib
 import json
 import os
 import time
@@ -24,8 +23,11 @@ from ..stages import shacl as shacl_stage
 
 
 def subj_bucket(subj: str, n_buckets: int) -> int:
-    return int.from_bytes(hashlib.blake2b(subj.encode(), digest_size=4).digest(),
-                          "little") % n_buckets
+    """Single-value twin of the vectorized bucket hash (io.hash_bucket_column)."""
+    import pandas as pd
+
+    return int(pd.util.hash_pandas_object(pd.Series([subj]),
+                                          index=False).iloc[0] % n_buckets)
 
 
 def canonical_rewrite(triples: rd.Dataset, canon: rd.Dataset) -> rd.Dataset:
@@ -83,7 +85,8 @@ def detect_hubs(triples: rd.Dataset, threshold: int, top_m: int = 4096) -> set[s
     return {s for s, n in totals.items() if n > threshold}
 
 
-def materialize_graph(triples: rd.Dataset, out_dir: str, *, n_buckets: int = 16,
+def materialize_graph(triples: rd.Dataset, out_dir: str, *,
+                      n_buckets: int | None = None,
                       hub_threshold: int = 10_000, salt: int = 4,
                       deduped: bool = False, write_groups: int = 4) -> dict:
     """Dedup → bucket (+salt hubs) → hive-partitioned parquet + manifest.
@@ -91,13 +94,21 @@ def materialize_graph(triples: rd.Dataset, out_dir: str, *, n_buckets: int = 16,
     The write is split into ``write_groups`` bucket groups, each recorded
     in the manifest as it completes — a rerun after a mid-write failure
     skips finished groups (per-partition resume, north rule). Hub
-    assignment is deterministic from the data, so resumed runs bucket
-    identically.
+    assignment is deterministic from the data, and a resumed run restores
+    the bucket layout (n_buckets / salt / write_groups) from the
+    manifest, so resume is consistent even when the cluster size — and
+    with it the default fan-out — changed between attempts.
 
     Hub subjects (detected by a count pre-pass) are salted across
     ``salt`` sub-buckets so one hub entity cannot put a whole partition
     on one writer (explicit skew handling per the north rule).
     """
+    from ..sources import io as io_mod
+
+    if n_buckets is None:
+        # output-layout granularity scales with the cluster: one bucket ≈
+        # one writer task / one resume unit
+        n_buckets = max(16, io_mod.shuffle_buckets(factor=1, cap=256))
     manifest_path = os.path.join(out_dir, "_MANIFEST.json")
     manifest = {"complete": False, "groups_done": [], "n_buckets": n_buckets,
                 "salt": salt, "write_groups": write_groups, "hubs": [],
@@ -107,6 +118,9 @@ def materialize_graph(triples: rd.Dataset, out_dir: str, *, n_buckets: int = 16,
             manifest = json.load(f)
         if manifest.get("complete"):
             return manifest  # resume: everything already written
+        # resume MUST reuse the original layout or buckets shift
+        n_buckets = manifest.get("n_buckets", n_buckets)
+        salt = manifest.get("salt", salt)
         write_groups = manifest.get("write_groups", write_groups)
 
     def save():
@@ -119,22 +133,30 @@ def materialize_graph(triples: rd.Dataset, out_dir: str, *, n_buckets: int = 16,
     hubs = detect_hubs(triples, hub_threshold)
     hubs_ref = ray.put(hubs)
 
-    nb = n_buckets
+    nb, slt = n_buckets, salt
 
     def bucketize(b: pa.Table) -> pa.Table:
+        """Vectorized: pandas-hash base bucket, pc.is_in hub membership,
+        pandas-hash (pred,obj) sub-salt — no per-row Python at the widest
+        point of the pipeline."""
+        import numpy as np
+        import pyarrow.compute as pc
+
         hub_set = ray.get(hubs_ref)
-        out = []
-        for s, p, v in zip(b["subj"].to_pylist(), b["pred"].to_pylist(),
-                           b["obj_value"].to_pylist()):
-            base = subj_bucket(s, nb)
-            if s in hub_set:
-                sal = int.from_bytes(
-                    hashlib.blake2b(f"{p}\0{v}".encode(), digest_size=2).digest(),
-                    "little") % salt
-                out.append(base * salt + sal)
-            else:
-                out.append(base * salt)
-        return b.append_column("bucket", pa.array(out, pa.int32()))
+        base = np.asarray(io_mod.hash_bucket_column(b["subj"], nb),
+                          dtype=np.int64)
+        bucket = base * slt
+        if hub_set:
+            is_hub = np.asarray(
+                pc.is_in(b["subj"], value_set=pa.array(sorted(hub_set))))
+            if is_hub.any():
+                # \x1f separator: pandas' string hash treats \x00 as a
+                # C-string terminator and would collapse all salts
+                po = pc.binary_join_element_wise(b["pred"], b["obj_value"], "\x1f")
+                sal = np.asarray(io_mod.hash_bucket_column(po, slt),
+                                 dtype=np.int64)
+                bucket = bucket + np.where(is_hub, sal, 0)
+        return b.append_column("bucket", pa.array(bucket.astype("int32")))
 
     bucketed = triples.map_batches(bucketize, batch_format="pyarrow",
                                    zero_copy_batch=True).materialize()

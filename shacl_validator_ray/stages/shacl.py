@@ -55,21 +55,25 @@ _TUPLE_COLS = ["subj", "pred", "obj_kind", "obj_value", "obj_datatype", "obj_lan
 NODEKIND_SETS = shapes_mod.NODEKIND_SETS
 
 
-def dedup_triples(triples: rd.Dataset, n_buckets: int = 64) -> rd.Dataset:
+def dedup_triples(triples: rd.Dataset, n_buckets: int | None = None) -> rd.Dataset:
     """Exact (s,p,o) set semantics (D1): ONE shuffle keyed by a vectorized
     stable hash bucket of the 6-tuple, then a per-bucket pandas
     ``drop_duplicates`` (deterministic: min (doc_id, span_idx) lineage
     kept). Much cheaper than a 6-string-column groupby — the shuffle key
-    is a single int32."""
+    is a single int32; fan-out scales with the cluster."""
     import pandas as pd
     import pyarrow.compute as pc_
+
+    from ..sources import io as io_mod
+
+    if n_buckets is None:
+        n_buckets = io_mod.shuffle_buckets()
+    nb = n_buckets
 
     def add_bucket(b: pa.Table) -> pa.Table:
         concat = pc_.binary_join_element_wise(
             *[b[c].cast(pa.string()) for c in _TUPLE_COLS], "\x1f")
-        h = pd.util.hash_pandas_object(pd.Series(concat.to_pandas()), index=False)
-        return b.append_column("_bucket",
-                               pa.array((h % n_buckets).astype("int32")))
+        return b.append_column("_bucket", io_mod.hash_bucket_column(concat, nb))
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["doc_id", "span_idx"]).drop_duplicates(_TUPLE_COLS)
