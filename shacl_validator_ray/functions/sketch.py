@@ -66,3 +66,81 @@ def approx_distinct(ds: rd.Dataset, col: str, p: int = 12) -> float:
             other.reg = np.frombuffer(blob, dtype=np.uint8).copy()
             merged = merged.merge(other)
     return merged.estimate()
+
+
+class BloomFilter:
+    """Fixed-size membership sketch — the broadcast swap for entity-scale
+    Python sets (SURVEY.md §2.3 scale note; a set entry costs ~120 B,
+    a bloom slot ``bits_per_item/8`` B). Mergeable by bitwise OR, so it
+    composes as per-batch partials exactly like :class:`HLL`.
+
+    False positives SUPPRESS findings (a value wrongly "in" a class set,
+    a focus wrongly "conformant") — sized at 64 bits/item, k=10 the FP
+    rate is ~4e-9, i.e. zero expected over 1e8 membership probes.
+    Hashing is the pandas string hash (process-stable) with two keys →
+    double hashing; vectorized add/contains over numpy object arrays.
+    """
+
+    __slots__ = ("n_bits", "k", "bits")
+    _KEY2 = "fedcba9876543210"
+
+    def __init__(self, n_bits: int, k: int = 10, bits: np.ndarray | None = None):
+        self.n_bits = int(max(8, n_bits))
+        self.k = k
+        self.bits = (bits if bits is not None
+                     else np.zeros((self.n_bits + 7) // 8, dtype=np.uint8))
+
+    @classmethod
+    def from_items(cls, items, bits_per_item: int = 64, k: int = 10) -> "BloomFilter":
+        bf = cls(max(1, len(items)) * bits_per_item, k)
+        bf.add_array(np.fromiter(items, dtype=object, count=len(items)))
+        return bf
+
+    def _hashes(self, values: np.ndarray):
+        import pandas as pd
+
+        s = pd.Series(values)
+        h1 = pd.util.hash_pandas_object(s, index=False).to_numpy(np.uint64)
+        h2 = pd.util.hash_pandas_object(
+            s, index=False, hash_key=self._KEY2).to_numpy(np.uint64)
+        return h1, h2 | np.uint64(1)  # odd step → full-cycle double hashing
+
+    def add_array(self, values: np.ndarray) -> None:
+        if len(values) == 0:
+            return
+        h1, h2 = self._hashes(values)
+        nb = np.uint64(self.n_bits)
+        for i in range(self.k):
+            idx = (h1 + np.uint64(i) * h2) % nb
+            # bitwise_or.at: repeated byte indices must all land
+            np.bitwise_or.at(self.bits, (idx >> np.uint64(3)).astype(np.int64),
+                             (np.uint8(1) << (idx & np.uint64(7)).astype(np.uint8)))
+
+    def contains_array(self, values: np.ndarray) -> np.ndarray:
+        values = np.asarray(values, dtype=object)
+        if len(values) == 0:
+            return np.zeros(0, dtype=bool)
+        h1, h2 = self._hashes(values)
+        nb = np.uint64(self.n_bits)
+        out = np.ones(len(values), dtype=bool)
+        for i in range(self.k):
+            idx = (h1 + np.uint64(i) * h2) % nb
+            byte = self.bits[(idx >> np.uint64(3)).astype(np.int64)]
+            out &= ((byte >> (idx & np.uint64(7)).astype(np.uint8)) & 1).astype(bool)
+        return out
+
+    def __contains__(self, item) -> bool:
+        return bool(self.contains_array(np.array([item], dtype=object))[0])
+
+    def merge(self, other: "BloomFilter") -> "BloomFilter":
+        assert self.n_bits == other.n_bits and self.k == other.k
+        self.bits |= other.bits
+        return self
+
+
+def contains_mask(container, values: np.ndarray) -> np.ndarray:
+    """Vectorized membership for either a plain set or a BloomFilter."""
+    if hasattr(container, "contains_array"):
+        return container.contains_array(values)
+    return np.fromiter((v in container for v in values), dtype=bool,
+                       count=len(values))

@@ -46,27 +46,37 @@ def canonical_triples(sf_dir: str) -> rd.Dataset:
     return shacl.dedup_triples(materialize.canonical_rewrite(triples, canon))
 
 
-def conformant_triples(sf_dir: str, profile: str = "dcat_ap_demo") -> rd.Dataset:
+def conformant_triples(sf_dir: str, profile: str = "dcat_ap_demo",
+                       bloom_threshold: int | None = None) -> rd.Dataset:
     """Canonicalized graph gated on validation: triples whose subject has a
     Violation-severity result are excluded (the "SHACL-conformant triple
-    set" of the north star). The violating focus-node set is small →
-    broadcast anti-join (semi-join pattern, SURVEY §2.4)."""
+    set" of the north star). The violating focus-node set is entity-scale
+    → broadcast anti-join (semi-join pattern, SURVEY §2.4); beyond
+    ``bloom_threshold`` focus nodes the broadcast is a Bloom filter
+    (an FP *keeps* a violating subject's triples — suppressed findings
+    are the documented at-scale trade, rate ~4e-9)."""
+    import numpy as np
     import pyarrow as pa
     import pyarrow.compute as pc
     import ray
 
+    from ..functions.sketch import BloomFilter, contains_mask
+
+    if bloom_threshold is None:
+        bloom_threshold = shacl.BLOOM_THRESHOLD
     viols = shacl.validate(triples_dataset(sf_dir),
                            shapes_mod.load_profile_ttl(profile))
-    bad = set()
+    bad: set[str] = set()
     for b in viols.iter_batches(batch_format="pyarrow"):
         f = b.filter(pc.equal(b["severity"], "Violation"))
         bad.update(f["focus_node"].to_pylist())
-    ref = ray.put(bad)
+    payload = BloomFilter.from_items(bad) if len(bad) > bloom_threshold else bad
+    ref = ray.put(payload)
 
     def drop_bad(b: pa.Table) -> pa.Table:
         s = ray.get(ref)
-        mask = pa.array([x not in s for x in b["subj"].to_pylist()])
-        return b.filter(mask)
+        subjs = np.asarray(b["subj"].to_pandas(), dtype=object)
+        return b.filter(pa.array(~contains_mask(s, subjs)))
 
     return canonical_triples(sf_dir).map_batches(
         drop_bad, batch_format="pyarrow", zero_copy_batch=True)

@@ -84,8 +84,14 @@ def dedup_triples(triples: rd.Dataset, n_buckets: int | None = None) -> rd.Datas
             .groupby("_bucket").map_groups(per_bucket, batch_format="pandas"))
 
 
+#: membership sets beyond this cardinality are broadcast as Bloom filters
+#: (~8 B/item instead of ~120 B/item; FP ≈ 4e-9 suppresses a finding)
+BLOOM_THRESHOLD = 2_000_000
+
+
 def collect_members(triples: rd.Dataset,
-                    compiled: "shapes_mod.CompiledShapes") -> dict[str, set[str]]:
+                    compiled: "shapes_mod.CompiledShapes",
+                    bloom_threshold: int | None = None) -> dict[str, object]:
     """Broadcast membership sets, ONE vectorized scan over the triples:
 
     - ``class:<IRI>`` → instances (rdf:type objects) — used both for
@@ -94,8 +100,10 @@ def collect_members(triples: rd.Dataset,
       the corresponding target selectors.
 
     Driver-side collect of only the *referenced* keys' members (a tiny,
-    entity-scale slice); at 10^12 scale each set becomes a Bloom filter
-    built with the same mergeable shape.
+    entity-scale slice); any set whose cardinality exceeds
+    ``bloom_threshold`` (default :data:`BLOOM_THRESHOLD`) is converted to
+    a :class:`~..functions.sketch.BloomFilter` before broadcast — same
+    dict shape, ~15× smaller payload, vectorized membership downstream.
     """
     classes = compiled.referenced_classes()
     subj_preds = {t.value for t in compiled.targets() if t.kind == "subjects_of"}
@@ -135,12 +143,20 @@ def collect_members(triples: rd.Dataset,
 
     rows = triples.map_batches(member_rows, batch_format="pyarrow",
                                zero_copy_batch=True)
-    members: dict[str, set[str]] = {}
+    members: dict[str, object] = {}
     for c in classes:
         members[f"class:{c}"] = set()
     for batch in rows.iter_batches(batch_format="pyarrow"):
         for key, m in zip(batch["key"].to_pylist(), batch["member"].to_pylist()):
             members.setdefault(key, set()).add(m)
+
+    if bloom_threshold is None:
+        bloom_threshold = BLOOM_THRESHOLD
+    from ..functions.sketch import BloomFilter
+
+    for key, s in list(members.items()):
+        if isinstance(s, set) and len(s) > bloom_threshold:
+            members[key] = BloomFilter.from_items(s)
     return members
 
 
@@ -269,7 +285,7 @@ def _violation_rows(rows: list[dict]) -> pa.Table:
     return pa.Table.from_pylist(rows, schema=S.VIOLATIONS)
 
 
-def _focus_sets(members: dict[str, set[str]],
+def _focus_sets(members: dict[str, object],
                 targets: tuple["shapes_mod.Target", ...]) -> list:
     """Target selectors → membership sets (node targets are literal sets)."""
     out = []
@@ -279,6 +295,19 @@ def _focus_sets(members: dict[str, set[str]],
         else:
             out.append(members.get(t.key) or frozenset())
     return out
+
+
+def _members_mask(fsets: list, values) -> "np.ndarray":
+    """Vectorized focus-membership over a union of sets/Bloom filters."""
+    import numpy as np
+
+    from ..functions.sketch import contains_mask
+
+    mask = np.zeros(len(values), dtype=bool)
+    for fs in fsets:
+        if not mask.all():
+            mask |= contains_mask(fs, values)
+    return mask
 
 
 class ValueConstraints:
@@ -345,9 +374,7 @@ class ValueConstraints:
                 continue
             pidx = np.flatnonzero(pm)
             for fsets, p in shapes:
-                fm = np.fromiter(
-                    (any(subjs[i] in s for s in fsets) for i in pidx),
-                    dtype=bool, count=len(pidx))
+                fm = _members_mask(fsets, subjs[pidx])
                 fidx = pidx[fm]
                 if len(fidx) == 0:
                     continue
@@ -366,8 +393,9 @@ class ValueConstraints:
                     emit_rows(p, bad, "NodeKindConstraintComponent")
                 if p.node_class:
                     cls = self.members.get(f"class:{p.node_class}", frozenset())
-                    bad = [i for i in fidx
-                           if kinds[i] != "iri" or vals[i] not in cls]
+                    in_cls = _members_mask([cls], vals[fidx])
+                    bad = [i for i, ok in zip(fidx, in_cls)
+                           if kinds[i] != "iri" or not ok]
                     emit_rows(p, bad, "ClassConstraintComponent")
                 if p.min_length >= 0:
                     bad = [i for i in fidx
@@ -456,8 +484,7 @@ class CardinalityRows:
                 continue
             fsets = _focus_sets(self.members, targets)
             cand = subjs[pm]
-            fm = np.fromiter((any(s in fs for fs in fsets) for s in cand),
-                             dtype=bool, count=len(cand))
+            fm = _members_mask(fsets, cand)
             emit(cand[fm], idx, kind, -1, -1, 1)
 
         if chunks["subj"]:
@@ -475,7 +502,8 @@ class CardinalityRows:
 
 def validate(triples: rd.Dataset, shapes_ttl: str, *, deduped: bool = False,
              concurrency: int | tuple | None = None,
-             batch_size: int = 4096) -> rd.Dataset:
+             batch_size: int = 4096,
+             bloom_threshold: int | None = None) -> rd.Dataset:
     """triples Dataset → violations Dataset (schema.VIOLATIONS).
 
     The deduped triple set is materialized once — it is consumed by three
@@ -502,7 +530,7 @@ def validate(triples: rd.Dataset, shapes_ttl: str, *, deduped: bool = False,
     derived = augment_paths(triples, compiled)
     eval_triples = triples.union(derived) if derived is not None else triples
 
-    members = collect_members(triples, compiled)
+    members = collect_members(triples, compiled, bloom_threshold=bloom_threshold)
     members_ref = ray.put(members)
 
     # Stateless task pools + a per-worker-process compile cache (see

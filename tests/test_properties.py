@@ -96,3 +96,49 @@ def test_hll_approx_distinct_within_error():
     assert abs(est - exact) / exact < 0.05  # ~1.6% expected, 5% bound
     # determinism: same input → same estimate
     assert sketch.approx_distinct(ds, "l_partkey", p=12) == est
+
+
+def test_bloom_filter_no_false_negatives_and_low_fp():
+    import numpy as np
+
+    from shacl_validator_ray.functions import sketch
+
+    items = [f"http://example.org/e/{i}" for i in range(20_000)]
+    bf = sketch.BloomFilter.from_items(items)
+    present = np.array(items, dtype=object)
+    assert bf.contains_array(present).all()  # zero false negatives, ever
+    absent = np.array([f"http://example.org/x/{i}" for i in range(200_000)],
+                      dtype=object)
+    fp = int(bf.contains_array(absent).sum())
+    assert fp / len(absent) < 1e-4, fp  # sized for ~4e-9; 1e-4 = hard bound
+    # mergeable: OR of two partial blooms == bloom of the union
+    half1 = sketch.BloomFilter(bf.n_bits, bf.k)
+    half2 = sketch.BloomFilter(bf.n_bits, bf.k)
+    half1.add_array(present[:10_000])
+    half2.add_array(present[10_000:])
+    merged = half1.merge(half2)
+    assert (merged.bits == bf.bits).all()
+
+
+def test_validate_bloom_path_equivalence():
+    """bloom_threshold=0 forces EVERY membership set through the Bloom
+    path; the violation multiset must be unchanged (kg_validate oracle
+    equivalence, VERDICT item 5)."""
+    import ray.data as rd
+
+    from shacl_validator_ray import synth
+    from shacl_validator_ray.stages import extract, shacl
+    from shacl_validator_ray.state import shapes as shapes_mod
+
+    docs, _ = synth.make_corpus_tables(150)
+    triples = rd.from_arrow(extract.extract_triples_batch(docs))
+    ttl = shapes_mod.load_profile_ttl("dcat_ap_demo")
+
+    def key_set(ds):
+        return sorted((r["severity"], r["focus_node"], r["path"], r["value"],
+                       r["source_constraint_component"])
+                      for r in ds.to_pandas().to_dict("records"))
+
+    exact = key_set(shacl.validate(triples, ttl))
+    bloomed = key_set(shacl.validate(triples, ttl, bloom_threshold=0))
+    assert exact == bloomed and len(exact) > 0
