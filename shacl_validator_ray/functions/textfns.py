@@ -95,13 +95,20 @@ class MinHasher:
         return out
 
 
+def _md5_hash64(s: str) -> int:
+    """64-bit token hash from the md5 digest's first 8 bytes —
+    reproducible in SQL (DuckDB ``md5``), which makes the SimHash
+    pipeline exactly oracle-checkable."""
+    return int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "little")
+
+
 def simhash64(tokens) -> int:
-    """64-bit SimHash over a token multiset."""
+    """64-bit SimHash over a token multiset (md5-based token hash)."""
     if not tokens:
         return 0
     acc = np.zeros(64, dtype=np.int64)
     for t in tokens:
-        h = _stable_hash64(t)
+        h = _md5_hash64(t)
         bits = (h >> np.arange(64, dtype=np.uint64)) & 1
         acc += np.where(bits.astype(bool), 1, -1)
     out = 0

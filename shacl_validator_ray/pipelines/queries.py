@@ -156,8 +156,13 @@ def q_jsonld_projection(sf_dir: str):
 # SHACL components in SQL (minCount as an anti-join — the absence path).
 
 def q_kg_extract(sf_dir: str):
+    # span_idx is dropped for the oracle compare: the planted ground truth
+    # records which doc a fact came from, not which span the generator's
+    # shuffle placed its sentence in
     from . import kg
-    return kg.triples_dataset(sf_dir)
+    return kg.triples_dataset(sf_dir).select_columns(
+        ["subj", "pred", "obj_kind", "obj_value", "obj_datatype", "obj_lang",
+         "doc_id"])
 
 
 def q_kg_canonical(sf_dir: str):
@@ -448,8 +453,50 @@ WHERE n_tokens BETWEEN 20 AND 200
         QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) = 1""",
     "systematic_sample":
         "SELECT event_id, user_id, event_type FROM events WHERE event_id % 20 = 3",
-    # lang_id, simhash_dups, knn_lsh (approximate), sliding_window,
-    # jsonld_projection, kg_extract, kg_links, kg_media_features: rows-only
+    # every event lands in all k = size/slide windows covering it
+    # (generate_series fan-out mirrors the map_batches explode)
+    "sliding_window": """
+        WITH e AS (SELECT event_type, epoch_us(ts)::BIGINT AS us, value
+                   FROM events),
+        x AS (SELECT event_type, value,
+                     (us // 900000000) * 900 - 900 * j AS window_start
+              FROM e, generate_series(0, 3) t(j)
+              WHERE (us // 900000000) * 900 - 900 * j >= 0)
+        SELECT event_type, window_start, count(*) AS n,
+               round(sum(value), 2) AS total
+        FROM x GROUP BY event_type, window_start""",
+    # exact SimHash re-implementation: 64-bit md5-based token hash
+    # (little-endian first 8 digest bytes, matching textfns._md5_hash64),
+    # per-bit ±1 vote, exact all-pairs hamming via bit_count(xor(...)) —
+    # the banded Ray pipeline guarantees full recall at hamming ≤ 3 by
+    # pigeonhole, so the all-pairs SQL is the exact expected output
+    "simhash_dups": r"""
+        WITH toks AS (
+          SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS tok
+          FROM documents),
+        h AS (SELECT doc_id,
+                     ('0x' || substr(md5(tok),15,2) || substr(md5(tok),13,2)
+                      || substr(md5(tok),11,2) || substr(md5(tok),9,2)
+                      || substr(md5(tok),7,2) || substr(md5(tok),5,2)
+                      || substr(md5(tok),3,2) || substr(md5(tok),1,2))::UBIGINT
+                       AS h64
+              FROM toks),
+        bits AS (SELECT doc_id, j,
+                        sum(CASE WHEN ((h64 >> j) & 1) = 1
+                                 THEN 1 ELSE -1 END) AS acc
+                 FROM h, generate_series(0, 63) t(j) GROUP BY doc_id, j),
+        sigs AS (SELECT doc_id,
+                        sum(CASE WHEN acc > 0 THEN (1::HUGEINT << j)
+                                 ELSE 0::HUGEINT END)::UBIGINT AS sig
+                 FROM bits GROUP BY doc_id),
+        sig2 AS (SELECT d.doc_id, coalesce(s.sig, 0::UBIGINT) AS sig
+                 FROM documents d LEFT JOIN sigs s ON d.doc_id = s.doc_id)
+        SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+               bit_count(xor(a.sig, b.sig))::BIGINT AS hamming
+        FROM sig2 a JOIN sig2 b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.sig, b.sig)) <= 3""",
+    # lang_id (heuristic), knn_lsh / knn_ivf (approximate recall-tested),
+    # kg_links, kg_media_features (model/stub-shaped): rows-only
 }
 
 
@@ -563,7 +610,40 @@ viol AS (
 )
 """
 
+    # extraction oracle: the ground truth stores canonical IRIs plus the
+    # exact publisher surface form written into the text; non-canonical
+    # surfaces map to the extractor's provisional mention IRIs
+    # (urllib.parse.quote(safe="") on these surfaces only encodes spaces)
+    mapped = f"""
+mapped AS (
+  SELECT subj, pred, obj_kind,
+         CASE WHEN pred = '{dct}publisher' AND surface != ''
+                   AND NOT regexp_matches(surface, '^Organization [0-9]+$')
+              THEN '{ns.EX}mention/' || replace(surface, ' ', '%20')
+              ELSE obj_value END AS obj_value,
+         obj_datatype, obj_lang, doc_id
+  FROM {gt})
+"""
+
     return {
+        "kg_extract": "WITH " + mapped +
+            "SELECT subj, pred, obj_kind, obj_value, obj_datatype, obj_lang, "
+            "doc_id FROM mapped",
+        # byte-identical JSON-LD reconstruction: compact separators +
+        # sorted keys ("@id" sorts before http… predicates)
+        "jsonld_projection": "WITH " + mapped + """,
+g AS (SELECT subj, pred, list_sort(list(obj_value)) AS vals
+      FROM mapped GROUP BY subj, pred),
+j AS (SELECT subj, pred,
+             CASE WHEN len(vals) = 1 THEN to_json(vals[1])::VARCHAR
+                  ELSE to_json(vals)::VARCHAR END AS jv
+      FROM g),
+agg AS (SELECT subj,
+               string_agg(to_json(pred)::VARCHAR || ':' || jv, ','
+                          ORDER BY pred) AS body
+        FROM j GROUP BY subj)
+SELECT subj, '{"@id":' || to_json(subj)::VARCHAR || ',' || body || '}' AS jsonld
+FROM agg""",
         "kg_validate_paths": paths_viol +
             "SELECT severity, focus_node, path, value, "
             "source_constraint_component FROM viol",

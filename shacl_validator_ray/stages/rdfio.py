@@ -143,8 +143,11 @@ def jsonld_projection(triples: rd.Dataset) -> rd.Dataset:
         for pred, sub in g.groupby("pred", sort=True):
             vals = sorted(sub["obj_value"])
             obj[pred] = vals[0] if len(vals) == 1 else vals
+        # compact separators: byte-identical to a SQL-side reconstruction
+        # (to_json + string_agg), which makes this oracle-checkable
         return pd.DataFrame({"subj": [g["subj"].iloc[0]],
-                             "jsonld": [json.dumps(obj, sort_keys=True)]})
+                             "jsonld": [json.dumps(obj, sort_keys=True,
+                                                   separators=(",", ":"))]})
 
     return bucketed_groupby_apply(triples.select_columns(
         ["subj", "pred", "obj_value"]), "subj", project)

@@ -31,7 +31,7 @@ SEED = 42
 N_ORGS = 50
 N_THEMES = 8
 HUB_ORG = 0            # hub publisher: draws ~30% of all publisher edges (skew fixture)
-CACHE_ROOT = "/tmp/svr_corpus_v2"  # bump suffix when corpus semantics change
+CACHE_ROOT = "/tmp/svr_corpus_v3"  # bump suffix when corpus semantics change
 
 # violation seeding probabilities (deterministic per doc)
 P_MISSING_TITLE = 0.10   # sh:minCount violation
@@ -104,9 +104,14 @@ def gen_doc(i: int, seed: int = SEED) -> tuple[dict, list[dict], dict]:
 
     gt: list[dict] = []
 
-    def t(subj, pred, kind, value, dt="", lang=""):
+    def t(subj, pred, kind, value, dt="", lang="", surface=""):
+        # `surface` records the exact surface form written into the text
+        # for entity-valued objects (publishers) — it lets the extraction
+        # oracle reproduce the provisional mention IRIs without reversing
+        # the linker (kg_extract oracle).
         gt.append({"subj": subj, "pred": pred, "obj_kind": kind, "obj_value": value,
-                   "obj_datatype": dt, "obj_lang": lang, "doc_id": doc_id})
+                   "obj_datatype": dt, "obj_lang": lang, "doc_id": doc_id,
+                   "surface": surface})
 
     sentences: list[str] = []
     sentences.append(f"The dataset {ds_name} is a dataset resource.")
@@ -137,7 +142,7 @@ def gen_doc(i: int, seed: int = SEED) -> tuple[dict, list[dict], dict]:
     else:
         surface = org_name(k)
     sentences.append(f"The dataset {ds_name} was published by {surface}.")
-    t(ds, ns.DCT + "publisher", "iri", org_iri(k))
+    t(ds, ns.DCT + "publisher", "iri", org_iri(k), surface=surface)
 
     if rng.random() < 0.9:
         if flags["bad_issued"]:
@@ -213,7 +218,7 @@ def make_corpus_tables(num_docs: int, seed: int = SEED,
         pa.field("subj", pa.string()), pa.field("pred", pa.string()),
         pa.field("obj_kind", pa.string()), pa.field("obj_value", pa.string()),
         pa.field("obj_datatype", pa.string()), pa.field("obj_lang", pa.string()),
-        pa.field("doc_id", pa.string()),
+        pa.field("doc_id", pa.string()), pa.field("surface", pa.string()),
     ])
     gt_tbl = pa.Table.from_pylist(gts, schema=gt_schema)
     return doc_tbl, gt_tbl

@@ -68,7 +68,9 @@ def test_extract_dataset_pipeline():
     assert n == extract.extract_triples_batch(docs).num_rows
     tbl = pa.concat_tables(ds.iter_batches(batch_format="pyarrow"))
     assert set(tbl.column_names) >= {"subj", "pred", "obj_value", "doc_id", "span_idx"}
-    assert set(gt.column_names) <= set(tbl.column_names) | {"span_idx"}
+    # gt's extra columns are generator-side provenance (surface form of
+    # publisher mentions for the extraction oracle), not triple columns
+    assert set(gt.column_names) <= set(tbl.column_names) | {"span_idx", "surface"}
 
 
 def test_span_sequence_equality_roundtrip():
