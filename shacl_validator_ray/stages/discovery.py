@@ -49,16 +49,53 @@ _DIST_PROPS = {
 
 
 def classify_format(s: str) -> str:
-    """M17 cascade (DataDiscoveryService.ts:330-475, condensed)."""
+    """M17 format-string / label classifier
+    (DataDiscoveryService.ts:330-389): authority URIs (EU Publications
+    Office, W3C, IANA — classified only by their csv/json designator),
+    IANA media types (text/csv, application/csv, application/json,
+    text/json), fragment identifiers (#csv), ``…/CSV`` URI tails, plain
+    labels and their variants ("comma-separated", "delimiter-separated",
+    "javascript object notation") including the Spanish labels the
+    reference special-cases."""
     if not s:
         return "unknown"
     low = s.lower()
-    if "csv" in low or "comma-separated" in low or "comma separated values" in low \
-            or "valores separados por comas" in low:
+    # authority URIs decide purely on the designator (ts:334-343)
+    if "europa.eu" in low or "w3.org" in low or "iana.org" in low:
+        if "csv" in low or "comma-separated" in low:
+            return "csv"
+        if "json" in low:
+            return "json"
+        return "unknown"
+    # media types / fragments / URI tails / labels — every reference
+    # branch (ts:346-356, 365-389) reduces to these substring families
+    if ("csv" in low or "comma-separated" in low
+            or "comma separated values" in low
+            or "delimiter-separated" in low
+            or "valores separados por comas" in low):
         return "csv"
-    if "json" in low or "javascript object notation" in low \
-            or "notación de objetos javascript" in low:
+    if ("json" in low or "javascript object notation" in low
+            or "notación de objetos javascript" in low):
         return "json"
+    return "unknown"
+
+
+def classify_format_from_url(url: str) -> str:
+    """URL-pattern classifier (DataDiscoveryService.ts:443-475): file
+    extensions, ``format=``/``fmt=`` query parameters, ``/csv/`` and
+    ``-csv-`` path markers, CKAN datastore-dump, ``/api/`` and export
+    endpoints. Deliberately stricter than :func:`classify_format` — a
+    URL mentioning "csv" in its host must NOT classify."""
+    if not url:
+        return "unknown"
+    low = url.lower()
+    for fmt in ("csv", "json"):
+        if (low.endswith(f".{fmt}")
+                or f"format={fmt}" in low or f"fmt={fmt}" in low
+                or f"/{fmt}/" in low or f"-{fmt}-" in low
+                or ("/api/" in low and fmt in low)
+                or ("export" in low and fmt in low)):
+            return fmt
     return "unknown"
 
 
@@ -203,7 +240,7 @@ def discover_datasets(triples: rd.Dataset, query: str = "", limit: int = 50,
         fmt = resolved.map(classify_format)
         fmt = fmt.where(fmt != "unknown", out["media_type"].map(classify_format))
         url = out["access_url"].where(out["access_url"] != "", out["download_url"])
-        fmt = fmt.where(fmt != "unknown", url.map(classify_format))
+        fmt = fmt.where(fmt != "unknown", url.map(classify_format_from_url))
         out["format"] = fmt
         out["compatible"] = fmt != "unknown"
         return (out.drop(columns=["format_raw"]).reset_index()

@@ -500,6 +500,41 @@ class CardinalityRows:
         return _CARD_SCHEMA.empty_table()
 
 
+_FUSED_SCHEMA = pa.schema(
+    [pa.field("row_type", pa.int32())]  # 0 = violation row, 1 = card row
+    + list(S.VIOLATIONS) + list(_CARD_SCHEMA))
+
+
+class FusedValidation:
+    """Single-pass stage: value-constraint violations AND cardinality rows
+    from one read of each triple batch, discriminated by ``row_type``
+    (one map pass over the deduped set instead of two)."""
+
+    def __init__(self, shapes_ttl: str, members_ref):
+        self.value = ValueConstraints(shapes_ttl, members_ref)
+        self.card = CardinalityRows(shapes_ttl, members_ref)
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        v = self.value(b)
+        c = self.card(b)
+        parts = []
+        if v.num_rows:
+            parts.append(pa.Table.from_arrays(
+                [pa.array([0] * v.num_rows, pa.int32())]
+                + [v[f.name] for f in S.VIOLATIONS]
+                + [pa.nulls(v.num_rows, f.type) for f in _CARD_SCHEMA],
+                schema=_FUSED_SCHEMA))
+        if c.num_rows:
+            parts.append(pa.Table.from_arrays(
+                [pa.array([1] * c.num_rows, pa.int32())]
+                + [pa.nulls(c.num_rows, f.type) for f in S.VIOLATIONS]
+                + [c[f.name] for f in _CARD_SCHEMA],
+                schema=_FUSED_SCHEMA))
+        if parts:
+            return pa.concat_tables(parts)
+        return _FUSED_SCHEMA.empty_table()
+
+
 def validate(triples: rd.Dataset, shapes_ttl: str, *, deduped: bool = False,
              concurrency: int | tuple | None = None,
              batch_size: int = 4096,
@@ -539,17 +574,22 @@ def validate(triples: rd.Dataset, shapes_ttl: str, *, deduped: bool = False,
     # the amortization the reference gets from its static shapes cache
     # (SHACLValidationService.ts:35). The actor-pool classes above remain
     # the API for isolation-sensitive deployments.
-    def value_fn(b: pa.Table) -> pa.Table:
-        return _worker_state(ValueConstraints, shapes_ttl, members_ref)(b)
+    def fused_fn(b: pa.Table) -> pa.Table:
+        return _worker_state(FusedValidation, shapes_ttl, members_ref)(b)
 
-    def card_fn(b: pa.Table) -> pa.Table:
-        return _worker_state(CardinalityRows, shapes_ttl, members_ref)(b)
-
-    value_viols = eval_triples.map_batches(value_fn, batch_format="pyarrow",
-                                           batch_size=batch_size)
-
-    card_rows = eval_triples.map_batches(card_fn, batch_format="pyarrow",
-                                         batch_size=batch_size)
+    # ONE pass over the (deduped, path-augmented) triples; the fused
+    # output (violations + card rows — far smaller than the input) is
+    # pinned because two branches consume it
+    fused = eval_triples.map_batches(fused_fn, batch_format="pyarrow",
+                                     batch_size=batch_size).materialize()
+    viol_cols = [f.name for f in S.VIOLATIONS]
+    card_cols = [f.name for f in _CARD_SCHEMA]
+    value_viols = fused.map_batches(
+        lambda b: b.filter(pc.equal(b["row_type"], 0)).select(viol_cols),
+        batch_format="pyarrow", zero_copy_batch=True)
+    card_rows = fused.map_batches(
+        lambda b: b.filter(pc.equal(b["row_type"], 1)).select(card_cols),
+        batch_format="pyarrow", zero_copy_batch=True)
 
     # sh:targetNode required rows: a fixed, shape-sized list — injected once
     node_req: list[dict] = []

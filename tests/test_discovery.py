@@ -58,3 +58,39 @@ def test_classify_format_cascade():
     assert discovery.classify_format("application/json") == "json"
     assert discovery.classify_format("application/pdf") == "unknown"
     assert discovery.classify_format("") == "unknown"
+
+
+def test_classify_format_cascade_breadth():
+    """M17 rule families (DataDiscoveryService.ts:330-475)."""
+    from shacl_validator_ray.stages.discovery import (classify_format,
+                                                      classify_format_from_url)
+
+    # authority URIs: decided by the designator only
+    assert classify_format(
+        "http://publications.europa.eu/resource/authority/file-type/CSV") == "csv"
+    assert classify_format(
+        "http://publications.europa.eu/resource/authority/file-type/JSON") == "json"
+    assert classify_format(
+        "http://publications.europa.eu/resource/authority/file-type/PDF") == "unknown"
+    assert classify_format("https://www.iana.org/assignments/media-types/text/csv") == "csv"
+    # media types, fragments, labels, Spanish labels
+    assert classify_format("application/csv") == "csv"
+    assert classify_format("text/json") == "json"
+    assert classify_format("something#csv") == "csv"
+    assert classify_format("Comma-Separated Values") == "csv"
+    assert classify_format("delimiter-separated file") == "csv"
+    assert classify_format("Valores separados por comas") == "csv"
+    assert classify_format("JavaScript Object Notation") == "json"
+    assert classify_format("Notación de objetos JavaScript") == "json"
+    assert classify_format("application/pdf") == "unknown"
+    # URL rules: extensions, query params, path markers, api/export
+    assert classify_format_from_url("https://x.org/data.csv") == "csv"
+    assert classify_format_from_url("https://x.org/d?format=json") == "json"
+    assert classify_format_from_url("https://x.org/dump?fmt=csv") == "csv"
+    assert classify_format_from_url("https://x.org/files/csv/2020") == "csv"
+    assert classify_format_from_url("https://x.org/a-json-feed") == "json"
+    assert classify_format_from_url("https://x.org/api/rows.json") == "json"
+    assert classify_format_from_url("https://x.org/export?type=csv") == "csv"
+    # stricter than the label classifier: host mentions don't classify
+    assert classify_format_from_url("https://csvkit.example/data.xml") == "unknown"
+    assert classify_format_from_url("") == "unknown"
