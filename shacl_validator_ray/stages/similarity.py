@@ -151,63 +151,75 @@ def knn_ivf(emb: rd.Dataset, query_ids: list[int], k: int = 5,
     return partials.groupby("qid").map_groups(final_topk, batch_format="pandas")
 
 
-class _LSHBucketer:
-    """Random-hyperplane LSH bucketing (stateful: planes built once per
-    actor, lazily sized to the embedding dim of the first batch)."""
+def knn_lsh(emb: rd.Dataset, query_ids: list[int], k: int = 5, n_planes: int = 6,
+            multiprobe: int = 1, seed: int = 42, id_col: str = "vec_id",
+            vec_col: str = "embedding") -> rd.Dataset:
+    """Approximate top-k via random-hyperplane LSH with MULTIPROBE.
 
-    def __init__(self, dim: int, n_planes: int, seed: int, id_col: str, vec_col: str):
-        self.dim, self.n_planes, self.seed = dim, n_planes, seed
-        self.planes: np.ndarray | None = None
-        self.id_col, self.vec_col = id_col, vec_col
-
-    def __call__(self, b: pa.Table) -> pa.Table:
-        m = np.stack(b[self.vec_col].to_pylist()).astype(np.float64)
-        if self.planes is None or self.planes.shape[0] != m.shape[1]:
-            rng = np.random.RandomState(self.seed)
-            self.planes = rng.normal(size=(m.shape[1], self.n_planes))
-        signs = (m @ self.planes) > 0
-        bucket = signs @ (1 << np.arange(signs.shape[1]))
-        return b.append_column("bucket", pa.array(bucket.astype(np.int64)))
-
-
-def knn_lsh(emb: rd.Dataset, query_ids: list[int], k: int = 5, n_planes: int = 4,
-            seed: int = 42, dim: int = 64, id_col: str = "vec_id",
-            vec_col: str = "embedding", concurrency: int = 2) -> rd.Dataset:
-    """Approximate top-k: probe only the query's LSH bucket.
-
-    At scale this replaces the brute-force scan with a bucket-key groupby;
-    recall depends on n_planes (fewer planes → bigger buckets → higher recall).
+    Each query probes its own sign bucket plus every bucket within
+    hamming distance ``multiprobe`` of it (flip one plane sign). The scan
+    is map-side: each batch keeps only rows whose bucket is probed by
+    some query, emits LOCAL per-query top-2k partials, and a tiny final
+    groupby merges — no bucket is ever materialized whole in one worker
+    (the previous whole-bucket groupby held n/2^planes vectors per task,
+    a scale ceiling). Probed fraction ≈ (1 + n_planes·[multiprobe≥1])
+    / 2^n_planes of the corpus per query.
     """
-    bucketed = emb.map_batches(
-        _LSHBucketer, fn_constructor_args=(dim, n_planes, seed, id_col, vec_col),
-        batch_format="pyarrow", concurrency=concurrency, batch_size=4096)
+    if multiprobe > 1:
+        raise NotImplementedError("multiprobe > 1 not implemented (flip-1 only)")
 
-    qset = set(query_ids)
+    qrows = (emb.map_batches(
+        lambda b: b.filter(pa.compute.is_in(b[id_col], value_set=pa.array(query_ids))),
+        batch_format="pyarrow", zero_copy_batch=True).to_pandas())
+    qrows = qrows.sort_values(id_col)
+    qids = qrows[id_col].to_numpy()
+    qm = _norm_rows(np.stack(qrows[vec_col].to_numpy()).astype(np.float64))
+    rng = np.random.RandomState(seed)
+    planes = rng.normal(size=(qm.shape[1], n_planes))
+    weights = (1 << np.arange(n_planes)).astype(np.int64)
+    qbuckets = (((qm @ planes) > 0) @ weights).astype(np.int64)
+    probes = []  # per query: own bucket + flip-1 neighbors
+    for qb in qbuckets:
+        ps = {int(qb)}
+        if multiprobe >= 1:
+            ps |= {int(qb ^ (1 << i)) for i in range(n_planes)}
+        probes.append(np.array(sorted(ps), dtype=np.int64))
+    all_probed = np.unique(np.concatenate(probes))
+    ref = ray.put((qids, qm, planes, weights, probes, all_probed))
 
-    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        qs = g[g[id_col].isin(qset)]
-        if qs.empty:
-            return pd.DataFrame({"qid": pd.array([], dtype="int64"),
-                                 "nid": pd.array([], dtype="int64"),
-                                 "sim": pd.array([], dtype="float64")})
-        m = _norm_rows(np.stack(g[vec_col].to_numpy()).astype(np.float64))
-        ids = g[id_col].to_numpy()
-        qm = _norm_rows(np.stack(qs[vec_col].to_numpy()).astype(np.float64))
-        sims = qm @ m.T
+    def partial_topk(b: pa.Table) -> pa.Table:
+        qids_, qm_, planes_, w_, probes_, allp_ = ray.get(ref)
+        ids = np.asarray(b[id_col])
+        m = np.stack(b[vec_col].to_pylist()).astype(np.float64)
+        buckets = (((m @ planes_) > 0) @ w_).astype(np.int64)
+        cand = np.isin(buckets, allp_)
+        if not cand.any():
+            return pa.table({"qid": pa.array([], pa.int64()),
+                             "nid": pa.array([], pa.int64()),
+                             "sim": pa.array([], pa.float64())})
+        ids, m, buckets = ids[cand], _norm_rows(m[cand]), buckets[cand]
+        sims = qm_ @ m.T  # (nq, ncand)
         out_q, out_n, out_s = [], [], []
-        for qi, qid in enumerate(qs[id_col].to_numpy()):
-            order = sorted(range(len(ids)), key=lambda j: (-sims[qi, j], ids[j]))
+        for qi in range(len(qids_)):
+            allowed = np.isin(buckets, probes_[qi])
+            row, rids = sims[qi][allowed], ids[allowed]
             cnt = 0
-            for j in order:
-                if ids[j] == qid:
+            for j in np.argsort(-row, kind="stable"):
+                if rids[j] == qids_[qi]:
                     continue
-                out_q.append(int(qid)); out_n.append(int(ids[j]))
-                out_s.append(round(float(sims[qi, j]), 6))
+                out_q.append(int(qids_[qi])); out_n.append(int(rids[j]))
+                out_s.append(round(float(row[j]), 6))
                 cnt += 1
-                if cnt >= k:
+                if cnt >= 2 * k:
                     break
-        return pd.DataFrame({"qid": pd.array(out_q, dtype="int64"),
-                             "nid": pd.array(out_n, dtype="int64"),
-                             "sim": pd.array(out_s, dtype="float64")})
+        return pa.table({"qid": pa.array(out_q, pa.int64()),
+                         "nid": pa.array(out_n, pa.int64()),
+                         "sim": pa.array(out_s, pa.float64())})
 
-    return bucketed.groupby("bucket").map_groups(per_bucket, batch_format="pandas")
+    partials = emb.map_batches(partial_topk, batch_format="pyarrow",
+                               zero_copy_batch=True)
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(["sim", "nid"], ascending=[False, True]).head(k)
+
+    return partials.groupby("qid").map_groups(final_topk, batch_format="pandas")

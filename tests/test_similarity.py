@@ -59,3 +59,18 @@ def test_knn_lsh_shape():
     assert set(df.columns) == {"qid", "nid", "sim"}
     assert set(df["qid"]) <= {0, 1}
     assert (df.groupby("qid").size() <= 3).all()
+
+
+def test_knn_lsh_multiprobe_recall():
+    """flip-1 multiprobe over 2^4 buckets: probing 5/16 of the space must
+    recover a solid fraction of the exact top-5 (and candidates are never
+    materialized as whole buckets — map-side partials only)."""
+    ds = _emb()
+    df = similarity.knn_lsh(ds, [0, 1, 2], k=5, n_planes=4,
+                            multiprobe=1).to_pandas()
+    want = _numpy_topk(ds, [0, 1, 2])
+    hits = total = 0
+    for q in (0, 1, 2):
+        hits += len(set(df[df["qid"] == q]["nid"]) & set(want[q]))
+        total += 5
+    assert hits / total >= 0.5, hits / total
