@@ -87,6 +87,13 @@ def q_embedding_dups(sf_dir: str):
     return dedup.embedding_dup_pairs(_emb(sf_dir), tau=0.4)
 
 
+def q_embedding_dups_ivf(sf_dir: str):
+    """At-scale variant: IVF soft-assignment blocking, no natural key
+    (rows-only — approximate by design, recall-tested in pytest)."""
+    from ..stages import dedup
+    return dedup.embedding_dup_pairs_ivf(_emb(sf_dir), tau=0.4)
+
+
 def q_curation(sf_dir: str):
     from . import curation
     return curation.curate(_docs(sf_dir))
@@ -296,6 +303,7 @@ QUERIES = {
     "minhash_lsh_dups": q_minhash_lsh_dups,
     "simhash_dups": q_simhash_dups,
     "embedding_dups": q_embedding_dups,
+    "embedding_dups_ivf": q_embedding_dups_ivf,
     "curation": q_curation,
     # similarity search
     "knn_bruteforce": q_knn_bruteforce,

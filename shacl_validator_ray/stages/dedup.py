@@ -265,10 +265,69 @@ def simhash_dup_pairs(docs: rd.Dataset, max_hamming: int = 3, id_col: str = "doc
         Min("hamming", alias_name="hamming"))
 
 
+def embedding_dup_pairs_ivf(emb: rd.Dataset, tau: float = 0.4,
+                            n_centroids: int = 16, assign_k: int = 2,
+                            seed: int = 42, id_col: str = "vec_id",
+                            vec_col: str = "embedding") -> rd.Dataset:
+    """Embedding-cosine near-dup at scale: IVF-bucketed blocking.
+
+    Each vector is assigned to its ``assign_k`` nearest coarse centroids
+    (soft assignment — near-boundary pairs still co-occur in some list),
+    pairs are generated within each list, and duplicates from shared
+    lists collapse in a final (vec1, vec2) groupby. This replaces the
+    exact :func:`embedding_dup_pairs` label-block (the oracle path) when
+    no natural blocking key exists; recall is tested against it.
+    """
+    import pyarrow.compute as pc
+    import ray
+    from ray.data.aggregate import Max
+
+    from .similarity import _norm_rows, train_ivf_centroids
+
+    cents = train_ivf_centroids(emb, n_centroids, seed=seed, vec_col=vec_col)
+    cref = ray.put(cents)
+
+    def assign(b: pa.Table) -> pa.Table:
+        c = ray.get(cref)
+        m = _norm_rows(np.stack(b[vec_col].to_pylist()).astype(np.float64))
+        order = np.argsort(-(m @ c.T), axis=1)[:, :assign_k]
+        n = len(m)
+        ids = np.repeat(np.asarray(b[id_col]), assign_k)
+        lists = order.reshape(-1)
+        take_idx = pa.array(np.repeat(np.arange(n), assign_k))
+        return pa.table({
+            id_col: pa.array(ids),
+            "ivf_list": pa.array(lists.astype(np.int64)),
+            vec_col: b[vec_col].take(take_idx),
+        })
+
+    assigned = emb.map_batches(assign, batch_format="pyarrow",
+                               zero_copy_batch=True)
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(id_col).sort_values(id_col)
+        ids = g[id_col].to_numpy()
+        if len(ids) < 2:
+            return pd.DataFrame({"vec1": pd.array([], dtype="int64"),
+                                 "vec2": pd.array([], dtype="int64"),
+                                 "sim": pd.array([], dtype="float64")})
+        m = _norm_rows(np.stack(g[vec_col].to_numpy()).astype(np.float64))
+        sims = m @ m.T
+        iu, ju = np.triu_indices(len(ids), k=1)
+        mask = sims[iu, ju] >= tau
+        return pd.DataFrame({"vec1": pd.array(ids[iu[mask]], dtype="int64"),
+                             "vec2": pd.array(ids[ju[mask]], dtype="int64"),
+                             "sim": np.round(sims[iu, ju][mask], 6)})
+
+    out = assigned.groupby("ivf_list").map_groups(pairs, batch_format="pandas")
+    return out.groupby(["vec1", "vec2"]).aggregate(Max("sim", alias_name="sim"))
+
+
 def embedding_dup_pairs(emb: rd.Dataset, tau: float = 0.4, block_col: str = "label",
                         id_col: str = "vec_id", vec_col: str = "embedding") -> rd.Dataset:
-    """Embedding-cosine near-dup pairs, blocked by a coarse key (label here;
-    an IVF/LSH bucket at scale). Vectorized numpy matmul per block."""
+    """Embedding-cosine near-dup pairs, blocked by an exact coarse key
+    (label — the oracle path); :func:`embedding_dup_pairs_ivf` is the
+    blocking-key-free scale path. Vectorized numpy matmul per block."""
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(id_col)

@@ -74,3 +74,26 @@ def test_knn_lsh_multiprobe_recall():
         hits += len(set(df[df["qid"] == q]["nid"]) & set(want[q]))
         total += 5
     assert hits / total >= 0.5, hits / total
+
+
+def test_embedding_dup_pairs_ivf_recall():
+    """IVF soft-assignment blocking recovers most exact near-dup pairs
+    without any natural blocking key (the at-scale path for
+    embedding_dup_pairs)."""
+    from shacl_validator_ray.stages import dedup
+
+    ds = _emb(n=200, dim=8, seed=3)
+    exact = dedup.embedding_dup_pairs(
+        ds.map_batches(lambda b: b.set_column(
+            b.column_names.index("label"),
+            "label", __import__("pyarrow").array([0] * b.num_rows,
+                                                 __import__("pyarrow").int32())),
+            batch_format="pyarrow"),
+        tau=0.8).to_pandas()
+    approx = dedup.embedding_dup_pairs_ivf(ds, tau=0.8, n_centroids=8,
+                                           assign_k=2).to_pandas()
+    exact_pairs = set(zip(exact["vec1"], exact["vec2"]))
+    approx_pairs = set(zip(approx["vec1"], approx["vec2"]))
+    assert approx_pairs <= exact_pairs  # no false pairs (sim is exact)
+    assert len(exact_pairs) > 0
+    assert len(approx_pairs & exact_pairs) / len(exact_pairs) >= 0.6
