@@ -203,6 +203,18 @@ def q_kg_validate_paths(sf_dir: str):
          "source_constraint_component"])
 
 
+def q_kg_validate_logic(sf_dir: str):
+    """sh:or / sh:not logical constraints (logic_demo profile)."""
+    from ..stages import shacl
+    from ..state import shapes as shapes_mod
+    from . import kg
+    return shacl.validate(
+        kg.triples_dataset(sf_dir),
+        shapes_mod.load_profile_ttl("logic_demo")).select_columns(
+        ["severity", "focus_node", "path", "value",
+         "source_constraint_component"])
+
+
 def q_kg_paths_constraint_counts(sf_dir: str):
     from ..stages import report, shacl
     from ..state import shapes as shapes_mod
@@ -265,6 +277,7 @@ QUERIES = {
     "kg_conformant": q_kg_conformant,
     "kg_validate": q_kg_validate,
     "kg_validate_paths": q_kg_validate_paths,
+    "kg_validate_logic": q_kg_validate_logic,
     "kg_paths_constraint_counts": q_kg_paths_constraint_counts,
     "kg_severity_counts": q_kg_severity_counts,
     "kg_constraint_counts": q_kg_constraint_counts,
@@ -633,7 +646,31 @@ mapped AS (
   FROM {gt})
 """
 
+    logic_viol = f"""
+WITH gt AS (SELECT DISTINCT subj, pred, obj_kind, obj_value, obj_datatype, obj_lang
+            FROM {gt}),
+datasets AS (SELECT DISTINCT subj FROM gt
+             WHERE pred = '{ns.RDF_TYPE}' AND obj_value = '{dcat}Dataset'),
+viol AS (
+  SELECT 'Violation' AS severity, g.subj AS focus_node, '{dct}format' AS path,
+         g.obj_value AS value, '{sh}OrConstraintComponent' AS source_constraint_component
+  FROM gt g
+  WHERE g.pred = '{dct}format'
+    AND g.obj_value NOT IN ('text/csv', 'application/json')
+    AND NOT regexp_matches(g.obj_value, '^text/')
+  UNION ALL
+  SELECT 'Violation', g.subj, '{dct}description', g.obj_value,
+         '{sh}NotConstraintComponent'
+  FROM gt g
+  WHERE g.pred = '{dct}description' AND g.subj IN (SELECT subj FROM datasets)
+    AND regexp_matches(g.obj_value, '^\\s*$')
+)
+"""
+
     return {
+        "kg_validate_logic": logic_viol +
+            "SELECT severity, focus_node, path, value, "
+            "source_constraint_component FROM viol",
         "kg_extract": "WITH " + mapped +
             "SELECT subj, pred, obj_kind, obj_value, obj_datatype, obj_lang, "
             "doc_id FROM mapped",

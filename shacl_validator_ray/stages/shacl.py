@@ -324,7 +324,8 @@ class ValueConstraints:
         self.in_sets: dict[int, frozenset] = {}
         for nshape, p, idx in self.shapes.property_shapes():
             if (p.datatype or p.pattern or p.node_kind or p.node_class
-                    or p.min_length >= 0 or p.max_length >= 0 or p.in_values):
+                    or p.min_length >= 0 or p.max_length >= 0 or p.in_values
+                    or p.or_branches or p.not_shape):
                 fsets = _focus_sets(self.members, tuple(nshape.targets))
                 self.by_path.setdefault(p.path, []).append((fsets, p))
                 if p.in_values:
@@ -409,6 +410,45 @@ class ValueConstraints:
                     inset = self.in_sets[p._global_idx]  # type: ignore[attr-defined]
                     bad = [i for i in fidx if vals[i] not in inset]
                     emit_rows(p, bad, "InConstraintComponent")
+                if p.or_branches or p.not_shape:
+                    # logical constraints: per-value conformance against
+                    # value-level branch bundles (compile-time restricted)
+                    def fails(c, i) -> bool:
+                        if c.datatype and (kinds[i] != "literal"
+                                           or eff_dt(i) != c.datatype):
+                            return True
+                        if c.pattern and not c.compiled_pattern().search(vals[i]):
+                            return True
+                        if c.node_kind and kinds[i] not in NODEKIND_SETS[
+                                c.node_kind.rsplit("#", 1)[-1]]:
+                            return True
+                        if c.min_length >= 0 and (kinds[i] == "blank"
+                                                  or len(vals[i]) < c.min_length):
+                            return True
+                        if c.max_length >= 0 and (kinds[i] == "blank"
+                                                  or len(vals[i]) > c.max_length):
+                            return True
+                        if c.in_values and vals[i] not in c.in_values:
+                            return True
+                        if c.node_class:
+                            cset = self.members.get(f"class:{c.node_class}",
+                                                    frozenset())
+                            if kinds[i] != "iri" or vals[i] not in cset:
+                                return True
+                        if c.or_branches and all(fails(br, i)
+                                                 for br in c.or_branches):
+                            return True
+                        if c.not_shape and not fails(c.not_shape, i):
+                            return True
+                        return False
+
+                    if p.or_branches:
+                        bad = [i for i in fidx
+                               if all(fails(br, i) for br in p.or_branches)]
+                        emit_rows(p, bad, "OrConstraintComponent")
+                    if p.not_shape:
+                        bad = [i for i in fidx if not fails(p.not_shape, i)]
+                        emit_rows(p, bad, "NotConstraintComponent")
         return _violation_rows(out)
 
 

@@ -64,6 +64,10 @@ class PropertyShape:
     in_values: list[str] = field(default_factory=list)   # obj_value strings
     has_value: str = ""            # required value (sh:hasValue)
     has_value_kind: str = ""       # its term kind ("iri" | "literal" | …)
+    # logical constraints over VALUE-level branches (sh:or / sh:not):
+    # each branch is a constraint bundle (a PropertyShape without a path)
+    or_branches: list["PropertyShape"] = field(default_factory=list)
+    not_shape: "PropertyShape | None" = None
     severity: str = "Violation"
     messages: list[tuple[str, str]] = field(default_factory=list)  # (text, lang)
     foaf_page: str = ""
@@ -195,6 +199,20 @@ _TARGET_PREDS = [
 ]
 
 
+def _branch(ps: PropertyShape, piri: str) -> PropertyShape:
+    """Validate an sh:or / sh:not branch: value-level constraints only."""
+    if ps.min_count >= 0 or ps.max_count >= 0 or ps.has_value or ps.path:
+        raise ValueError(
+            f"unsupported sh:or/sh:not branch on {piri}: only value-level "
+            "constraints (datatype/pattern/nodeKind/minLength/maxLength/"
+            "in/class) are supported")
+    if not (ps.datatype or ps.pattern or ps.node_kind or ps.min_length >= 0
+            or ps.max_length >= 0 or ps.in_values or ps.node_class
+            or ps.or_branches or ps.not_shape):
+        raise ValueError(f"empty sh:or/sh:not branch on {piri}")
+    return ps
+
+
 def compile_shapes(ttl_text: str) -> CompiledShapes:
     triples = turtle.parse_turtle(ttl_text, bnode_prefix="sh")
     spo: dict[str, dict[str, list[tuple[str, str, str, str]]]] = {}
@@ -278,6 +296,17 @@ def compile_shapes(ttl_text: str) -> CompiledShapes:
         hv = spo.get(piri, {}).get(ns.SH + "hasValue")
         if hv:
             ps.has_value_kind, ps.has_value = hv[0][0], hv[0][1]
+        # sh:or ( [ … ] [ … ] ) / sh:not [ … ]: branches are VALUE-level
+        # constraint bundles (datatype/pattern/nodeKind/length/in/class);
+        # count-bound or nested-path branches are rejected at compile time
+        # (same restriction posture as unsupported path operators).
+        or_head = first(piri, ns.SH + "or")
+        if or_head:
+            for k, v in read_list(or_head):
+                ps.or_branches.append(_branch(prop_shape(v), v))
+        nt = first(piri, ns.SH + "not")
+        if nt:
+            ps.not_shape = _branch(prop_shape(nt), nt)
         ps.severity = _SEVERITY.get(first(piri, ns.SH + "severity"), "Violation")
         ps.messages = [(v, lang or "en") for k, v, dt, lang in
                        spo.get(piri, {}).get(ns.SH + "message", [])]

@@ -291,6 +291,40 @@ def test_length_in_hasvalue_components():
                    ("z", "HasValueConstraintComponent", "")}
 
 
+def test_or_not_logical_constraints():
+    """sh:or (violates only if EVERY branch fails) and sh:not (violates
+    when the nested bundle conforms); count-bound branches are rejected
+    at compile time."""
+    import pytest
+
+    shapes_ttl = """
+    @prefix sh: <http://www.w3.org/ns/shacl#> .
+    @prefix xsd: <http://www.w3.org/2001/XMLSchema#> .
+    @prefix ex: <http://example.org/> .
+    ex:S a sh:NodeShape ; sh:targetClass ex:T ;
+         sh:property [ sh:path ex:v ;
+                       sh:or ( [ sh:datatype xsd:integer ]
+                               [ sh:pattern "^ok" ] ) ] ;
+         sh:property [ sh:path ex:w ; sh:not [ sh:pattern "forbidden" ] ] .
+    """
+    data_ttl = """
+    @prefix ex: <http://example.org/> .
+    ex:a a ex:T ; ex:v 42 ; ex:w "fine" .
+    ex:b a ex:T ; ex:v "ok text" ; ex:w "very forbidden words" .
+    ex:c a ex:T ; ex:v "neither" .
+    """
+    viols = shacl.validate(_ds_from_ttl_text(data_ttl), shapes_ttl, concurrency=1)
+    got = {(r["focus_node"].rsplit("/")[-1],
+            r["source_constraint_component"].rsplit("#", 1)[-1], r["value"])
+           for r in viols.to_pandas().to_dict("records")}
+    assert got == {("c", "OrConstraintComponent", "neither"),
+                   ("b", "NotConstraintComponent", "very forbidden words")}
+
+    with pytest.raises(ValueError, match="branch"):
+        shapes_mod.compile_shapes(shapes_ttl.replace(
+            "sh:datatype xsd:integer", "sh:minCount 1"))
+
+
 def test_compile_shapes_profile():
     cs = shapes_mod.compile_shapes(_read(f"{FIX}/shapes/profile.ttl"))
     assert len(cs.node_shapes) == 1
