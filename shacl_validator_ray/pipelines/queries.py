@@ -628,6 +628,11 @@ viol AS (
       (SELECT 1 FROM gt c JOIN gt t ON c.obj_value = t.subj
        WHERE c.subj = '{ns.EX}catalog/main' AND c.pred = '{dcat}dataset'
          AND t.pred = '{dct}title')
+  UNION ALL
+  SELECT 'Info', obj_value, '^{dcat}theme', '',
+         '{sh}MaxCountConstraintComponent'
+  FROM gt WHERE pred = '{dcat}theme'
+  GROUP BY obj_value HAVING count(DISTINCT subj) > 100
 )
 """
 

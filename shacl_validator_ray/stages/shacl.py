@@ -223,12 +223,36 @@ def augment_paths(triples: rd.Dataset,
 
     alts = compiled.alt_paths()
     seqs = compiled.seq_paths()
-    if not alts and not seqs:
+    invs = compiled.inv_paths()
+    if not alts and not seqs and not invs:
         return None
     if num_partitions is None:
         num_partitions = max(8, io_mod.default_num_blocks() // 2)
 
     derived: list[rd.Dataset] = []
+    if invs:
+        def inv_rows(b: pa.Table) -> pa.Table:
+            outs = []
+            for path_str, pred in invs:
+                sub = b.filter(pc.equal(b["pred"], pred))
+                if sub.num_rows:
+                    # the inverse value node is the original SUBJECT (an
+                    # IRI or a doc-scoped blank label)
+                    skind = ["blank" if s.startswith("_:") else "iri"
+                             for s in sub["subj"].to_pylist()]
+                    n = sub.num_rows
+                    outs.append(pa.table({
+                        "subj": sub["obj_value"],
+                        "pred": pa.array([path_str] * n, pa.string()),
+                        "obj_kind": pa.array(skind, pa.string()),
+                        "obj_value": sub["subj"],
+                        "obj_datatype": pa.array([""] * n, pa.string()),
+                        "obj_lang": pa.array([""] * n, pa.string()),
+                        "doc_id": sub["doc_id"], "span_idx": sub["span_idx"]}))
+            return pa.concat_tables(outs) if outs else b.slice(0, 0)
+
+        derived.append(triples.map_batches(inv_rows, batch_format="pyarrow",
+                                           zero_copy_batch=True))
     if alts:
         def alt_rows(b: pa.Table) -> pa.Table:
             outs = []

@@ -144,6 +144,16 @@ class CompiledShapes:
                     out.append((p.path, tuple(p.path_preds)))
         return out
 
+    def inv_paths(self) -> list[tuple[str, str]]:
+        """Distinct inverse paths: (canonical "^p" string, predicate)."""
+        out, seen = [], set()
+        for n in self.node_shapes:
+            for p in n.properties:
+                if p.path_kind == "inv" and p.path not in seen:
+                    seen.add(p.path)
+                    out.append((p.path, p.path_preds[0]))
+        return out
+
     def foaf_pages(self) -> dict[str, str]:
         """shape IRI → foaf:page (the J3 broadcast map)."""
         out = {}
@@ -247,6 +257,13 @@ def compile_shapes(ttl_text: str) -> CompiledShapes:
         if kind == "iri":
             return value, "single", [value]
         node = spo.get(value, {})
+        if ns.SH + "inversePath" in node:
+            iv = node[ns.SH + "inversePath"][0]
+            if iv[0] != "iri":
+                raise ValueError(
+                    f"unsupported sh:inversePath member on {piri} "
+                    "(only a plain predicate IRI is supported)")
+            return "^" + iv[1], "inv", [iv[1]]
         if ns.SH + "alternativePath" in node:
             head = node[ns.SH + "alternativePath"][0][1]
             preds = [v for k, v in read_list(head)]

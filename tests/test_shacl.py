@@ -234,6 +234,31 @@ def test_alternative_path_validation():
                    ("many", "MaxCountConstraintComponent")}
 
 
+def test_inverse_path_validation():
+    """sh:inversePath: value nodes are the SUBJECTS pointing at the focus."""
+    shapes_ttl = """
+    @prefix sh: <http://www.w3.org/ns/shacl#> .
+    @prefix ex: <http://example.org/> .
+    ex:S a sh:NodeShape ; sh:targetObjectsOf ex:tag ;
+         sh:property [ sh:path [ sh:inversePath ex:tag ] ;
+                       sh:maxCount 2 ; sh:nodeKind sh:IRI ] .
+    """
+    data_ttl = """
+    @prefix ex: <http://example.org/> .
+    ex:a ex:tag ex:t1 , ex:t2 .
+    ex:b ex:tag ex:t1 .
+    ex:c ex:tag ex:t1 .
+    _:blank ex:tag ex:t2 .
+    """
+    viols = shacl.validate(_ds_from_ttl_text(data_ttl), shapes_ttl, concurrency=1)
+    got = {(r["focus_node"].rsplit("/")[-1],
+            r["source_constraint_component"].rsplit("#", 1)[-1])
+           for r in viols.to_pandas().to_dict("records")}
+    # t1 has 3 inverse values (a,b,c) → maxCount; t2's blank subject → nodeKind
+    assert got == {("t1", "MaxCountConstraintComponent"),
+                   ("t2", "NodeKindConstraintComponent")}
+
+
 def test_target_selectors():
     """sh:targetNode / sh:targetSubjectsOf / sh:targetObjectsOf."""
     shapes_ttl = """
