@@ -326,4 +326,6 @@ def discover_datasets(triples: rd.Dataset, query: str = "", limit: int = 50,
     assembled = bucketed_block_apply(ds_tagged.union(dist_assign), "ds_id",
                                      assemble)
     final = assembled.sort("id").limit(limit).to_pandas()
+    if final.empty or "rec" not in final.columns:
+        return pd.DataFrame([])  # no datasets survived the filters
     return pd.DataFrame([_json.loads(r) for r in final["rec"]])

@@ -94,3 +94,20 @@ def test_classify_format_cascade_breadth():
     # stricter than the label classifier: host mentions don't classify
     assert classify_format_from_url("https://csvkit.example/data.xml") == "unknown"
     assert classify_format_from_url("") == "unknown"
+
+
+def test_discover_no_datasets_returns_empty():
+    """A triples set with no dcat:Dataset rows yields an empty frame, not
+    a KeyError from the empty distributed-assembly result."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from shacl_validator_ray import schema as S
+    from shacl_validator_ray.stages.discovery import discover_datasets
+
+    tbl = pa.Table.from_pylist(
+        [{"subj": "http://example.org/x", "pred": "http://example.org/p",
+          "obj_kind": "literal", "obj_value": "v", "obj_datatype": "",
+          "obj_lang": "", "doc_id": "d0", "span_idx": 0}], schema=S.TRIPLES)
+    df = discover_datasets(rd.from_arrow(tbl))
+    assert df.empty
