@@ -599,10 +599,68 @@ class FusedValidation:
         return _FUSED_SCHEMA.empty_table()
 
 
+class CustomConstraint:
+    """User-extension surface (SURVEY §2.10) — the engine-level analog of
+    the reference's ``validations: sparqlValidations`` plug-in
+    (SHACLValidationService.ts:399-406): a per-path predicate callable
+    evaluated over value nodes, distributed like any built-in component.
+
+    ``fn(kind, value, datatype, lang) -> bool`` returns True when the
+    value CONFORMS. ``target`` optionally restricts focus nodes (any
+    Target selector); None applies to every subject carrying ``path``.
+    """
+
+    def __init__(self, path: str, fn, component: str,
+                 target: "shapes_mod.Target | None" = None,
+                 severity: str = "Violation", message: str = "",
+                 shape_iri: str = ""):
+        self.path, self.fn, self.component = path, fn, component
+        self.target, self.severity = target, severity
+        self.message = message
+        self.shape_iri = shape_iri or component
+
+    def violations(self, triples: rd.Dataset,
+                   members: dict | None = None) -> rd.Dataset:
+        import numpy as np
+        import ray as _ray
+
+        members = members or {}
+        fsets = (_focus_sets(members, (self.target,)) if self.target else None)
+        ref = _ray.put((self.fn, fsets))
+        cc = self
+
+        def check(b: pa.Table) -> pa.Table:
+            fn, fsets_ = _ray.get(ref)
+            b = b.filter(pc.equal(b["pred"], cc.path))
+            if b.num_rows == 0:
+                return _violation_rows([])
+            subjs = np.asarray(b["subj"].to_pandas(), dtype=object)
+            if fsets_ is not None:
+                keep = _members_mask(fsets_, subjs)
+                b, subjs = b.filter(pa.array(keep)), subjs[keep]
+            rows = []
+            msg = [{"text": cc.message or f"custom constraint failed on "
+                    f"{cc.path}", "lang": "en"}]
+            for s, k, v, dt, lg in zip(
+                    subjs, b["obj_kind"].to_pylist(), b["obj_value"].to_pylist(),
+                    b["obj_datatype"].to_pylist(), b["obj_lang"].to_pylist()):
+                if not fn(k, v, dt, lg):
+                    rows.append({
+                        "severity": cc.severity, "focus_node": s,
+                        "path": cc.path, "value": v, "message": msg,
+                        "source_constraint_component": cc.component,
+                        "source_shape": cc.shape_iri, "foaf_page": ""})
+            return _violation_rows(rows)
+
+        return triples.map_batches(check, batch_format="pyarrow",
+                                   zero_copy_batch=True)
+
+
 def validate(triples: rd.Dataset, shapes_ttl: str, *, deduped: bool = False,
              concurrency: int | tuple | None = None,
              batch_size: int = 4096,
-             bloom_threshold: int | None = None) -> rd.Dataset:
+             bloom_threshold: int | None = None,
+             custom: "list[CustomConstraint] | None" = None) -> rd.Dataset:
     """triples Dataset → violations Dataset (schema.VIOLATIONS).
 
     The deduped triple set is materialized once — it is consumed by three
@@ -708,7 +766,21 @@ def validate(triples: rd.Dataset, shapes_ttl: str, *, deduped: bool = False,
         return _violation_rows(rows)
 
     card_viols = counts.map_batches(card_violations, batch_format="pyarrow")
-    return value_viols.union(card_viols)
+    out = value_viols.union(card_viols)
+
+    if custom:
+        # membership sets for custom targets not already collected
+        extra = [c.target for c in custom
+                 if c.target is not None and c.target.kind != "node"
+                 and c.target.key not in members]
+        if extra:
+            fake = shapes_mod.CompiledShapes(
+                [shapes_mod.NodeShape(iri="custom", targets=extra)])
+            members.update(collect_members(triples, fake,
+                                           bloom_threshold=bloom_threshold))
+        for c in custom:
+            out = out.union(c.violations(eval_triples, members))
+    return out
 
 
 def severity_partition(viols: rd.Dataset) -> rd.Dataset:

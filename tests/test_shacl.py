@@ -316,6 +316,39 @@ def test_length_in_hasvalue_components():
                    ("z", "HasValueConstraintComponent", "")}
 
 
+def test_custom_constraint_hook():
+    """The §2.10 extension surface: a per-path Python predicate runs
+    distributed alongside the compiled components (the engine-level
+    analog of the reference's sparqlValidations plug-in)."""
+    shapes_ttl = """
+    @prefix sh: <http://www.w3.org/ns/shacl#> .
+    @prefix ex: <http://example.org/> .
+    ex:S a sh:NodeShape ; sh:targetClass ex:T ;
+         sh:property [ sh:path ex:year ; sh:minCount 1 ] .
+    """
+    data_ttl = """
+    @prefix ex: <http://example.org/> .
+    ex:a a ex:T ; ex:year 2015 .
+    ex:b a ex:T ; ex:year 1999 .
+    ex:other ex:year 1800 .
+    """
+    cc = shacl.CustomConstraint(
+        path="http://example.org/year",
+        fn=lambda kind, value, dt, lang: int(value) >= 2010,
+        component="http://example.org/constraints#ModernYear",
+        target=shapes_mod.Target("class", "http://example.org/T"),
+        severity="Warning", message="year must be >= 2010")
+    viols = shacl.validate(_ds_from_ttl_text(data_ttl), shapes_ttl,
+                           concurrency=1, custom=[cc])
+    recs = viols.to_pandas().to_dict("records")
+    custom_rows = [r for r in recs if "ModernYear" in
+                   r["source_constraint_component"]]
+    # ex:b violates; ex:other is outside the class target
+    assert len(custom_rows) == 1
+    assert custom_rows[0]["focus_node"].endswith("/b")
+    assert custom_rows[0]["severity"] == "Warning"
+
+
 def test_or_not_logical_constraints():
     """sh:or (violates only if EVERY branch fails) and sh:not (violates
     when the nested bundle conforms); count-bound branches are rejected
