@@ -262,6 +262,13 @@ def q_kg_media_features(sf_dir: str):
     return multimodal.media_features(kg.documents_dataset(sf_dir))
 
 
+def q_kg_image_stats(sf_dir: str):
+    """Real PPM decode → pixel statistics (rows-only: float features)."""
+    from ..stages import multimodal
+    from . import kg
+    return multimodal.image_pixel_features(kg.documents_dataset(sf_dir))
+
+
 def q_kg_grouped_findings(sf_dir: str):
     from ..stages import report
     from . import kg
@@ -286,6 +293,7 @@ QUERIES = {
     "kg_links": q_kg_links,
     "kg_discovery": q_kg_discovery,
     "kg_media_features": q_kg_media_features,
+    "kg_image_stats": q_kg_image_stats,
     # relational operator inventory (SURVEY.md §2)
     "severity_counts": R.severity_counts,
     "pruned_agg": R.pruned_agg,

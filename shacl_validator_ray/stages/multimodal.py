@@ -1,11 +1,15 @@
 """Multimodal columns: media spans as opaque binary payloads + typed metadata.
 
-Image/audio decode libraries are not available in this container, so the
-DECODE KERNEL is stubbed (deterministic fake payload derived from the
-media_ref, or ``NotImplementedError`` in strict mode) — but the Ray-side
-plumbing is real and tested: span explode (fan-out inside the batch fn),
-actor-pool stages with per-actor setup, small ``batch_size`` for wide
-binary rows, Arrow ``binary()`` columns end-to-end (binary stays in
+The decode kernel is REAL for the formats decodable without external
+libraries: binary PPM (P6) / PGM (P5) parse with pure numpy
+(:func:`decode_image_bytes`), and the synthetic corpus payloads are
+valid P6 images, so decode → pixel features → nearest-neighbor resize
+run on actual pixel data end-to-end. JPEG/PNG/audio decoding needs
+libraries absent from this container and raises ``NotImplementedError``
+in strict mode (the documented stub boundary). The Ray-side plumbing is
+production-shaped throughout: span explode (fan-out inside the batch
+fn), actor-pool stages with per-actor setup, small ``batch_size`` for
+wide binary rows, Arrow ``binary()`` columns end-to-end (binary stays in
 ``batch_format="pyarrow"`` — pandas would object-box it).
 """
 
@@ -38,6 +42,48 @@ except ImportError:
     HAVE_PIL = False
 
 
+def decode_image_bytes(data: bytes) -> tuple[int, int, np.ndarray]:
+    """Pure-numpy image decode for binary PPM (P6) / PGM (P5): header
+    (magic, dims, maxval, ``#`` comments allowed) + raw samples →
+    (width, height, uint8 array of shape (h, w, 3) or (h, w)).
+    Raises ValueError for anything else (JPEG/PNG need external libs)."""
+    if not (data.startswith(b"P6") or data.startswith(b"P5")):
+        raise ValueError("not a binary PPM/PGM payload")
+    channels = 3 if data.startswith(b"P6") else 1
+    # header: 4 whitespace-separated tokens, # comments to end-of-line
+    pos, tokens = 2, []
+    while len(tokens) < 3 and pos < len(data):
+        c = data[pos:pos + 1]
+        if c == b"#":
+            pos = data.index(b"\n", pos) + 1
+        elif c.isspace():
+            pos += 1
+        else:
+            end = pos
+            while end < len(data) and not data[end:end + 1].isspace():
+                end += 1
+            tokens.append(int(data[pos:end]))
+            pos = end
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = tokens
+    if maxval > 255:
+        raise ValueError("16-bit PPM not supported")
+    n = w * h * channels
+    pixels = np.frombuffer(data[pos:pos + n], dtype=np.uint8)
+    if len(pixels) != n:
+        raise ValueError("truncated PPM payload")
+    return w, h, (pixels.reshape(h, w, 3) if channels == 3
+                  else pixels.reshape(h, w))
+
+
+def resize_nearest(img: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Nearest-neighbor resize via index maps (pure numpy)."""
+    h, w = img.shape[:2]
+    yi = (np.arange(out_h) * h // out_h).clip(0, h - 1)
+    xi = (np.arange(out_w) * w // out_w).clip(0, w - 1)
+    return img[yi][:, xi]
+
+
 def media_spans(docs: rd.Dataset) -> rd.Dataset:
     """Explode non-text spans to one row each (doc → N media rows)."""
 
@@ -57,29 +103,38 @@ def media_spans(docs: rd.Dataset) -> rd.Dataset:
 
 
 class MediaDecoder:
-    """Actor-pool decode stage. Real decoders would be loaded once here
-    (``__init__``); the stub synthesizes a deterministic payload + dims
-    from the media_ref so downstream plumbing is fully exercised."""
+    """Actor-pool decode stage. The synthetic fetch produces a VALID
+    binary PPM payload per media_ref (deterministic pixels), and the
+    decode is the REAL parser (:func:`decode_image_bytes`) — width and
+    height come from actually parsing the header, not from metadata.
+    ``strict=True`` marks the JPEG/PNG boundary: those formats need an
+    image library absent from this container."""
 
     def __init__(self, strict: bool = False, payload_bytes: int = 256):
         if strict and not HAVE_PIL:
             raise NotImplementedError(
-                "media decode requires an image library not present in this "
-                "environment; run with strict=False for the deterministic stub")
+                "JPEG/PNG decode requires an image library not present in "
+                "this environment; PPM/PGM decode (the pure-numpy path) "
+                "works with strict=False")
         self.payload_bytes = payload_bytes
 
-    def _fake(self, ref: str) -> tuple[bytes, int, int, int]:
+    def _synth_fetch(self, ref: str) -> tuple[bytes, int]:
+        """Stand-in for the payload fetch (object store / blob read):
+        deterministic small P6 image + frame count per media_ref."""
         h = hashlib.blake2b(ref.encode(), digest_size=16).digest()
         rng = np.random.RandomState(int.from_bytes(h[:4], "little"))
-        payload = rng.bytes(self.payload_bytes)
-        w, h_, f = 16 + h[4] % 64, 16 + h[5] % 64, 1 + h[6] % 8
-        return payload, w, h_, f
+        w, h_ = 16 + h[4] % 64, 16 + h[5] % 64
+        pixels = rng.randint(0, 256, size=(h_, w, 3), dtype=np.uint8)
+        payload = b"P6\n%d %d\n255\n" % (w, h_) + pixels.tobytes()
+        return payload, 1 + h[6] % 8
 
     def __call__(self, b: pa.Table) -> pa.Table:
         payloads, ws, hs, fs = [], [], [], []
         for ref in b["media_ref"].to_pylist():
-            p, w, h, f = self._fake(ref)
-            payloads.append(p); ws.append(w); hs.append(h); fs.append(f)
+            payload, frames = self._synth_fetch(ref)
+            w, h, _ = decode_image_bytes(payload)  # REAL parse
+            payloads.append(payload); ws.append(w); hs.append(h)
+            fs.append(frames)
         return pa.table({
             "doc_id": b["doc_id"], "span_idx": b["span_idx"], "kind": b["kind"],
             "media_ref": b["media_ref"],
@@ -88,6 +143,32 @@ class MediaDecoder:
             "height": pa.array(hs, pa.int32()),
             "n_frames": pa.array(fs, pa.int32()),
         })
+
+
+class ImageStats:
+    """Actor-pool pixel-feature stage over DECODED images: per-channel
+    mean/std + a 4×4 nearest-neighbor grayscale thumbnail (19 dims),
+    computed from real pixel data."""
+
+    def __init__(self, thumb: int = 4):
+        self.thumb = thumb
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        feats = []
+        for payload in b["payload"].to_pylist():
+            w, h, img = decode_image_bytes(payload)
+            if img.ndim == 2:
+                img = np.stack([img] * 3, axis=-1)
+            gray = img.mean(axis=2)
+            tiny = resize_nearest(gray, self.thumb, self.thumb) / 255.0
+            feats.append(np.concatenate([
+                img.reshape(-1, 3).mean(axis=0) / 255.0,
+                img.reshape(-1, 3).std(axis=0) / 255.0,
+                tiny.reshape(-1)]).astype(np.float32))
+        return (b.select(["doc_id", "span_idx", "kind", "media_ref"])
+                 .append_column("pixel_feature",
+                                pa.array([f.tolist() for f in feats],
+                                         pa.list_(pa.float32()))))
 
 
 class FeatureExtractor:
@@ -139,4 +220,12 @@ def decode_media(docs: rd.Dataset, concurrency: int | tuple = (1, 4),
 def media_features(docs: rd.Dataset, concurrency: int | tuple = (1, 4)) -> rd.Dataset:
     return decode_media(docs, concurrency=concurrency).map_batches(
         FeatureExtractor, batch_format="pyarrow", batch_size=256,
+        concurrency=concurrency, num_cpus=0.5)
+
+
+def image_pixel_features(docs: rd.Dataset,
+                         concurrency: int | tuple = (1, 4)) -> rd.Dataset:
+    """decode (real PPM parse) → per-image pixel statistics + thumbnail."""
+    return decode_media(docs, concurrency=concurrency).map_batches(
+        ImageStats, batch_format="pyarrow", batch_size=256,
         concurrency=concurrency, num_cpus=0.5)

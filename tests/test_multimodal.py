@@ -29,7 +29,8 @@ def test_decode_deterministic_binary():
         ["doc_id", "span_idx"]).reset_index(drop=True)
     assert len(out1) > 0
     assert (out1["media_ref"] == out2["media_ref"]).all()
-    assert all(isinstance(p, bytes) and len(p) == 256 for p in out1["payload"])
+    # payloads are real P6 images now: magic + header + w*h*3 samples
+    assert all(isinstance(p, bytes) and p.startswith(b"P6") for p in out1["payload"])
     assert (out1["payload"] == out2["payload"]).all()
     assert (out1["width"] >= 16).all() and (out1["n_frames"] >= 1).all()
 
@@ -62,3 +63,53 @@ def test_frame_sampling():
     expected = sum((nf + 1) // 2 for nf in dec_df["n_frames"])
     assert len(frames) == expected
     assert (frames["frame"] % 2 == 0).all()
+
+
+def test_decode_image_bytes_ppm_pgm():
+    import numpy as np
+
+    from shacl_validator_ray.stages import multimodal as mm
+
+    pix = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
+    data = b"P6\n# a comment\n3 2\n255\n" + pix.tobytes()
+    w, h, img = mm.decode_image_bytes(data)
+    assert (w, h) == (3, 2) and (img == pix).all()
+
+    gray = np.arange(6, dtype=np.uint8).reshape(2, 3)
+    data = b"P5 3 2 255\n" + gray.tobytes()
+    w, h, img = mm.decode_image_bytes(data)
+    assert (w, h) == (3, 2) and (img == gray).all()
+
+    import pytest
+    with pytest.raises(ValueError):
+        mm.decode_image_bytes(b"\x89PNG....")
+    with pytest.raises(ValueError):
+        mm.decode_image_bytes(b"P6\n3 2\n255\n\x00")  # truncated
+
+
+def test_resize_nearest():
+    import numpy as np
+
+    from shacl_validator_ray.stages import multimodal as mm
+
+    img = np.arange(16, dtype=np.uint8).reshape(4, 4)
+    out = mm.resize_nearest(img, 2, 2)
+    assert out.shape == (2, 2)
+    assert (out == np.array([[0, 2], [8, 10]])).all()
+
+
+def test_image_pixel_features_real_decode():
+    ray_docs_small = _docs(40)
+    from shacl_validator_ray.stages import multimodal as mm
+
+    feats = mm.image_pixel_features(ray_docs_small, concurrency=1).to_pandas()
+    assert len(feats) > 0
+    assert all(len(f) == 6 + 16 for f in feats["pixel_feature"])
+    # pixel stats are in [0, 1] and deterministic per media_ref
+    import numpy as np
+    arr = np.stack(feats["pixel_feature"].to_numpy())
+    assert (arr >= 0).all() and (arr <= 1).all()
+    again = mm.image_pixel_features(ray_docs_small, concurrency=1).to_pandas()
+    m1 = dict(zip(feats["media_ref"], map(tuple, feats["pixel_feature"])))
+    m2 = dict(zip(again["media_ref"], map(tuple, again["pixel_feature"])))
+    assert m1 == m2
