@@ -213,6 +213,132 @@ def _seq_rows(triples: rd.Dataset, path_str: str, preds: tuple[str, ...],
         batch_format="pyarrow")
 
 
+def _closure_rows(triples: rd.Dataset, path_str: str, pred: str,
+                  include_zero: bool, num_partitions: int,
+                  max_rounds: int = 8) -> rd.Dataset:
+    """Derived rows for zeroOrMore/oneOrMore paths: bounded distributed
+    transitive closure over the predicate's edge set (one join + dedup +
+    count fixpoint check per round — diameter-bounded like the
+    union-find rounds, SURVEY §7.3). ``include_zero`` adds identity rows
+    for every graph node so the focus itself is a value node."""
+    cols = ["obj_kind", "obj_value", "obj_datatype", "obj_lang",
+            "doc_id", "span_idx"]
+    _types = {c: (pa.int32() if c == "span_idx" else pa.string())
+              for c in cols}
+
+    def _pin(b: pa.Table, first: str) -> pa.Table:
+        """Explicit Arrow schema: upstream pandas-produced blocks report
+        object dtypes, which breaks the hash-join planner's field
+        resolution."""
+        f = b.filter(pc.equal(b["pred"], pred))
+        arrays = {first: f["subj"].cast(pa.string())}
+        arrays.update({c: f[c].cast(_types[c]) for c in cols})
+        return pa.table(arrays)
+
+    base = triples.map_batches(
+        lambda b: _pin(b, "subj"),
+        batch_format="pyarrow", zero_copy_batch=True).materialize()
+    # edge list for the extension joins: (mid, <obj cols>)
+    edges = triples.map_batches(
+        lambda b: _pin(b, "mid"),
+        batch_format="pyarrow", zero_copy_batch=True).materialize()
+
+    hop_schema = pa.schema([pa.field("subj", pa.string()),
+                            pa.field("mid", pa.string())])
+
+    closure = dedup_triples(base.map_batches(
+        lambda b: b.add_column(1, "pred",
+                               pa.array([path_str] * b.num_rows, pa.string())),
+        batch_format="pyarrow")).materialize()
+    frontier = closure
+
+    def to_hop(b: pa.Table) -> pa.Table:
+        # empty blocks can arrive schema-less after unions/groupbys — emit
+        # the explicit hop schema so the join key always resolves
+        if b.num_rows == 0 or "obj_kind" not in b.column_names:
+            return hop_schema.empty_table()
+        f = b.filter(pc.is_in(b["obj_kind"],
+                              value_set=pa.array(["iri", "blank"])))
+        return pa.table({"subj": f["subj"], "mid": f["obj_value"]},
+                        schema=hop_schema)
+
+    # extension join as the engine's union-tag + bucketed-merge hash join
+    # (discovery J1 formulation): Ray's native JoinOperator mis-resolves
+    # key fields when its left side is itself a join output, which the
+    # round ≥ 1 frontier would be
+    from .discovery import bucketed_block_apply
+
+    def edge_tag(b: pa.Table) -> pa.Table:
+        return b.append_column("h_subj",
+                               pa.array([""] * b.num_rows, pa.string()))
+
+    edges_tagged = edges.map_batches(edge_tag, batch_format="pyarrow",
+                                     zero_copy_batch=True).materialize()
+
+    def merge_bucket(g):
+        import pandas as pd
+
+        hs = g.loc[g["h_subj"] != "", ["mid", "h_subj"]]
+        es = g.loc[g["h_subj"] == ""].drop(columns=["h_subj"])
+        m = hs.merge(es, on="mid")
+        out = m.rename(columns={"h_subj": "subj"}).drop(columns=["mid"])
+        out.insert(1, "pred", path_str)
+        return out[["subj", "pred"] + cols] if len(out) else pd.DataFrame(
+            columns=["subj", "pred"] + cols)
+
+    for _ in range(max_rounds):
+        # extend: frontier values that are resources → follow one more edge
+        hop = frontier.map_batches(to_hop, batch_format="pyarrow",
+                                   zero_copy_batch=True).materialize()
+        if hop.count() == 0:
+            break
+        hop_tagged = hop.map_batches(
+            lambda b: pa.table({
+                "mid": b["mid"],
+                **{c: pa.nulls(b.num_rows, _types[c]).fill_null(
+                    0 if c == "span_idx" else "") for c in cols},
+                "h_subj": b["subj"]}),
+            batch_format="pyarrow")
+        nxt = bucketed_block_apply(hop_tagged.union(edges_tagged), "mid",
+                                   merge_bucket,
+                                   n_buckets=num_partitions).materialize()
+        if nxt.count() == 0:
+            break
+        before = closure.count()
+        closure = dedup_triples(closure.union(nxt)).materialize()
+        if closure.count() == before:
+            break
+        frontier = nxt
+
+    if include_zero:
+        # identity rows: every node (subjects + resource objects) reaches
+        # itself in zero steps; non-focus rows are inert downstream
+        def ident(b: pa.Table) -> pa.Table:
+            skind = ["blank" if s.startswith("_:") else "iri"
+                     for s in b["subj"].to_pylist()]
+            n = b.num_rows
+            subj_ident = pa.table({
+                "subj": b["subj"],
+                "pred": pa.array([path_str] * n, pa.string()),
+                "obj_kind": pa.array(skind, pa.string()),
+                "obj_value": b["subj"],
+                "obj_datatype": pa.array([""] * n, pa.string()),
+                "obj_lang": pa.array([""] * n, pa.string()),
+                "doc_id": b["doc_id"], "span_idx": b["span_idx"]})
+            obj_ident = pa.table({
+                "subj": b["obj_value"],
+                "pred": pa.array([path_str] * n, pa.string()),
+                "obj_kind": b["obj_kind"], "obj_value": b["obj_value"],
+                "obj_datatype": b["obj_datatype"], "obj_lang": b["obj_lang"],
+                "doc_id": b["doc_id"], "span_idx": b["span_idx"]})
+            return pa.concat_tables([subj_ident, obj_ident])
+
+        closure = closure.union(
+            triples.map_batches(ident, batch_format="pyarrow",
+                                zero_copy_batch=True))
+    return closure
+
+
 def augment_paths(triples: rd.Dataset,
                   compiled: "shapes_mod.CompiledShapes",
                   num_partitions: int | None = None) -> rd.Dataset | None:
@@ -224,7 +350,8 @@ def augment_paths(triples: rd.Dataset,
     alts = compiled.alt_paths()
     seqs = compiled.seq_paths()
     invs = compiled.inv_paths()
-    if not alts and not seqs and not invs:
+    closures = compiled.closure_paths()
+    if not alts and not seqs and not invs and not closures:
         return None
     if num_partitions is None:
         num_partitions = max(8, io_mod.default_num_blocks() // 2)
@@ -270,6 +397,10 @@ def augment_paths(triples: rd.Dataset,
     for path_str, preds in seqs:
         derived.append(
             _seq_rows(triples, path_str, preds, num_partitions).materialize())
+    for path_str, pred, include_zero in closures:
+        derived.append(
+            _closure_rows(triples, path_str, pred, include_zero,
+                          num_partitions))
 
     out = derived[0]
     for d in derived[1:]:

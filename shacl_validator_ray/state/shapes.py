@@ -154,6 +154,17 @@ class CompiledShapes:
                     out.append((p.path, p.path_preds[0]))
         return out
 
+    def closure_paths(self) -> list[tuple[str, str, bool]]:
+        """Distinct zeroOrMore/oneOrMore paths:
+        (canonical "p*"/"p+" string, predicate, include_zero)."""
+        out, seen = [], set()
+        for n in self.node_shapes:
+            for p in n.properties:
+                if p.path_kind in ("star", "plus") and p.path not in seen:
+                    seen.add(p.path)
+                    out.append((p.path, p.path_preds[0], p.path_kind == "star"))
+        return out
+
     def foaf_pages(self) -> dict[str, str]:
         """shape IRI → foaf:page (the J3 broadcast map)."""
         out = {}
@@ -264,6 +275,16 @@ def compile_shapes(ttl_text: str) -> CompiledShapes:
                     f"unsupported sh:inversePath member on {piri} "
                     "(only a plain predicate IRI is supported)")
             return "^" + iv[1], "inv", [iv[1]]
+        for star_pred, kind_name, sym in (
+                (ns.SH + "zeroOrMorePath", "star", "*"),
+                (ns.SH + "oneOrMorePath", "plus", "+")):
+            if star_pred in node:
+                iv = node[star_pred][0]
+                if iv[0] != "iri":
+                    raise ValueError(
+                        f"unsupported {star_pred.rsplit('#')[-1]} member on "
+                        f"{piri} (only a plain predicate IRI is supported)")
+                return iv[1] + sym, kind_name, [iv[1]]
         if ns.SH + "alternativePath" in node:
             head = node[ns.SH + "alternativePath"][0][1]
             preds = [v for k, v in read_list(head)]

@@ -259,6 +259,35 @@ def test_inverse_path_validation():
                    ("t2", "NodeKindConstraintComponent")}
 
 
+def test_closure_paths_zero_and_one_or_more():
+    """sh:oneOrMorePath (bounded transitive closure) and sh:zeroOrMorePath
+    (closure + identity: the focus reaches itself in zero steps)."""
+    shapes_ttl = """
+    @prefix sh: <http://www.w3.org/ns/shacl#> .
+    @prefix ex: <http://example.org/> .
+    ex:S1 a sh:NodeShape ; sh:targetNode ex:a ;
+          sh:property [ sh:path [ sh:oneOrMorePath ex:next ] ; sh:minCount 3 ] .
+    ex:S2 a sh:NodeShape ; sh:targetNode ex:x ;
+          sh:property [ sh:path [ sh:oneOrMorePath ex:next ] ; sh:minCount 3 ] .
+    ex:S3 a sh:NodeShape ; sh:targetNode ex:leaf ;
+          sh:property [ sh:path [ sh:zeroOrMorePath ex:next ] ; sh:minCount 1 ] .
+    """
+    data_ttl = """
+    @prefix ex: <http://example.org/> .
+    ex:a ex:next ex:b . ex:b ex:next ex:c . ex:c ex:next ex:d .
+    ex:x ex:next ex:y .
+    ex:leaf a ex:Leaf .
+    """
+    viols = shacl.validate(_ds_from_ttl_text(data_ttl), shapes_ttl, concurrency=1)
+    got = {(r["focus_node"].rsplit("/")[-1], r["path"],
+            r["source_constraint_component"].rsplit("#", 1)[-1])
+           for r in viols.to_pandas().to_dict("records")}
+    # a reaches {b,c,d} via next+ (3 ≥ 3, conforms); x reaches only {y};
+    # leaf reaches itself via next* (zero step, conforms)
+    assert got == {("x", "http://example.org/next+",
+                    "MinCountConstraintComponent")}, got
+
+
 def test_target_selectors():
     """sh:targetNode / sh:targetSubjectsOf / sh:targetObjectsOf."""
     shapes_ttl = """
