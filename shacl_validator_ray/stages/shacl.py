@@ -802,10 +802,6 @@ def validate(triples: rd.Dataset, shapes_ttl: str, *, deduped: bool = False,
     (the validation passes then read the checkpoint), so nothing holds
     the full set in one node's memory.
     """
-    from ..sources import io as io_mod
-
-    if concurrency is None:
-        concurrency = io_mod.auto_pool(0.5)
     from ray.data.dataset import MaterializedDataset
 
     compiled = shapes_mod.compile_shapes(shapes_ttl)
@@ -832,9 +828,11 @@ def validate(triples: rd.Dataset, shapes_ttl: str, *, deduped: bool = False,
 
     # ONE pass over the (deduped, path-augmented) triples; the fused
     # output (violations + card rows — far smaller than the input) is
-    # pinned because two branches consume it
+    # pinned because two branches consume it. `concurrency` (int) caps
+    # the task pool; default = elastic task scheduling.
+    kw = {"concurrency": concurrency} if isinstance(concurrency, int) else {}
     fused = eval_triples.map_batches(fused_fn, batch_format="pyarrow",
-                                     batch_size=batch_size).materialize()
+                                     batch_size=batch_size, **kw).materialize()
     viol_cols = [f.name for f in S.VIOLATIONS]
     card_cols = [f.name for f in _CARD_SCHEMA]
     value_viols = fused.map_batches(
