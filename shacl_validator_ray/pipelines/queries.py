@@ -269,6 +269,22 @@ def q_kg_image_stats(sf_dir: str):
     return multimodal.image_pixel_features(kg.documents_dataset(sf_dir))
 
 
+def q_kg_property_breakdown(sf_dir: str):
+    """A6 (ReportViewer.tsx:166-190): per-path severity pivot, top 8."""
+    from ..stages import report
+    from . import kg
+    df = report.property_breakdown(kg.violations_dataset(sf_dir))
+    return df[["path", "violation", "warning", "info", "total"]]
+
+
+def q_kg_focus_types(sf_dir: str):
+    """A7 (ReportViewer.tsx:193-216): regex-classified focus-node types."""
+    from ..stages import report
+    from . import kg
+    df = report.focus_node_breakdown(kg.violations_dataset(sf_dir))
+    return df[["node_class", "violation", "warning", "info", "total"]]
+
+
 def q_kg_grouped_findings(sf_dir: str):
     from ..stages import report
     from . import kg
@@ -290,6 +306,8 @@ QUERIES = {
     "kg_constraint_counts": q_kg_constraint_counts,
     "kg_top_shapes": q_kg_top_shapes,
     "kg_grouped_findings": q_kg_grouped_findings,
+    "kg_property_breakdown": q_kg_property_breakdown,
+    "kg_focus_types": q_kg_focus_types,
     "kg_links": q_kg_links,
     "kg_discovery": q_kg_discovery,
     "kg_media_features": q_kg_media_features,
@@ -731,6 +749,26 @@ SELECT source_shape,
        count(*) FILTER (WHERE severity = 'Info') AS info,
        count(*) AS total
 FROM viol GROUP BY source_shape ORDER BY total DESC, source_shape LIMIT 6""",
+        "kg_property_breakdown": base + """
+SELECT path,
+       count(*) FILTER (WHERE severity = 'Violation') AS violation,
+       count(*) FILTER (WHERE severity = 'Warning') AS warning,
+       count(*) FILTER (WHERE severity = 'Info') AS info,
+       count(*) AS total
+FROM viol WHERE path != '' GROUP BY path ORDER BY total DESC, path LIMIT 8""",
+        "kg_focus_types": base + """
+SELECT CASE regexp_extract(lower(focus_node),
+         '/(dataset|distribution|catalog|dataservice|agent|organization|contactpoint|periodoftime)', 1)
+         WHEN 'dataset' THEN 'Dataset' WHEN 'distribution' THEN 'Distribution'
+         WHEN 'catalog' THEN 'Catalog' WHEN 'dataservice' THEN 'Dataservice'
+         WHEN 'agent' THEN 'Agent' WHEN 'organization' THEN 'Organization'
+         WHEN 'contactpoint' THEN 'Contactpoint'
+         WHEN 'periodoftime' THEN 'Periodoftime' ELSE 'Other' END AS node_class,
+       count(*) FILTER (WHERE severity = 'Violation') AS violation,
+       count(*) FILTER (WHERE severity = 'Warning') AS warning,
+       count(*) FILTER (WHERE severity = 'Info') AS info,
+       count(*) AS total
+FROM viol GROUP BY 1""",
         "kg_grouped_findings": base + f"""
 SELECT severity, source_shape, source_constraint_component,
        {msg_case} AS msg_fp, count(*) AS total
