@@ -70,19 +70,27 @@ def detect_hubs(triples: rd.Dataset, threshold: int, top_m: int = 4096) -> set[s
     space-saving / Misra-Gries sketch shape (mergeable partials, no
     all-to-all)."""
     import pandas as pd
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
 
     def partial(b: pa.Table) -> pa.Table:
         vc = pd.Series(b["subj"].to_pylist()).value_counts().head(top_m)
         return pa.table({"subj": pa.array(vc.index.astype(str), pa.string()),
                          "n": pa.array(vc.to_numpy(), pa.int64())})
 
-    totals: dict[str, int] = {}
-    for b in triples.map_batches(partial, batch_format="pyarrow",
-                                 zero_copy_batch=True).iter_batches(
-                                     batch_format="pyarrow"):
-        for s, n in zip(b["subj"].to_pylist(), b["n"].to_pylist()):
-            totals[s] = totals.get(s, 0) + n
-    return {s for s, n in totals.items() if n > threshold}
+    # merge the per-block partials DISTRIBUTED (one small groupby over
+    # blocks×top_m rows) and collect only the hubs — the driver never
+    # holds the union of every block's top-M (which grows with block
+    # count at 100 TB)
+    totals = (triples.map_batches(partial, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+              .groupby("subj").aggregate(Sum("n", alias_name="n")))
+    hubs: set[str] = set()
+    for b in totals.map_batches(
+            lambda t: t.filter(pc.greater(t["n"], threshold)).select(["subj"]),
+            batch_format="pyarrow").iter_batches(batch_format="pyarrow"):
+        hubs.update(b["subj"].to_pylist())
+    return hubs
 
 
 def materialize_graph(triples: rd.Dataset, out_dir: str, *,
