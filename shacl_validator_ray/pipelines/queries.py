@@ -215,6 +215,18 @@ def q_kg_validate_logic(sf_dir: str):
          "source_constraint_component"])
 
 
+def q_kg_validate_node(sf_dir: str):
+    """sh:node nested-shape validation (node_demo profile)."""
+    from ..stages import shacl
+    from ..state import shapes as shapes_mod
+    from . import kg
+    return shacl.validate(
+        kg.triples_dataset(sf_dir),
+        shapes_mod.load_profile_ttl("node_demo")).select_columns(
+        ["severity", "focus_node", "path", "value",
+         "source_constraint_component"])
+
+
 def q_kg_paths_constraint_counts(sf_dir: str):
     from ..stages import report, shacl
     from ..state import shapes as shapes_mod
@@ -301,6 +313,7 @@ QUERIES = {
     "kg_validate": q_kg_validate,
     "kg_validate_paths": q_kg_validate_paths,
     "kg_validate_logic": q_kg_validate_logic,
+    "kg_validate_node": q_kg_validate_node,
     "kg_paths_constraint_counts": q_kg_paths_constraint_counts,
     "kg_severity_counts": q_kg_severity_counts,
     "kg_constraint_counts": q_kg_constraint_counts,
@@ -698,7 +711,34 @@ viol AS (
 )
 """
 
+    node_viol = f"""
+WITH gt AS (SELECT DISTINCT subj, pred, obj_kind, obj_value, obj_datatype, obj_lang
+            FROM {gt}),
+datasets AS (SELECT DISTINCT subj FROM gt
+             WHERE pred = '{ns.RDF_TYPE}' AND obj_value = '{dcat}Dataset'),
+dist_of AS (SELECT DISTINCT g.subj AS ds, g.obj_value AS dist FROM gt g
+            WHERE g.pred = '{dcat}distribution'
+              AND g.subj IN (SELECT subj FROM datasets)),
+badfmt AS (SELECT DISTINCT f.subj AS dist, f.obj_value AS fmt FROM gt f
+           WHERE f.pred = '{dct}format'
+             AND f.subj IN (SELECT dist FROM dist_of)
+             AND f.obj_value NOT IN ('text/csv', 'application/json',
+                                     'text/turtle')),
+viol AS (
+  SELECT 'Warning' AS severity, dist AS focus_node, '{dct}format' AS path,
+         fmt AS value, '{sh}InConstraintComponent' AS source_constraint_component
+  FROM badfmt
+  UNION ALL
+  SELECT 'Warning', d.ds, '{dcat}distribution', d.dist,
+         '{sh}NodeConstraintComponent'
+  FROM dist_of d WHERE d.dist IN (SELECT dist FROM badfmt)
+)
+"""
+
     return {
+        "kg_validate_node": node_viol +
+            "SELECT severity, focus_node, path, value, "
+            "source_constraint_component FROM viol",
         "kg_validate_logic": logic_viol +
             "SELECT severity, focus_node, path, value, "
             "source_constraint_component FROM viol",

@@ -814,7 +814,39 @@ def validate(triples: rd.Dataset, shapes_ttl: str, *, deduped: bool = False,
     derived = augment_paths(triples, compiled)
     eval_triples = triples.union(derived) if derived is not None else triples
 
-    members = collect_members(triples, compiled, bloom_threshold=bloom_threshold)
+    # membership scans run over the PATH-AUGMENTED set so subjects_of /
+    # objects_of targets on virtual path predicates resolve too
+    members = collect_members(eval_triples, compiled,
+                              bloom_threshold=bloom_threshold)
+
+    # sh:node: the derived shapes' focus sets are the referencing
+    # property shapes' VALUE-node sets — values of p.path whose subject
+    # is in the parent shape's focus (one vectorized scan per reference)
+    node_refs = [(nshape, p) for nshape, p, _ in compiled.property_shapes()
+                 if p.node_shape and "::node::" not in p.iri]
+    exact_nodevals: dict[str, set] = {}
+    for nshape, p in node_refs:
+        import numpy as np
+
+        fsets = _focus_sets(members, tuple(nshape.targets))
+        vals: set[str] = set()
+        scan = eval_triples.map_batches(
+            lambda b, p0=p.path: b.filter(pc.equal(b["pred"], p0)).select(
+                ["subj", "obj_value"]),
+            batch_format="pyarrow", zero_copy_batch=True)
+        for b in scan.iter_batches(batch_format="pyarrow"):
+            if b.num_rows == 0:
+                continue
+            subjs = np.asarray(b["subj"].to_pandas(), dtype=object)
+            keep = _members_mask(fsets, subjs)
+            vals.update(np.asarray(b["obj_value"].to_pandas(),
+                                   dtype=object)[keep])
+        from ..functions.sketch import BloomFilter
+        thr = bloom_threshold if bloom_threshold is not None else BLOOM_THRESHOLD
+        exact_nodevals[p.iri] = vals  # required-row emission needs exact
+        members[f"nodeval:{p.iri}"] = (BloomFilter.from_items(vals)
+                                       if len(vals) > thr else vals)
+
     members_ref = ray.put(members)
 
     # Stateless task pools + a per-worker-process compile cache (see
@@ -842,19 +874,28 @@ def validate(triples: rd.Dataset, shapes_ttl: str, *, deduped: bool = False,
         lambda b: b.filter(pc.equal(b["row_type"], 1)).select(card_cols),
         batch_format="pyarrow", zero_copy_batch=True)
 
-    # sh:targetNode required rows: a fixed, shape-sized list — injected once
+    # required rows not derivable from the triple scan: sh:targetNode
+    # (fixed, shape-sized) and nested-shape value sets (entity-scale,
+    # already collected driver-side above; at 10^12 the nodeval scan
+    # would emit these rows distributed instead of collecting)
     node_req: list[dict] = []
     for nshape, p, idx in compiled.property_shapes():
         for t in nshape.targets:
-            if t.kind != "node":
+            focus_list: "list[str] | tuple" = ()
+            if t.kind == "node":
+                focus_list = [t.value]
+            elif t.kind == "nodeval":
+                focus_list = sorted(exact_nodevals.get(t.value, ()))
+            if not focus_list:
                 continue
-            if p.min_count >= 0 or p.max_count >= 0:
-                node_req.append({"subj": t.value, "shape_idx": idx, "kind": 0,
-                                 "req_min": p.min_count, "req_max": p.max_count,
-                                 "n": 0})
-            if p.has_value:
-                node_req.append({"subj": t.value, "shape_idx": idx, "kind": 1,
-                                 "req_min": 1, "req_max": -1, "n": 0})
+            for f in focus_list:
+                if p.min_count >= 0 or p.max_count >= 0:
+                    node_req.append({"subj": f, "shape_idx": idx, "kind": 0,
+                                     "req_min": p.min_count,
+                                     "req_max": p.max_count, "n": 0})
+                if p.has_value:
+                    node_req.append({"subj": f, "shape_idx": idx, "kind": 1,
+                                     "req_min": 1, "req_max": -1, "n": 0})
     if node_req:
         card_rows = card_rows.union(
             rd.from_arrow(pa.Table.from_pylist(node_req, schema=_CARD_SCHEMA)))
@@ -896,6 +937,56 @@ def validate(triples: rd.Dataset, shapes_ttl: str, *, deduped: bool = False,
 
     card_viols = counts.map_batches(card_violations, batch_format="pyarrow")
     out = value_viols.union(card_viols)
+
+    if node_refs:
+        # phase 2: the SHACL-spec parent finding — one
+        # NodeConstraintComponent row on the REFERENCING focus per value
+        # node that failed the nested shape (the nested findings stay in
+        # the report, as shacl-engine's details:true does). Nested
+        # failures are identified by their parent-prefixed source_shape.
+        import numpy as np
+
+        out = out.materialize()
+        prefixes = {p.iri: f"{p.iri}::node::" for _, p in node_refs}
+        bad_vals: dict[str, set] = {k: set() for k in prefixes}
+        for b in out.iter_batches(batch_format="pyarrow"):
+            for fn_, ss in zip(b["focus_node"].to_pylist(),
+                               b["source_shape"].to_pylist()):
+                for piri, pref in prefixes.items():
+                    if ss.startswith(pref):
+                        bad_vals[piri].add(fn_)
+
+        info = [(p, tuple(_focus_sets(members, tuple(nshape.targets))),
+                 frozenset(bad_vals[p.iri]), pages.get(p.iri, ""))
+                for nshape, p in node_refs if bad_vals[p.iri]]
+        if info:
+            iref = ray.put(info)
+
+            def parent_rows(b: pa.Table) -> pa.Table:
+                rows: list[dict] = []
+                info_ = ray.get(iref)
+                preds = np.asarray(b["pred"].to_pandas(), dtype=object)
+                subjs = np.asarray(b["subj"].to_pandas(), dtype=object)
+                objs = np.asarray(b["obj_value"].to_pandas(), dtype=object)
+                for p, fsets, bad, page in info_:
+                    pm = preds == p.path
+                    if not pm.any():
+                        continue
+                    idx = np.flatnonzero(pm)
+                    keep = _members_mask(list(fsets), subjs[idx])
+                    comp = ns.SH + "NodeConstraintComponent"
+                    for i in idx[keep]:
+                        if objs[i] in bad:
+                            rows.append({
+                                "severity": p.severity, "focus_node": subjs[i],
+                                "path": p.path, "value": objs[i],
+                                "message": _synth_message(comp, p),
+                                "source_constraint_component": comp,
+                                "source_shape": p.iri, "foaf_page": page})
+                return _violation_rows(rows)
+
+            out = out.union(eval_triples.map_batches(
+                parent_rows, batch_format="pyarrow", zero_copy_batch=True))
 
     if custom:
         # membership sets for custom targets not already collected

@@ -68,6 +68,7 @@ class PropertyShape:
     # each branch is a constraint bundle (a PropertyShape without a path)
     or_branches: list["PropertyShape"] = field(default_factory=list)
     not_shape: "PropertyShape | None" = None
+    node_shape: str = ""           # sh:node — referenced node shape IRI
     severity: str = "Violation"
     messages: list[tuple[str, str]] = field(default_factory=list)  # (text, lang)
     foaf_page: str = ""
@@ -222,7 +223,8 @@ _TARGET_PREDS = [
 
 def _branch(ps: PropertyShape, piri: str) -> PropertyShape:
     """Validate an sh:or / sh:not branch: value-level constraints only."""
-    if ps.min_count >= 0 or ps.max_count >= 0 or ps.has_value or ps.path:
+    if (ps.min_count >= 0 or ps.max_count >= 0 or ps.has_value or ps.path
+            or ps.node_shape):
         raise ValueError(
             f"unsupported sh:or/sh:not branch on {piri}: only value-level "
             "constraints (datatype/pattern/nodeKind/minLength/maxLength/"
@@ -345,6 +347,7 @@ def compile_shapes(ttl_text: str) -> CompiledShapes:
         nt = first(piri, ns.SH + "not")
         if nt:
             ps.not_shape = _branch(prop_shape(nt), nt)
+        ps.node_shape = first(piri, ns.SH + "node")
         ps.severity = _SEVERITY.get(first(piri, ns.SH + "severity"), "Violation")
         ps.messages = [(v, lang or "en") for k, v, dt, lang in
                        spo.get(piri, {}).get(ns.SH + "message", [])]
@@ -364,6 +367,37 @@ def compile_shapes(ttl_text: str) -> CompiledShapes:
             nshape.properties.append(prop_shape(piri))
         shapes.append(nshape)
     shapes.sort(key=lambda s: s.iri)
+
+    # sh:node: derive one synthetic node shape per referencing property
+    # shape. Its focus set is the parent's VALUE-node set (membership key
+    # ``nodeval:<parent property iri>``, collected in
+    # stages/shacl.validate); its property shapes are clones of the
+    # referenced shape's with parent-prefixed IRIs so nested findings are
+    # attributable back to the referencing shape.
+    derived: list[NodeShape] = []
+    for nshape in shapes:
+        for p in nshape.properties:
+            if not p.node_shape:
+                continue
+            ref = p.node_shape
+            ref_props = spo.get(ref, {}).get(ns.SH + "property", [])
+            if not ref_props:
+                raise ValueError(
+                    f"sh:node target {ref!r} (on {p.iri}) defines no "
+                    "sh:property shapes")
+            clones: list[PropertyShape] = []
+            for _, rpiri, _, _ in ref_props:
+                rp = prop_shape(rpiri)
+                if rp.node_shape:
+                    raise ValueError(
+                        f"nested sh:node chains are not supported ({rpiri})")
+                rp.iri = f"{p.iri}::node::{rpiri}"
+                clones.append(rp)
+            derived.append(NodeShape(
+                iri=f"{p.iri}::node::{ref}",
+                targets=[Target("nodeval", p.iri)],
+                properties=clones))
+    shapes.extend(derived)
     return CompiledShapes(shapes)
 
 

@@ -345,6 +345,43 @@ def test_length_in_hasvalue_components():
                    ("z", "HasValueConstraintComponent", "")}
 
 
+def test_sh_node_nested_shape():
+    """sh:node: value nodes must conform to the referenced node shape;
+    nested findings stay in the report (shacl-engine details:true) plus
+    one NodeConstraintComponent finding on the referencing focus per
+    nonconforming value — including ABSENCE failures (nested minCount).
+    Objects reached from non-focused subjects are NOT validated."""
+    shapes_ttl = """
+    @prefix sh: <http://www.w3.org/ns/shacl#> .
+    @prefix ex: <http://example.org/> .
+    ex:S a sh:NodeShape ; sh:targetClass ex:DS ;
+         sh:property [ sh:path ex:dist ; sh:node ex:DistNode ] .
+    ex:DistNode a sh:NodeShape ;
+         sh:property [ sh:path ex:fmt ; sh:minCount 1 ; sh:pattern "^text/" ] .
+    """
+    data_ttl = """
+    @prefix ex: <http://example.org/> .
+    ex:d1 a ex:DS ; ex:dist ex:z1 , ex:z2 , ex:z3 .
+    ex:z1 ex:fmt "text/csv" .
+    ex:z2 ex:fmt "application/pdf" .
+    ex:other ex:dist ex:z4 .
+    ex:z4 ex:fmt "application/json" .
+    """
+    viols = shacl.validate(_ds_from_ttl_text(data_ttl), shapes_ttl, concurrency=1)
+    got = {(r["focus_node"].rsplit("/")[-1],
+            r["source_constraint_component"].rsplit("#", 1)[-1], r["value"])
+           for r in viols.to_pandas().to_dict("records")}
+    assert got == {
+        # nested findings on the value nodes
+        ("z2", "PatternConstraintComponent", "application/pdf"),
+        ("z3", "MinCountConstraintComponent", ""),
+        # parent findings on the referencing focus
+        ("d1", "NodeConstraintComponent", "http://example.org/z2"),
+        ("d1", "NodeConstraintComponent", "http://example.org/z3"),
+    }, got
+    # z4 (reached only from the untargeted ex:other) was never validated
+
+
 def test_custom_constraint_hook():
     """The §2.10 extension surface: a per-path Python predicate runs
     distributed alongside the compiled components (the engine-level
