@@ -30,18 +30,31 @@ def subj_bucket(subj: str, n_buckets: int) -> int:
                                           index=False).iloc[0] % n_buckets)
 
 
-def canonical_rewrite(triples: rd.Dataset, canon: rd.Dataset) -> rd.Dataset:
+def canonical_rewrite(triples: rd.Dataset, canon: rd.Dataset,
+                      broadcast_threshold: int = 2_000_000) -> rd.Dataset:
     """Rewrite subj/obj through the canonical map.
 
-    The map covers only linked mention IRIs + their roots — a tiny
-    fraction of the entity space — so it is broadcast (``ray.put``) and
-    applied map-side; a shuffle join is never needed here (SURVEY.md §4.2).
+    The map covers only linked mention IRIs + their roots — normally a
+    tiny fraction of the entity space — so it is broadcast (``ray.put``)
+    and applied map-side (SURVEY.md §4.2). Past ``broadcast_threshold``
+    entries the rewrite switches to two distributed left joins (subj,
+    then obj) so no node ever holds the whole map; both paths produce
+    identical output (partition-invariance tested).
     """
     pairs = {}
+    over = False
     for b in canon.iter_batches(batch_format="pyarrow"):
         for e, r in zip(b["entity_id"].to_pylist(), b["root_id"].to_pylist()):
             if e != r:
                 pairs[e] = r
+        if len(pairs) > broadcast_threshold:
+            over = True
+            pairs = None
+            break
+
+    if over:
+        return _canonical_rewrite_join(triples, canon)
+
     ref = ray.put(pairs)
 
     def rewrite(b: pa.Table) -> pa.Table:
@@ -55,6 +68,37 @@ def canonical_rewrite(triples: rd.Dataset, canon: rd.Dataset) -> rd.Dataset:
                             pa.array(obj, pa.string()))
 
     return triples.map_batches(rewrite, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _canonical_rewrite_join(triples: rd.Dataset, canon: rd.Dataset) -> rd.Dataset:
+    """At-scale rewrite: two distributed left joins against the non-trivial
+    (entity_id != root_id) slice of the canonical map, coalescing the
+    root over the original term."""
+    import pyarrow.compute as pc
+
+    from ..sources import io as io_mod
+
+    nontrivial = canon.map_batches(
+        lambda b: b.filter(pc.not_equal(b["entity_id"], b["root_id"])),
+        batch_format="pyarrow", zero_copy_batch=True).materialize()
+    nparts = max(8, io_mod.default_num_blocks() // 2)
+
+    def rewrite_col(ds: rd.Dataset, col: str) -> rd.Dataset:
+        j = ds.join(nontrivial, "left_outer", nparts,
+                    on=(col,), right_on=("entity_id",))
+        cols = [c for c in ds.schema().names]
+
+        def apply(b: pa.Table) -> pa.Table:
+            new = pc.coalesce(b["root_id"], b[col])
+            b = b.set_column(b.column_names.index(col), col,
+                             new.cast(pa.string()))
+            return b.select(cols)
+
+        # pinned between the two joins (chained JoinOperators thrash —
+        # see dedup.py)
+        return j.map_batches(apply, batch_format="pyarrow").materialize()
+
+    return rewrite_col(rewrite_col(triples, "subj"), "obj_value")
 
 
 def detect_hubs(triples: rd.Dataset, threshold: int, top_m: int = 4096) -> set[str]:

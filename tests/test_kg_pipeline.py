@@ -238,3 +238,26 @@ def test_hub_subject_salted_across_buckets(tmp_path):
     # non-hub subjects keep exactly one bucket each
     other = back[back["subj"] != hub].groupby("subj")["bucket"].nunique()
     assert (other == 1).all()
+
+
+def test_canonical_rewrite_join_path_equivalence():
+    """broadcast_threshold=0 forces the distributed-join rewrite; the
+    output triple multiset must equal the broadcast path's."""
+    docs, _ = synth.make_corpus_tables(80)
+    triples = rd.from_arrow(extract.extract_triples_batch(docs))
+    from shacl_validator_ray.pipelines import kg
+    from shacl_validator_ray.stages import canonicalize, linking
+
+    alias_rows = [(r["surface"], r["iri"]) for r in synth.alias_table().to_pylist()]
+    links = linking.link_entities(triples, alias_rows)
+    canon = canonicalize.canonical_map_from_links(links).materialize()
+    triples = triples.materialize()
+
+    def key_set(ds):
+        return sorted(map(tuple, ds.to_pandas()[
+            ["subj", "pred", "obj_value"]].itertuples(index=False)))
+
+    broadcast = key_set(materialize.canonical_rewrite(triples, canon))
+    joined = key_set(materialize.canonical_rewrite(triples, canon,
+                                                   broadcast_threshold=0))
+    assert broadcast == joined and len(broadcast) > 0
