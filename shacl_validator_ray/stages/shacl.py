@@ -111,38 +111,8 @@ def collect_members(triples: rd.Dataset,
     if not (classes or subj_preds or obj_preds):
         return {}
 
-    cls_arr = pa.array(sorted(classes))
-    sp_arr = pa.array(sorted(subj_preds))
-    op_arr = pa.array(sorted(obj_preds))
-
-    def member_rows(b: pa.Table) -> pa.Table:
-        outs = []
-        if len(cls_arr):
-            t = b.filter(pc.and_(pc.equal(b["pred"], ns.RDF_TYPE),
-                                 pc.is_in(b["obj_value"], value_set=cls_arr)))
-            if t.num_rows:
-                key = pc.binary_join_element_wise(
-                    pa.array(["class"] * t.num_rows), t["obj_value"], ":")
-                outs.append(pa.table({"key": key, "member": t["subj"]}))
-        if len(sp_arr):
-            t = b.filter(pc.is_in(b["pred"], value_set=sp_arr))
-            if t.num_rows:
-                key = pc.binary_join_element_wise(
-                    pa.array(["subjects_of"] * t.num_rows), t["pred"], ":")
-                outs.append(pa.table({"key": key, "member": t["subj"]}))
-        if len(op_arr):
-            t = b.filter(pc.is_in(b["pred"], value_set=op_arr))
-            if t.num_rows:
-                key = pc.binary_join_element_wise(
-                    pa.array(["objects_of"] * t.num_rows), t["pred"], ":")
-                outs.append(pa.table({"key": key, "member": t["obj_value"]}))
-        if outs:
-            return pa.concat_tables(outs)
-        return pa.table({"key": pa.array([], pa.string()),
-                         "member": pa.array([], pa.string())})
-
-    rows = triples.map_batches(member_rows, batch_format="pyarrow",
-                               zero_copy_batch=True)
+    rows = triples.map_batches(lambda b: _member_rows(b, compiled),
+                               batch_format="pyarrow", zero_copy_batch=True)
     members: dict[str, object] = {}
     for c in classes:
         members[f"class:{c}"] = set()
@@ -158,6 +128,117 @@ def collect_members(triples: rd.Dataset,
         if isinstance(s, set) and len(s) > bloom_threshold:
             members[key] = BloomFilter.from_items(s)
     return members
+
+
+def collect_members_distributed(triples: rd.Dataset,
+                                compiled: "shapes_mod.CompiledShapes",
+                                bits_per_item: int = 64) -> dict[str, object]:
+    """Fully mergeable membership collection — the 10^12-scale variant of
+    :func:`collect_members`: the driver never holds an exact member set,
+    even transiently.
+
+    Pass 1 estimates each key's cardinality with mergeable per-batch HLL
+    sketches; pass 2 builds per-batch PARTIAL Bloom filters sized from
+    the estimates (×1.3 headroom) and the driver only ORs fixed-size
+    bitmaps. Returns a dict of BloomFilters keyed like collect_members.
+    """
+    import numpy as np
+
+    from ..functions.sketch import HLL, BloomFilter
+
+    keys = ([f"class:{c}" for c in compiled.referenced_classes()]
+            + [t.key for t in compiled.targets()
+               if t.kind in ("subjects_of", "objects_of")])
+    if not keys:
+        return {}
+
+    def member_rows_of(b: pa.Table) -> pa.Table:
+        return _member_rows(b, compiled)
+
+    # pass 1: per-key HLL partials (one small row per batch per key)
+    def hll_partial(b: pa.Table) -> pa.Table:
+        rows = member_rows_of(b)
+        out_k, out_s = [], []
+        import pandas as pd
+        for key, grp in pd.DataFrame({
+                "key": rows["key"].to_pylist(),
+                "member": rows["member"].to_pylist()}).groupby("key"):
+            h = HLL(p=12)
+            h.add_all(grp["member"])
+            out_k.append(key)
+            out_s.append(h.reg.tobytes())
+        return pa.table({"key": pa.array(out_k, pa.string()),
+                         "sketch": pa.array(out_s, pa.binary())})
+
+    merged: dict[str, HLL] = {}
+    for b in triples.map_batches(hll_partial, batch_format="pyarrow",
+                                 zero_copy_batch=True).iter_batches(
+                                     batch_format="pyarrow"):
+        for key, raw in zip(b["key"].to_pylist(), b["sketch"].to_pylist()):
+            h = HLL(p=12)
+            h.reg = np.frombuffer(raw, dtype=np.uint8).copy()
+            merged[key] = merged[key].merge(h) if key in merged else h
+
+    sizes = {k: max(64, int(merged[k].estimate() * 1.3)) if k in merged else 64
+             for k in keys}
+    sizes_ref = ray.put(sizes)
+
+    # pass 2: per-batch partial blooms (fixed-size bitmaps; driver ORs)
+    def bloom_partial(b: pa.Table) -> pa.Table:
+        import pandas as pd
+        sz = ray.get(sizes_ref)
+        rows = member_rows_of(b)
+        out_k, out_bits = [], []
+        for key, grp in pd.DataFrame({
+                "key": rows["key"].to_pylist(),
+                "member": rows["member"].to_pylist()}).groupby("key"):
+            bf = BloomFilter(sz[key] * bits_per_item)
+            bf.add_array(grp["member"].to_numpy())
+            out_k.append(key)
+            out_bits.append(bf.bits.tobytes())
+        return pa.table({"key": pa.array(out_k, pa.string()),
+                         "bits": pa.array(out_bits, pa.binary())})
+
+    blooms: dict[str, BloomFilter] = {
+        k: BloomFilter(sizes[k] * bits_per_item) for k in keys}
+    for b in triples.map_batches(bloom_partial, batch_format="pyarrow",
+                                 zero_copy_batch=True).iter_batches(
+                                     batch_format="pyarrow"):
+        for key, raw in zip(b["key"].to_pylist(), b["bits"].to_pylist()):
+            blooms[key].bits |= np.frombuffer(raw, dtype=np.uint8)
+    return dict(blooms)
+
+
+def _member_rows(b: pa.Table, compiled: "shapes_mod.CompiledShapes") -> pa.Table:
+    """Shared (key, member) row emission for the membership collectors."""
+    classes = compiled.referenced_classes()
+    subj_preds = {t.value for t in compiled.targets() if t.kind == "subjects_of"}
+    obj_preds = {t.value for t in compiled.targets() if t.kind == "objects_of"}
+    outs = []
+    if classes:
+        t = b.filter(pc.and_(pc.equal(b["pred"], ns.RDF_TYPE),
+                             pc.is_in(b["obj_value"],
+                                      value_set=pa.array(sorted(classes)))))
+        if t.num_rows:
+            key = pc.binary_join_element_wise(
+                pa.array(["class"] * t.num_rows), t["obj_value"], ":")
+            outs.append(pa.table({"key": key, "member": t["subj"]}))
+    if subj_preds:
+        t = b.filter(pc.is_in(b["pred"], value_set=pa.array(sorted(subj_preds))))
+        if t.num_rows:
+            key = pc.binary_join_element_wise(
+                pa.array(["subjects_of"] * t.num_rows), t["pred"], ":")
+            outs.append(pa.table({"key": key, "member": t["subj"]}))
+    if obj_preds:
+        t = b.filter(pc.is_in(b["pred"], value_set=pa.array(sorted(obj_preds))))
+        if t.num_rows:
+            key = pc.binary_join_element_wise(
+                pa.array(["objects_of"] * t.num_rows), t["pred"], ":")
+            outs.append(pa.table({"key": key, "member": t["obj_value"]}))
+    if outs:
+        return pa.concat_tables(outs)
+    return pa.table({"key": pa.array([], pa.string()),
+                     "member": pa.array([], pa.string())})
 
 
 def collect_class_members(triples: rd.Dataset, classes: set[str]) -> dict[str, set[str]]:
