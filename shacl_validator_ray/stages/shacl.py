@@ -561,12 +561,57 @@ class ValueConstraints:
         for nshape, p, idx in self.shapes.property_shapes():
             if (p.datatype or p.pattern or p.node_kind or p.node_class
                     or p.min_length >= 0 or p.max_length >= 0 or p.in_values
-                    or p.or_branches or p.not_shape):
+                    or p.or_branches or p.not_shape or p.language_in):
                 fsets = _focus_sets(self.members, tuple(nshape.targets))
                 self.by_path.setdefault(p.path, []).append((fsets, p))
                 if p.in_values:
                     self.in_sets[idx] = frozenset(p.in_values)
                 p._global_idx = idx  # type: ignore[attr-defined]
+        # sh:closed: per closed shape, the allowed predicate set; virtual
+        # path predicates (derived rows) are never "unknown properties"
+        self.virtual_preds = frozenset(
+            p.path for _, p, _ in self.shapes.property_shapes()
+            if p.path_kind != "single")
+        self.closed_shapes = []
+        for nshape in self.shapes.node_shapes:
+            if nshape.closed:
+                allowed = frozenset(
+                    pr for p in nshape.properties for pr in
+                    ([p.path] if p.path_kind == "single" else p.path_preds)
+                ) | frozenset(nshape.ignored_props)
+                self.closed_shapes.append(
+                    (_focus_sets(self.members, tuple(nshape.targets)),
+                     nshape, allowed))
+
+    def _closed_violations(self, b: pa.Table, out: list[dict]) -> None:
+        """sh:closed: any predicate outside the shape's property paths +
+        sh:ignoredProperties is a violation on a focused subject
+        (resultPath = the offending predicate). Derived virtual-path
+        predicates are never 'unknown properties'."""
+        import numpy as np
+
+        preds = np.asarray(b["pred"].to_pandas(), dtype=object)
+        subjs = np.asarray(b["subj"].to_pandas(), dtype=object)
+        vals = np.asarray(b["obj_value"].to_pandas(), dtype=object)
+        for fsets, nshape, allowed in self.closed_shapes:
+            known = np.fromiter(
+                (p in allowed or p in self.virtual_preds for p in preds),
+                dtype=bool, count=len(preds))
+            cand = np.flatnonzero(~known)
+            if len(cand) == 0:
+                continue
+            fm = _members_mask(fsets, subjs[cand])
+            comp = ns.SH + "ClosedConstraintComponent"
+            for i in cand[fm]:
+                out.append({
+                    "severity": "Violation", "focus_node": subjs[i],
+                    "path": preds[i], "value": vals[i],
+                    "message": [{"text": f"Closed shape {nshape.iri} does "
+                                 f"not allow property {preds[i]}",
+                                 "lang": "en"}],
+                    "source_constraint_component": comp,
+                    "source_shape": nshape.iri,
+                    "foaf_page": self.pages.get(nshape.iri, "")})
 
     def __call__(self, b: pa.Table) -> pa.Table:
         """Vectorized: one numpy mask pipeline per (path, property shape);
@@ -574,6 +619,8 @@ class ValueConstraints:
         import numpy as np
 
         out: list[dict] = []
+        if self.closed_shapes:
+            self._closed_violations(b, out)
         if not self.by_path:
             return _violation_rows(out)
         b = b.filter(pc.is_in(b["pred"], value_set=pa.array(sorted(self.by_path))))
@@ -646,6 +693,11 @@ class ValueConstraints:
                     inset = self.in_sets[p._global_idx]  # type: ignore[attr-defined]
                     bad = [i for i in fidx if vals[i] not in inset]
                     emit_rows(p, bad, "InConstraintComponent")
+                if p.language_in:
+                    lset = frozenset(p.language_in)
+                    bad = [i for i in fidx
+                           if kinds[i] != "literal" or langs[i] not in lset]
+                    emit_rows(p, bad, "LanguageInConstraintComponent")
                 if p.or_branches or p.not_shape:
                     # logical constraints: per-value conformance against
                     # value-level branch bundles (compile-time restricted)
@@ -715,6 +767,10 @@ class CardinalityRows:
                 self.card.append((tuple(nshape.targets), p, idx, 0))
             if p.has_value:
                 self.card.append((tuple(nshape.targets), p, idx, 1))
+            if p.unique_lang:
+                # kind 2: per-(focus, lang) counts — lang rides in the
+                # groupby key (subj \x1f lang), no required rows
+                self.card.append((tuple(nshape.targets), p, idx, 2))
 
     def __call__(self, b: pa.Table) -> pa.Table:
         """Vectorized: per card-shape numpy masks; no per-triple Python loop."""
@@ -738,30 +794,42 @@ class CardinalityRows:
         preds = np.asarray(b["pred"].to_pandas(), dtype=object)
         subjs = np.asarray(b["subj"].to_pandas(), dtype=object)
         objs = np.asarray(b["obj_value"].to_pandas(), dtype=object)
+        langs = np.asarray(b["obj_lang"].to_pandas(), dtype=object)
         tmask = preds == ns.RDF_TYPE
 
         for targets, p, idx, kind in self.card:
-            rmin = p.min_count if kind == 0 else 1
+            rmin = p.min_count if kind == 0 else (1 if kind == 1 else -1)
             rmax = p.max_count if kind == 0 else -1
-            # required rows, per target selector (sh:targetNode → side table)
-            for t in targets:
-                if t.kind == "class":
-                    emit(subjs[tmask & (objs == t.value)], idx, kind, rmin, rmax, 0)
-                elif t.kind == "subjects_of":
-                    emit(subjs[preds == t.value], idx, kind, rmin, rmax, 0)
-                elif t.kind == "objects_of":
-                    emit(objs[preds == t.value], idx, kind, rmin, rmax, 0)
+            if kind != 2:
+                # required rows, per target selector (sh:targetNode /
+                # nodeval → side table); uniqueLang needs none
+                for t in targets:
+                    if t.kind == "class":
+                        emit(subjs[tmask & (objs == t.value)], idx, kind,
+                             rmin, rmax, 0)
+                    elif t.kind == "subjects_of":
+                        emit(subjs[preds == t.value], idx, kind, rmin, rmax, 0)
+                    elif t.kind == "objects_of":
+                        emit(objs[preds == t.value], idx, kind, rmin, rmax, 0)
 
             # observed rows (focus membership via broadcast sets)
             pm = preds == p.path
             if kind == 1:
                 pm = pm & (objs == p.has_value)
+            elif kind == 2:
+                pm = pm & (langs != "")
             if not pm.any():
                 continue
             fsets = _focus_sets(self.members, targets)
             cand = subjs[pm]
             fm = _members_mask(fsets, cand)
-            emit(cand[fm], idx, kind, -1, -1, 1)
+            if kind == 2:
+                # groupby key carries the lang: one count per (focus, lang)
+                keyed = np.array([f"{s}\x1f{lg}" for s, lg in
+                                  zip(cand[fm], langs[pm][fm])], dtype=object)
+                emit(keyed, idx, kind, -1, -1, 1)
+            else:
+                emit(cand[fm], idx, kind, -1, -1, 1)
 
         if chunks["subj"]:
             return pa.table({
@@ -866,6 +934,99 @@ class CustomConstraint:
 
         return triples.map_batches(check, batch_format="pyarrow",
                                    zero_copy_batch=True)
+
+
+def _pair_lt(v: str, w: str) -> bool:
+    """SPARQL-ish ordering for sh:lessThan*: numeric when both parse."""
+    try:
+        return float(v) < float(w)
+    except (TypeError, ValueError):
+        return v < w
+
+
+def pair_constraint_violations(eval_triples: rd.Dataset,
+                               compiled: "shapes_mod.CompiledShapes",
+                               members: dict) -> rd.Dataset | None:
+    """Property-pair components (sh:equals / sh:disjoint / sh:lessThan /
+    sh:lessThanOrEquals): both predicates' value sets must meet per
+    focus node — ONE bucketed shuffle keyed by subject brings the pair
+    together; comparison runs vectorized-per-subject inside the bucket.
+    """
+    import pandas as pd
+
+    from .discovery import bucketed_block_apply
+
+    specs = []
+    for nshape, p, idx in compiled.property_shapes():
+        for comp, other in (("EqualsConstraintComponent", p.equals),
+                            ("DisjointConstraintComponent", p.disjoint),
+                            ("LessThanConstraintComponent", p.less_than),
+                            ("LessThanOrEqualsConstraintComponent",
+                             p.less_than_or_equals)):
+            if other:
+                specs.append((_focus_sets(members, tuple(nshape.targets)),
+                              p, idx, comp, other))
+    if not specs:
+        return None
+
+    needed = sorted({p.path for _, p, _, _, _ in specs}
+                    | {o for _, _, _, _, o in specs})
+    rows = eval_triples.map_batches(
+        lambda b: b.filter(pc.is_in(b["pred"], value_set=pa.array(needed)))
+        .select(["subj", "pred", "obj_value"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+    sref = ray.put(specs)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        specs_ = ray.get(sref)
+        focus, path, value, comp, pidx = [], [], [], [], []
+        for subj, sub in g.groupby("subj", sort=False):
+            by_pred: dict[str, list[str]] = {}
+            for pr, v in zip(sub["pred"], sub["obj_value"]):
+                by_pred.setdefault(pr, []).append(v)
+            for fsets, p, idx, comp_local, other in specs_:
+                if not any(subj in s for s in fsets):
+                    continue
+                a = by_pred.get(p.path, [])
+                bset = set(by_pred.get(other, []))
+                bad: list[str] = []
+                if comp_local == "EqualsConstraintComponent":
+                    bad = sorted((set(a) - bset) | (bset - set(a)))
+                elif comp_local == "DisjointConstraintComponent":
+                    bad = sorted(set(a) & bset)
+                elif comp_local == "LessThanConstraintComponent":
+                    bad = sorted({v for v in a
+                                  if any(not _pair_lt(v, w) for w in bset)})
+                else:  # LessThanOrEquals
+                    bad = sorted({v for v in a
+                                  if any(_pair_lt(w, v) for w in bset)})
+                for v in bad:
+                    focus.append(subj); path.append(p.path); value.append(v)
+                    comp.append(comp_local); pidx.append(idx)
+        return pd.DataFrame({"focus_node": focus, "path": path, "value": value,
+                             "comp": comp, "pidx": pd.array(pidx, dtype="int32")})
+
+    found = bucketed_block_apply(rows, "subj", per_bucket)
+    pshapes = {idx: p for _, p, idx in compiled.property_shapes()}
+    pages = compiled.foaf_pages()
+
+    def to_viol(b: pa.Table) -> pa.Table:
+        out = []
+        for fn_, pth, v, comp_local, idx in zip(
+                b["focus_node"].to_pylist(), b["path"].to_pylist(),
+                b["value"].to_pylist(), b["comp"].to_pylist(),
+                b["pidx"].to_pylist()):
+            p = pshapes[idx]
+            comp = ns.SH + comp_local
+            out.append({
+                "severity": p.severity, "focus_node": fn_, "path": pth,
+                "value": v, "message": _synth_message(comp, p),
+                "source_constraint_component": comp, "source_shape": p.iri,
+                "foaf_page": pages.get(p.iri, "")})
+        return _violation_rows(out)
+
+    return found.map_batches(to_viol, batch_format="pyarrow")
 
 
 def validate(triples: rd.Dataset, shapes_ttl: str, *, deduped: bool = False,
@@ -1010,6 +1171,13 @@ def validate(triples: rd.Dataset, shapes_ttl: str, *, deduped: bool = False,
                 if n == 0:
                     rows.append(row("HasValueConstraintComponent"))
                 continue
+            if kind == 2:
+                if n > 1:  # two+ values share a language tag
+                    focus, _, lang = subj.partition("\x1f")
+                    r = row("UniqueLangConstraintComponent")
+                    r["focus_node"], r["value"] = focus, lang
+                    rows.append(r)
+                continue
             if rmin is not None and rmin >= 0 and n < rmin:
                 rows.append(row("MinCountConstraintComponent"))
             if rmax is not None and rmax >= 0 and n > rmax:
@@ -1018,6 +1186,10 @@ def validate(triples: rd.Dataset, shapes_ttl: str, *, deduped: bool = False,
 
     card_viols = counts.map_batches(card_violations, batch_format="pyarrow")
     out = value_viols.union(card_viols)
+
+    pair_viols = pair_constraint_violations(eval_triples, compiled, members)
+    if pair_viols is not None:
+        out = out.union(pair_viols)
 
     if node_refs:
         # phase 2: the SHACL-spec parent finding — one

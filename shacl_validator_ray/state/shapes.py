@@ -69,6 +69,13 @@ class PropertyShape:
     or_branches: list["PropertyShape"] = field(default_factory=list)
     not_shape: "PropertyShape | None" = None
     node_shape: str = ""           # sh:node — referenced node shape IRI
+    language_in: list[str] = field(default_factory=list)  # sh:languageIn
+    unique_lang: bool = False      # sh:uniqueLang
+    # property-pair components: the OTHER predicate to compare against
+    equals: str = ""
+    disjoint: str = ""
+    less_than: str = ""
+    less_than_or_equals: str = ""
     severity: str = "Violation"
     messages: list[tuple[str, str]] = field(default_factory=list)  # (text, lang)
     foaf_page: str = ""
@@ -86,6 +93,8 @@ class NodeShape:
     targets: list[Target] = field(default_factory=list)
     properties: list[PropertyShape] = field(default_factory=list)
     foaf_page: str = ""
+    closed: bool = False                     # sh:closed
+    ignored_props: list[str] = field(default_factory=list)  # sh:ignoredProperties
 
     @property
     def target_class(self) -> str:
@@ -348,6 +357,14 @@ def compile_shapes(ttl_text: str) -> CompiledShapes:
         if nt:
             ps.not_shape = _branch(prop_shape(nt), nt)
         ps.node_shape = first(piri, ns.SH + "node")
+        li = first(piri, ns.SH + "languageIn")
+        if li:
+            ps.language_in = [v for _, v in read_list(li)]
+        ps.unique_lang = first(piri, ns.SH + "uniqueLang") == "true"
+        ps.equals = first(piri, ns.SH + "equals")
+        ps.disjoint = first(piri, ns.SH + "disjoint")
+        ps.less_than = first(piri, ns.SH + "lessThan")
+        ps.less_than_or_equals = first(piri, ns.SH + "lessThanOrEquals")
         ps.severity = _SEVERITY.get(first(piri, ns.SH + "severity"), "Violation")
         ps.messages = [(v, lang or "en") for k, v, dt, lang in
                        spo.get(piri, {}).get(ns.SH + "message", [])]
@@ -362,7 +379,11 @@ def compile_shapes(ttl_text: str) -> CompiledShapes:
         if not targets:
             continue
         nshape = NodeShape(iri=subj, targets=targets,
-                           foaf_page=first(subj, ns.FOAF + "page"))
+                           foaf_page=first(subj, ns.FOAF + "page"),
+                           closed=first(subj, ns.SH + "closed") == "true")
+        ig = first(subj, ns.SH + "ignoredProperties")
+        if ig:
+            nshape.ignored_props = [v for _, v in read_list(ig)]
         for _, piri, _, _ in preds.get(ns.SH + "property", []):
             nshape.properties.append(prop_shape(piri))
         shapes.append(nshape)

@@ -345,6 +345,80 @@ def test_length_in_hasvalue_components():
                    ("z", "HasValueConstraintComponent", "")}
 
 
+def test_language_in_and_unique_lang():
+    shapes_ttl = """
+    @prefix sh: <http://www.w3.org/ns/shacl#> .
+    @prefix ex: <http://example.org/> .
+    ex:S a sh:NodeShape ; sh:targetClass ex:T ;
+         sh:property [ sh:path ex:label ; sh:languageIn ( "en" "es" ) ;
+                       sh:uniqueLang true ] .
+    """
+    data_ttl = """
+    @prefix ex: <http://example.org/> .
+    ex:a a ex:T ; ex:label "hello"@en , "hola"@es .
+    ex:b a ex:T ; ex:label "bonjour"@fr , "plain" .
+    ex:c a ex:T ; ex:label "one"@en , "two"@en .
+    """
+    viols = shacl.validate(_ds_from_ttl_text(data_ttl), shapes_ttl, concurrency=1)
+    got = {(r["focus_node"].rsplit("/")[-1],
+            r["source_constraint_component"].rsplit("#", 1)[-1], r["value"])
+           for r in viols.to_pandas().to_dict("records")}
+    assert got == {("b", "LanguageInConstraintComponent", "bonjour"),
+                   ("b", "LanguageInConstraintComponent", "plain"),
+                   ("c", "UniqueLangConstraintComponent", "en")}, got
+
+
+def test_closed_shape():
+    shapes_ttl = """
+    @prefix sh: <http://www.w3.org/ns/shacl#> .
+    @prefix rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#> .
+    @prefix ex: <http://example.org/> .
+    ex:S a sh:NodeShape ; sh:targetClass ex:T ; sh:closed true ;
+         sh:ignoredProperties ( rdf:type ) ;
+         sh:property [ sh:path ex:name ; sh:minCount 1 ] .
+    """
+    data_ttl = """
+    @prefix ex: <http://example.org/> .
+    ex:a a ex:T ; ex:name "fine" .
+    ex:b a ex:T ; ex:name "n" ; ex:sneaky "extra" .
+    ex:out ex:sneaky "not focused" .
+    """
+    viols = shacl.validate(_ds_from_ttl_text(data_ttl), shapes_ttl, concurrency=1)
+    got = {(r["focus_node"].rsplit("/")[-1], r["path"].rsplit("/")[-1],
+            r["source_constraint_component"].rsplit("#", 1)[-1])
+           for r in viols.to_pandas().to_dict("records")}
+    assert got == {("b", "sneaky", "ClosedConstraintComponent")}, got
+
+
+def test_property_pair_constraints():
+    """sh:equals / sh:disjoint / sh:lessThan / sh:lessThanOrEquals."""
+    shapes_ttl = """
+    @prefix sh: <http://www.w3.org/ns/shacl#> .
+    @prefix ex: <http://example.org/> .
+    ex:Eq a sh:NodeShape ; sh:targetClass ex:T ;
+         sh:property [ sh:path ex:a ; sh:equals ex:b ] ;
+         sh:property [ sh:path ex:c ; sh:disjoint ex:d ] ;
+         sh:property [ sh:path ex:lo ; sh:lessThan ex:hi ] ;
+         sh:property [ sh:path ex:le ; sh:lessThanOrEquals ex:hi ] .
+    """
+    data_ttl = """
+    @prefix ex: <http://example.org/> .
+    ex:ok a ex:T ; ex:a "x" ; ex:b "x" ; ex:c "p" ; ex:d "q" ;
+          ex:lo 1 ; ex:le 5 ; ex:hi 5 .
+    ex:bad a ex:T ; ex:a "x" ; ex:b "y" ; ex:c "same" ; ex:d "same" ;
+           ex:lo 9 ; ex:le 6 ; ex:hi 5 .
+    """
+    viols = shacl.validate(_ds_from_ttl_text(data_ttl), shapes_ttl, concurrency=1)
+    got = {(r["focus_node"].rsplit("/")[-1],
+            r["source_constraint_component"].rsplit("#", 1)[-1], r["value"])
+           for r in viols.to_pandas().to_dict("records")}
+    assert got == {("bad", "EqualsConstraintComponent", "x"),
+                   ("bad", "EqualsConstraintComponent", "y"),
+                   ("bad", "DisjointConstraintComponent", "same"),
+                   ("bad", "LessThanConstraintComponent", "9"),
+                   ("bad", "LessThanOrEqualsConstraintComponent", "6")}, got
+
+
 def test_sh_node_nested_shape():
     """sh:node: value nodes must conform to the referenced node shape;
     nested findings stay in the report (shacl-engine details:true) plus
