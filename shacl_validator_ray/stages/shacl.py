@@ -561,7 +561,10 @@ class ValueConstraints:
         for nshape, p, idx in self.shapes.property_shapes():
             if (p.datatype or p.pattern or p.node_kind or p.node_class
                     or p.min_length >= 0 or p.max_length >= 0 or p.in_values
-                    or p.or_branches or p.not_shape or p.language_in):
+                    or p.or_branches or p.and_branches or p.xone_branches
+                    or p.not_shape or p.language_in
+                    or p.min_inclusive or p.max_inclusive
+                    or p.min_exclusive or p.max_exclusive):
                 fsets = _focus_sets(self.members, tuple(nshape.targets))
                 self.by_path.setdefault(p.path, []).append((fsets, p))
                 if p.in_values:
@@ -698,7 +701,20 @@ class ValueConstraints:
                     bad = [i for i in fidx
                            if kinds[i] != "literal" or langs[i] not in lset]
                     emit_rows(p, bad, "LanguageInConstraintComponent")
-                if p.or_branches or p.not_shape:
+                for bound, comp_local, ok in (
+                        (p.min_inclusive, "MinInclusiveConstraintComponent",
+                         lambda v, b_: not _pair_lt(v, b_)),
+                        (p.max_inclusive, "MaxInclusiveConstraintComponent",
+                         lambda v, b_: not _pair_lt(b_, v)),
+                        (p.min_exclusive, "MinExclusiveConstraintComponent",
+                         lambda v, b_: _pair_lt(b_, v)),
+                        (p.max_exclusive, "MaxExclusiveConstraintComponent",
+                         lambda v, b_: _pair_lt(v, b_))):
+                    if bound:
+                        bad = [i for i in fidx
+                               if kinds[i] != "literal" or not ok(vals[i], bound)]
+                        emit_rows(p, bad, comp_local)
+                if p.or_branches or p.and_branches or p.xone_branches or p.not_shape:
                     # logical constraints: per-value conformance against
                     # value-level branch bundles (compile-time restricted)
                     def fails(c, i) -> bool:
@@ -723,8 +739,31 @@ class ValueConstraints:
                                                     frozenset())
                             if kinds[i] != "iri" or vals[i] not in cset:
                                 return True
+                        if c.min_inclusive and (
+                                kinds[i] != "literal"
+                                or _pair_lt(vals[i], c.min_inclusive)):
+                            return True
+                        if c.max_inclusive and (
+                                kinds[i] != "literal"
+                                or _pair_lt(c.max_inclusive, vals[i])):
+                            return True
+                        if c.min_exclusive and (
+                                kinds[i] != "literal"
+                                or not _pair_lt(c.min_exclusive, vals[i])):
+                            return True
+                        if c.max_exclusive and (
+                                kinds[i] != "literal"
+                                or not _pair_lt(vals[i], c.max_exclusive)):
+                            return True
                         if c.or_branches and all(fails(br, i)
                                                  for br in c.or_branches):
+                            return True
+                        if c.and_branches and any(fails(br, i)
+                                                  for br in c.and_branches):
+                            return True
+                        if c.xone_branches and sum(
+                                not fails(br, i)
+                                for br in c.xone_branches) != 1:
                             return True
                         if c.not_shape and not fails(c.not_shape, i):
                             return True
@@ -734,6 +773,15 @@ class ValueConstraints:
                         bad = [i for i in fidx
                                if all(fails(br, i) for br in p.or_branches)]
                         emit_rows(p, bad, "OrConstraintComponent")
+                    if p.and_branches:
+                        bad = [i for i in fidx
+                               if any(fails(br, i) for br in p.and_branches)]
+                        emit_rows(p, bad, "AndConstraintComponent")
+                    if p.xone_branches:
+                        bad = [i for i in fidx
+                               if sum(not fails(br, i)
+                                      for br in p.xone_branches) != 1]
+                        emit_rows(p, bad, "XoneConstraintComponent")
                     if p.not_shape:
                         bad = [i for i in fidx if not fails(p.not_shape, i)]
                         emit_rows(p, bad, "NotConstraintComponent")

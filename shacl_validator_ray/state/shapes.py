@@ -64,9 +64,16 @@ class PropertyShape:
     in_values: list[str] = field(default_factory=list)   # obj_value strings
     has_value: str = ""            # required value (sh:hasValue)
     has_value_kind: str = ""       # its term kind ("iri" | "literal" | …)
-    # logical constraints over VALUE-level branches (sh:or / sh:not):
+    # value range components (raw constraint literals; "" = unset)
+    min_inclusive: str = ""
+    max_inclusive: str = ""
+    min_exclusive: str = ""
+    max_exclusive: str = ""
+    # logical constraints over VALUE-level branches (sh:or/and/xone/not):
     # each branch is a constraint bundle (a PropertyShape without a path)
     or_branches: list["PropertyShape"] = field(default_factory=list)
+    and_branches: list["PropertyShape"] = field(default_factory=list)
+    xone_branches: list["PropertyShape"] = field(default_factory=list)
     not_shape: "PropertyShape | None" = None
     node_shape: str = ""           # sh:node — referenced node shape IRI
     language_in: list[str] = field(default_factory=list)  # sh:languageIn
@@ -240,7 +247,9 @@ def _branch(ps: PropertyShape, piri: str) -> PropertyShape:
             "in/class) are supported")
     if not (ps.datatype or ps.pattern or ps.node_kind or ps.min_length >= 0
             or ps.max_length >= 0 or ps.in_values or ps.node_class
-            or ps.or_branches or ps.not_shape):
+            or ps.min_inclusive or ps.max_inclusive or ps.min_exclusive
+            or ps.max_exclusive or ps.or_branches or ps.and_branches
+            or ps.xone_branches or ps.not_shape):
         raise ValueError(f"empty sh:or/sh:not branch on {piri}")
     return ps
 
@@ -349,10 +358,17 @@ def compile_shapes(ttl_text: str) -> CompiledShapes:
         # constraint bundles (datatype/pattern/nodeKind/length/in/class);
         # count-bound or nested-path branches are rejected at compile time
         # (same restriction posture as unsupported path operators).
-        or_head = first(piri, ns.SH + "or")
-        if or_head:
-            for k, v in read_list(or_head):
-                ps.or_branches.append(_branch(prop_shape(v), v))
+        ps.min_inclusive = first(piri, ns.SH + "minInclusive")
+        ps.max_inclusive = first(piri, ns.SH + "maxInclusive")
+        ps.min_exclusive = first(piri, ns.SH + "minExclusive")
+        ps.max_exclusive = first(piri, ns.SH + "maxExclusive")
+        for pred, attr in ((ns.SH + "or", "or_branches"),
+                           (ns.SH + "and", "and_branches"),
+                           (ns.SH + "xone", "xone_branches")):
+            head = first(piri, pred)
+            if head:
+                getattr(ps, attr).extend(
+                    _branch(prop_shape(v), v) for k, v in read_list(head))
         nt = first(piri, ns.SH + "not")
         if nt:
             ps.not_shape = _branch(prop_shape(nt), nt)

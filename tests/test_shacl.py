@@ -419,6 +419,57 @@ def test_property_pair_constraints():
                    ("bad", "LessThanOrEqualsConstraintComponent", "6")}, got
 
 
+def test_value_range_components():
+    """sh:minInclusive / maxInclusive / minExclusive / maxExclusive with
+    numeric comparison (string fallback)."""
+    shapes_ttl = """
+    @prefix sh: <http://www.w3.org/ns/shacl#> .
+    @prefix ex: <http://example.org/> .
+    ex:S a sh:NodeShape ; sh:targetClass ex:T ;
+         sh:property [ sh:path ex:n ; sh:minInclusive 0 ; sh:maxInclusive 10 ] ;
+         sh:property [ sh:path ex:x ; sh:minExclusive 0 ; sh:maxExclusive 10 ] .
+    """
+    data_ttl = """
+    @prefix ex: <http://example.org/> .
+    ex:a a ex:T ; ex:n 0 , 10 , 11 , -1 ; ex:x 0 , 5 , 10 .
+    """
+    viols = shacl.validate(_ds_from_ttl_text(data_ttl), shapes_ttl, concurrency=1)
+    got = {(r["source_constraint_component"].rsplit("#", 1)[-1], r["value"])
+           for r in viols.to_pandas().to_dict("records")}
+    assert got == {("MinInclusiveConstraintComponent", "-1"),
+                   ("MaxInclusiveConstraintComponent", "11"),
+                   ("MinExclusiveConstraintComponent", "0"),
+                   ("MaxExclusiveConstraintComponent", "10")}, got
+
+
+def test_and_xone_logical_constraints():
+    shapes_ttl = """
+    @prefix sh: <http://www.w3.org/ns/shacl#> .
+    @prefix xsd: <http://www.w3.org/2001/XMLSchema#> .
+    @prefix ex: <http://example.org/> .
+    ex:S a sh:NodeShape ; sh:targetClass ex:T ;
+         sh:property [ sh:path ex:a ;
+                       sh:and ( [ sh:minLength 2 ] [ sh:pattern "^x" ] ) ] ;
+         sh:property [ sh:path ex:b ;
+                       sh:xone ( [ sh:datatype xsd:integer ]
+                                 [ sh:pattern "^[0-9]+$" ] ) ] .
+    """
+    data_ttl = """
+    @prefix ex: <http://example.org/> .
+    ex:p a ex:T ; ex:a "xy" ; ex:b "abc" .
+    ex:q a ex:T ; ex:a "x" ; ex:b 7 .
+    """
+    viols = shacl.validate(_ds_from_ttl_text(data_ttl), shapes_ttl, concurrency=1)
+    got = {(r["focus_node"].rsplit("/")[-1],
+            r["source_constraint_component"].rsplit("#", 1)[-1], r["value"])
+           for r in viols.to_pandas().to_dict("records")}
+    # q's "x" fails minLength branch of the AND; p's "abc" matches NEITHER
+    # xone branch (0 ≠ 1); q's typed 7 matches BOTH branches (2 ≠ 1)
+    assert got == {("q", "AndConstraintComponent", "x"),
+                   ("p", "XoneConstraintComponent", "abc"),
+                   ("q", "XoneConstraintComponent", "7")}, got
+
+
 def test_sh_node_nested_shape():
     """sh:node: value nodes must conform to the referenced node shape;
     nested findings stay in the report (shacl-engine details:true) plus
