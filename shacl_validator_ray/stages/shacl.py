@@ -546,6 +546,57 @@ def _members_mask(fsets: list, values) -> "np.ndarray":
     return mask
 
 
+def _value_fails(c: "shapes_mod.PropertyShape", kind: str, val: str,
+                 dt: str, lang: str, members: dict) -> bool:
+    """True when one VALUE NODE violates a value-level constraint bundle
+    (the branch evaluator for sh:or/and/xone/not and
+    sh:qualifiedValueShape)."""
+    if c.datatype:
+        eff = (ns.RDF + "langString") if lang else (dt or ns.XSD + "string")
+        if kind != "literal" or eff != c.datatype:
+            return True
+    if c.pattern and not c.compiled_pattern().search(val):
+        return True
+    if c.node_kind and kind not in NODEKIND_SETS[c.node_kind.rsplit("#", 1)[-1]]:
+        return True
+    if c.min_length >= 0 and (kind == "blank" or len(val) < c.min_length):
+        return True
+    if c.max_length >= 0 and (kind == "blank" or len(val) > c.max_length):
+        return True
+    if c.in_values and val not in c.in_values:
+        return True
+    if c.node_class:
+        cset = members.get(f"class:{c.node_class}", frozenset())
+        if kind != "iri" or val not in cset:
+            return True
+    if c.min_inclusive and (kind != "literal"
+                            or _pair_lt(val, c.min_inclusive)):
+        return True
+    if c.max_inclusive and (kind != "literal"
+                            or _pair_lt(c.max_inclusive, val)):
+        return True
+    if c.min_exclusive and (kind != "literal"
+                            or not _pair_lt(c.min_exclusive, val)):
+        return True
+    if c.max_exclusive and (kind != "literal"
+                            or not _pair_lt(val, c.max_exclusive)):
+        return True
+    if c.or_branches and all(_value_fails(br, kind, val, dt, lang, members)
+                             for br in c.or_branches):
+        return True
+    if c.and_branches and any(_value_fails(br, kind, val, dt, lang, members)
+                              for br in c.and_branches):
+        return True
+    if c.xone_branches and sum(
+            not _value_fails(br, kind, val, dt, lang, members)
+            for br in c.xone_branches) != 1:
+        return True
+    if c.not_shape and not _value_fails(c.not_shape, kind, val, dt, lang,
+                                        members):
+        return True
+    return False
+
+
 class ValueConstraints:
     """Per-value constraint stage; shapes compiled once per worker/actor."""
 
@@ -718,56 +769,8 @@ class ValueConstraints:
                     # logical constraints: per-value conformance against
                     # value-level branch bundles (compile-time restricted)
                     def fails(c, i) -> bool:
-                        if c.datatype and (kinds[i] != "literal"
-                                           or eff_dt(i) != c.datatype):
-                            return True
-                        if c.pattern and not c.compiled_pattern().search(vals[i]):
-                            return True
-                        if c.node_kind and kinds[i] not in NODEKIND_SETS[
-                                c.node_kind.rsplit("#", 1)[-1]]:
-                            return True
-                        if c.min_length >= 0 and (kinds[i] == "blank"
-                                                  or len(vals[i]) < c.min_length):
-                            return True
-                        if c.max_length >= 0 and (kinds[i] == "blank"
-                                                  or len(vals[i]) > c.max_length):
-                            return True
-                        if c.in_values and vals[i] not in c.in_values:
-                            return True
-                        if c.node_class:
-                            cset = self.members.get(f"class:{c.node_class}",
-                                                    frozenset())
-                            if kinds[i] != "iri" or vals[i] not in cset:
-                                return True
-                        if c.min_inclusive and (
-                                kinds[i] != "literal"
-                                or _pair_lt(vals[i], c.min_inclusive)):
-                            return True
-                        if c.max_inclusive and (
-                                kinds[i] != "literal"
-                                or _pair_lt(c.max_inclusive, vals[i])):
-                            return True
-                        if c.min_exclusive and (
-                                kinds[i] != "literal"
-                                or not _pair_lt(c.min_exclusive, vals[i])):
-                            return True
-                        if c.max_exclusive and (
-                                kinds[i] != "literal"
-                                or not _pair_lt(vals[i], c.max_exclusive)):
-                            return True
-                        if c.or_branches and all(fails(br, i)
-                                                 for br in c.or_branches):
-                            return True
-                        if c.and_branches and any(fails(br, i)
-                                                  for br in c.and_branches):
-                            return True
-                        if c.xone_branches and sum(
-                                not fails(br, i)
-                                for br in c.xone_branches) != 1:
-                            return True
-                        if c.not_shape and not fails(c.not_shape, i):
-                            return True
-                        return False
+                        return _value_fails(c, kinds[i], vals[i], dts[i],
+                                            langs[i], self.members)
 
                     if p.or_branches:
                         bad = [i for i in fidx
@@ -819,6 +822,11 @@ class CardinalityRows:
                 # kind 2: per-(focus, lang) counts — lang rides in the
                 # groupby key (subj \x1f lang), no required rows
                 self.card.append((tuple(nshape.targets), p, idx, 2))
+            if p.qualified_shape and (p.qualified_min >= 0
+                                      or p.qualified_max >= 0):
+                # kind 3: count only values CONFORMING to the qualified
+                # value-level bundle
+                self.card.append((tuple(nshape.targets), p, idx, 3))
 
     def __call__(self, b: pa.Table) -> pa.Table:
         """Vectorized: per card-shape numpy masks; no per-triple Python loop."""
@@ -843,11 +851,19 @@ class CardinalityRows:
         subjs = np.asarray(b["subj"].to_pandas(), dtype=object)
         objs = np.asarray(b["obj_value"].to_pandas(), dtype=object)
         langs = np.asarray(b["obj_lang"].to_pandas(), dtype=object)
+        kinds_a = np.asarray(b["obj_kind"].to_pandas(), dtype=object)
+        dts = np.asarray(b["obj_datatype"].to_pandas(), dtype=object)
         tmask = preds == ns.RDF_TYPE
 
         for targets, p, idx, kind in self.card:
-            rmin = p.min_count if kind == 0 else (1 if kind == 1 else -1)
-            rmax = p.max_count if kind == 0 else -1
+            if kind == 0:
+                rmin, rmax = p.min_count, p.max_count
+            elif kind == 1:
+                rmin, rmax = 1, -1
+            elif kind == 3:
+                rmin, rmax = p.qualified_min, p.qualified_max
+            else:
+                rmin, rmax = -1, -1
             if kind != 2:
                 # required rows, per target selector (sh:targetNode /
                 # nodeval → side table); uniqueLang needs none
@@ -869,15 +885,24 @@ class CardinalityRows:
             if not pm.any():
                 continue
             fsets = _focus_sets(self.members, targets)
-            cand = subjs[pm]
-            fm = _members_mask(fsets, cand)
+            pm_idx = np.flatnonzero(pm)
+            fm = _members_mask(fsets, subjs[pm_idx])
+            sel = pm_idx[fm]
             if kind == 2:
                 # groupby key carries the lang: one count per (focus, lang)
-                keyed = np.array([f"{s}\x1f{lg}" for s, lg in
-                                  zip(cand[fm], langs[pm][fm])], dtype=object)
+                keyed = np.array([f"{subjs[i]}\x1f{langs[i]}" for i in sel],
+                                 dtype=object)
                 emit(keyed, idx, kind, -1, -1, 1)
+            elif kind == 3:
+                conf = np.array(
+                    [i for i in sel
+                     if not _value_fails(p.qualified_shape, kinds_a[i],
+                                         objs[i], dts[i], langs[i],
+                                         self.members)], dtype=np.int64)
+                emit(subjs[conf] if len(conf) else np.array([], dtype=object),
+                     idx, kind, -1, -1, 1)
             else:
-                emit(cand[fm], idx, kind, -1, -1, 1)
+                emit(subjs[sel], idx, kind, -1, -1, 1)
 
         if chunks["subj"]:
             return pa.table({
@@ -1186,6 +1211,11 @@ def validate(triples: rd.Dataset, shapes_ttl: str, *, deduped: bool = False,
                 if p.has_value:
                     node_req.append({"subj": f, "shape_idx": idx, "kind": 1,
                                      "req_min": 1, "req_max": -1, "n": 0})
+                if p.qualified_shape and (p.qualified_min >= 0
+                                          or p.qualified_max >= 0):
+                    node_req.append({"subj": f, "shape_idx": idx, "kind": 3,
+                                     "req_min": p.qualified_min,
+                                     "req_max": p.qualified_max, "n": 0})
     if node_req:
         card_rows = card_rows.union(
             rd.from_arrow(pa.Table.from_pylist(node_req, schema=_CARD_SCHEMA)))
@@ -1225,6 +1255,12 @@ def validate(triples: rd.Dataset, shapes_ttl: str, *, deduped: bool = False,
                     r = row("UniqueLangConstraintComponent")
                     r["focus_node"], r["value"] = focus, lang
                     rows.append(r)
+                continue
+            if kind == 3:
+                if rmin is not None and rmin >= 0 and n < rmin:
+                    rows.append(row("QualifiedMinCountConstraintComponent"))
+                if rmax is not None and rmax >= 0 and n > rmax:
+                    rows.append(row("QualifiedMaxCountConstraintComponent"))
                 continue
             if rmin is not None and rmin >= 0 and n < rmin:
                 rows.append(row("MinCountConstraintComponent"))

@@ -76,6 +76,11 @@ class PropertyShape:
     xone_branches: list["PropertyShape"] = field(default_factory=list)
     not_shape: "PropertyShape | None" = None
     node_shape: str = ""           # sh:node — referenced node shape IRI
+    # sh:qualifiedValueShape (restricted to a value-level bundle) +
+    # qualified count bounds
+    qualified_shape: "PropertyShape | None" = None
+    qualified_min: int = -1
+    qualified_max: int = -1
     language_in: list[str] = field(default_factory=list)  # sh:languageIn
     unique_lang: bool = False      # sh:uniqueLang
     # property-pair components: the OTHER predicate to compare against
@@ -373,6 +378,13 @@ def compile_shapes(ttl_text: str) -> CompiledShapes:
         if nt:
             ps.not_shape = _branch(prop_shape(nt), nt)
         ps.node_shape = first(piri, ns.SH + "node")
+        qv = first(piri, ns.SH + "qualifiedValueShape")
+        if qv:
+            ps.qualified_shape = _branch(prop_shape(qv), qv)
+        qmin = first(piri, ns.SH + "qualifiedMinCount")
+        qmax = first(piri, ns.SH + "qualifiedMaxCount")
+        ps.qualified_min = int(qmin) if qmin else -1
+        ps.qualified_max = int(qmax) if qmax else -1
         li = first(piri, ns.SH + "languageIn")
         if li:
             ps.language_in = [v for _, v in read_list(li)]

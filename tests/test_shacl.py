@@ -470,6 +470,33 @@ def test_and_xone_logical_constraints():
                    ("q", "XoneConstraintComponent", "7")}, got
 
 
+def test_qualified_value_shape():
+    """sh:qualifiedValueShape + qualifiedMin/MaxCount: count only values
+    conforming to the qualified bundle, including the ABSENCE case."""
+    shapes_ttl = """
+    @prefix sh: <http://www.w3.org/ns/shacl#> .
+    @prefix ex: <http://example.org/> .
+    ex:S a sh:NodeShape ; sh:targetClass ex:T ;
+         sh:property [ sh:path ex:tag ;
+                       sh:qualifiedValueShape [ sh:pattern "^good" ] ;
+                       sh:qualifiedMinCount 1 ; sh:qualifiedMaxCount 2 ] .
+    """
+    data_ttl = """
+    @prefix ex: <http://example.org/> .
+    ex:a a ex:T ; ex:tag "good one" , "bad" .
+    ex:b a ex:T ; ex:tag "bad only" .
+    ex:c a ex:T .
+    ex:d a ex:T ; ex:tag "good 1" , "good 2" , "good 3" .
+    """
+    viols = shacl.validate(_ds_from_ttl_text(data_ttl), shapes_ttl, concurrency=1)
+    got = {(r["focus_node"].rsplit("/")[-1],
+            r["source_constraint_component"].rsplit("#", 1)[-1])
+           for r in viols.to_pandas().to_dict("records")}
+    assert got == {("b", "QualifiedMinCountConstraintComponent"),
+                   ("c", "QualifiedMinCountConstraintComponent"),
+                   ("d", "QualifiedMaxCountConstraintComponent")}, got
+
+
 def test_sh_node_nested_shape():
     """sh:node: value nodes must conform to the referenced node shape;
     nested findings stay in the report (shacl-engine details:true) plus
