@@ -6,28 +6,38 @@ validation is re-expressed as vectorized per-triple predicates over the
 triples Dataset:
 
 - **value constraints** (``sh:datatype``, ``sh:pattern``, ``sh:nodeKind``,
-  ``sh:class``, ``sh:minLength``/``sh:maxLength``, ``sh:in``) — a
-  ``map_batches`` stage; each worker compiles the shapes graph once and
-  holds the broadcast focus-node / class-membership sets (map-side
-  semi-join J5).
-- **cardinality constraints** (``sh:minCount`` / ``sh:maxCount``) and
-  ``sh:hasValue`` — the absence problem (SURVEY.md §7.3): a "required"
-  row is emitted per (focus node, counted property shape) from the
-  target triples, unioned with observed rows, then one ``groupby`` +
-  vectorized compare. A focus node with zero values yields n=0 without
-  any anti-join materialization on the driver; ``sh:hasValue`` is the
-  same machinery counting only matching values.
-- **property paths** (sequence ``a/b``, alternative ``(a | b)`` —
-  reference path extractor SHACLValidationService.ts:207-247): derived
-  "virtual predicate" rows are built once per path (alternatives by
-  re-predicating matching rows, sequences by a distributed self-join on
-  the intermediate node), deduped to value-SET semantics, and unioned
-  with the base triples — every downstream constraint then treats the
-  path exactly like a single predicate.
+  ``sh:class``, ``sh:minLength``/``maxLength``, ``sh:in``,
+  ``sh:languageIn``, the four ``sh:min/maxIn/Exclusive`` range bounds,
+  the logical family ``sh:or/and/xone/not`` over value-level bundles,
+  and ``sh:closed``) — a fused ``map_batches`` stage; each worker
+  compiles the shapes graph once and holds the broadcast focus-node /
+  class-membership sets (map-side semi-join J5).
+- **counting constraints** (``sh:minCount``/``maxCount``,
+  ``sh:hasValue``, ``sh:uniqueLang``, ``sh:qualifiedValueShape`` with
+  qualified bounds) — the absence problem (SURVEY.md §7.3): a
+  "required" row is emitted per (focus node, counted property shape)
+  from the target triples, unioned with observed rows, then one
+  ``groupby`` + vectorized compare. A focus node with zero values
+  yields n=0 without any anti-join materialization on the driver.
+- **property-pair constraints** (``sh:equals/disjoint/lessThan/
+  lessThanOrEquals``) — one bucketed shuffle keyed by subject brings
+  both predicates' value sets together per focus.
+- **property paths** (sequence ``a/b``, alternative ``(a | b)``,
+  inverse ``^p``, closures ``p*``/``p+`` — reference path extractor
+  SHACLValidationService.ts:207-247): derived "virtual predicate" rows
+  are built once per path (re-predication, distributed self-joins, or
+  bounded transitive closure), deduped to value-SET semantics, and
+  unioned with the base triples — every downstream constraint then
+  treats the path exactly like a single predicate.
+- **nested shapes** (``sh:node``): derived synthetic shapes whose focus
+  is the referencing shape's value-node set, plus a phase-2
+  NodeConstraintComponent finding on the referencing focus.
 - **target selectors** (``sh:targetClass``, ``sh:targetNode``,
   ``sh:targetSubjectsOf``, ``sh:targetObjectsOf`` —
   SHACLValidationService.ts:401-408): focus membership per target is
   collected in one vectorized scan and broadcast.
+- **extension hook**: :class:`CustomConstraint` — distributed per-path
+  Python predicates (the ``sparqlValidations`` plug-in analog).
 
 Scale note: focus/class membership sets are broadcast via ``ray.put``
 (entity dictionaries are ~e6 at 1e12-doc scale after canonicalization);
