@@ -227,6 +227,18 @@ def q_kg_validate_node(sf_dir: str):
          "source_constraint_component"])
 
 
+def q_kg_validate_qualified(sf_dir: str):
+    """sh:qualifiedValueShape (qualified_demo profile)."""
+    from ..stages import shacl
+    from ..state import shapes as shapes_mod
+    from . import kg
+    return shacl.validate(
+        kg.triples_dataset(sf_dir),
+        shapes_mod.load_profile_ttl("qualified_demo")).select_columns(
+        ["severity", "focus_node", "path", "value",
+         "source_constraint_component"])
+
+
 def q_kg_paths_constraint_counts(sf_dir: str):
     from ..stages import report, shacl
     from ..state import shapes as shapes_mod
@@ -314,6 +326,7 @@ QUERIES = {
     "kg_validate_paths": q_kg_validate_paths,
     "kg_validate_logic": q_kg_validate_logic,
     "kg_validate_node": q_kg_validate_node,
+    "kg_validate_qualified": q_kg_validate_qualified,
     "kg_paths_constraint_counts": q_kg_paths_constraint_counts,
     "kg_severity_counts": q_kg_severity_counts,
     "kg_constraint_counts": q_kg_constraint_counts,
@@ -735,7 +748,23 @@ viol AS (
 )
 """
 
+    qualified_sql = f"""
+WITH gt AS (SELECT DISTINCT subj, pred, obj_kind, obj_value, obj_datatype, obj_lang
+            FROM {gt}),
+datasets AS (SELECT DISTINCT subj FROM gt
+             WHERE pred = '{ns.RDF_TYPE}' AND obj_value = '{dcat}Dataset')
+SELECT 'Info' AS severity, d.subj AS focus_node, '{dcat}theme' AS path,
+       '' AS value,
+       '{sh}QualifiedMinCountConstraintComponent' AS source_constraint_component
+FROM datasets d
+WHERE d.subj NOT IN
+    (SELECT subj FROM gt
+     WHERE pred = '{dcat}theme'
+       AND regexp_matches(obj_value, 'theme/T[0-3]$'))
+"""
+
     return {
+        "kg_validate_qualified": qualified_sql,
         "kg_validate_node": node_viol +
             "SELECT severity, focus_node, path, value, "
             "source_constraint_component FROM viol",
