@@ -134,6 +134,14 @@ def q_sliding_window(sf_dir: str):
     return windows.sliding_window(R.t(sf_dir, "events", ["event_type", "ts", "value"]))
 
 
+def q_watermark_filter(sf_dir: str):
+    """Allowed-lateness gate over the bounded events log (§2.9)."""
+    from ..stages import windows
+    return windows.watermark_filter(
+        R.t(sf_dir, "events", ["event_id", "user_id", "ts"]),
+        delay_s=86400).select_columns(["event_id", "user_id"])
+
+
 def q_upsert_latest(sf_dir: str):
     from ..stages import windows
     return windows.upsert_latest(R.t(sf_dir, "events"))
@@ -346,6 +354,7 @@ QUERIES = {
     "multi_value": R.multi_value,
     "topk_brands": R.topk_brands,
     "distinct_counts": R.distinct_counts,
+    "quantiles_qty": R.quantiles_qty,
     "dedup_first": R.dedup_first,
     "join_orders_customers": R.join_orders_customers,
     "join_native": R.join_native,
@@ -379,6 +388,7 @@ QUERIES = {
     "sliding_window": q_sliding_window,
     "session_windows": q_session_windows,
     "upsert_latest": q_upsert_latest,
+    "watermark_filter": q_watermark_filter,
     "systematic_sample": q_systematic_sample,
     # RDF projection
     "jsonld_projection": q_jsonld_projection,
@@ -419,6 +429,10 @@ ORACLE_SQL = {
     "distinct_counts":
         "SELECT count(DISTINCT l_partkey) AS parts, count(DISTINCT l_suppkey) AS supps, "
         "count(DISTINCT l_orderkey) AS orders FROM lineitem",
+    "quantiles_qty":
+        "SELECT round(quantile_disc(l_quantity, 0.25), 2) AS q25, "
+        "round(quantile_disc(l_quantity, 0.5), 2) AS q50, "
+        "round(quantile_disc(l_quantity, 0.75), 2) AS q75 FROM lineitem",
     "dedup_first":
         "SELECT l_orderkey, min(l_linenumber) AS l_linenumber FROM lineitem "
         "GROUP BY l_orderkey",
@@ -526,6 +540,10 @@ WHERE n_tokens BETWEEN 20 AND 200
         QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) = 1""",
     "systematic_sample":
         "SELECT event_id, user_id, event_type FROM events WHERE event_id % 20 = 3",
+    "watermark_filter": """
+        SELECT event_id, user_id FROM events
+        WHERE epoch_us(ts) >= (SELECT max(epoch_us(ts)) FROM events)
+                              - 86400000000::BIGINT""",
     # every event lands in all k = size/slide windows covering it
     # (generate_series fan-out mirrors the map_batches explode)
     "sliding_window": """

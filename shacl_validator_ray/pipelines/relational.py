@@ -152,6 +152,60 @@ def distinct_counts(sf_dir: str):
                          "orders": [m.get("orders", 0)]})
 
 
+# --- exact distributed quantiles WITHOUT a global sort (A-family
+#     breadth): pass 1 = count/min/max; pass 2 = mergeable per-batch
+#     histograms (4096 uniform buckets, driver sums 4096-int partials);
+#     pass 3 = collect ONLY the rank-containing buckets (~n/4096 rows)
+#     and select exactly. 3 scans of one numeric column vs an
+#     all-to-all sort; matches DuckDB quantile_disc (rank floor(q(n-1))). ---
+def quantiles_qty(sf_dir: str, qs: tuple = (0.25, 0.5, 0.75),
+                  n_buckets: int = 4096):
+    import math
+
+    ds = t(sf_dir, "lineitem", ["l_quantity"]).materialize()
+    from ray.data.aggregate import Max as AMax, Min as AMin
+
+    stats = ds.aggregate(AMin("l_quantity", alias_name="lo"),
+                         AMax("l_quantity", alias_name="hi"),
+                         Count(alias_name="n"))
+    lo, hi, n = float(stats["lo"]), float(stats["hi"]), int(stats["n"])
+    width = (hi - lo) / n_buckets or 1.0
+
+    def hist(b: pa.Table) -> pa.Table:
+        v = np.asarray(b["l_quantity"], dtype=np.float64)
+        idx = np.clip(((v - lo) / width).astype(np.int64), 0, n_buckets - 1)
+        return pa.table({"bucket": pa.array(np.arange(n_buckets, dtype=np.int64)),
+                         "c": pa.array(np.bincount(idx, minlength=n_buckets)
+                                       .astype(np.int64))})
+
+    counts = np.zeros(n_buckets, dtype=np.int64)
+    for b in ds.map_batches(hist, batch_format="pyarrow",
+                            zero_copy_batch=True).iter_batches(
+                                batch_format="pyarrow"):
+        counts[np.asarray(b["bucket"])] += np.asarray(b["c"])
+    cum = np.cumsum(counts)
+    ranks = [math.floor(q * (n - 1)) for q in qs]
+    buckets = {int(np.searchsorted(cum, r + 1)) for r in ranks}
+    barr = pa.array(sorted(buckets), pa.int64())
+
+    def in_buckets(b: pa.Table) -> pa.Table:
+        v = np.asarray(b["l_quantity"], dtype=np.float64)
+        idx = np.clip(((v - lo) / width).astype(np.int64), 0, n_buckets - 1)
+        keep = np.isin(idx, np.asarray(barr))
+        return pa.table({"l_quantity": pa.array(v[keep]),
+                         "bucket": pa.array(idx[keep])})
+
+    band = ds.map_batches(in_buckets, batch_format="pyarrow",
+                          zero_copy_batch=True).to_pandas()
+    out = {}
+    for q, r in zip(qs, ranks):
+        bk = int(np.searchsorted(cum, r + 1))
+        below = int(cum[bk - 1]) if bk > 0 else 0
+        vals = np.sort(band.loc[band["bucket"] == bk, "l_quantity"].to_numpy())
+        out[f"q{int(q * 100)}"] = [round(float(vals[r - below]), 2)]
+    return pd.DataFrame(out)
+
+
 # --- skew-safe two-phase aggregation: salt the hot key, partial-count,
 #     then merge (the SURVEY §4.2 salting pattern, provably exact) ---
 def salted_group_count(sf_dir: str, salt: int = 8):

@@ -140,7 +140,8 @@ def detect_hubs(triples: rd.Dataset, threshold: int, top_m: int = 4096) -> set[s
 def materialize_graph(triples: rd.Dataset, out_dir: str, *,
                       n_buckets: int | None = None,
                       hub_threshold: int = 10_000, salt: int = 4,
-                      deduped: bool = False, write_groups: int = 4) -> dict:
+                      deduped: bool = False, write_groups: int = 4,
+                      parallel_writes: int = 1) -> dict:
     """Dedup → bucket (+salt hubs) → hive-partitioned parquet + manifest.
 
     The write is split into ``write_groups`` bucket groups, each recorded
@@ -215,13 +216,13 @@ def materialize_graph(triples: rd.Dataset, out_dir: str, *,
     os.makedirs(out_dir, exist_ok=True)
 
     import shutil
+    import threading
 
     import numpy as np
 
-    for g in range(write_groups):
-        if g in manifest["groups_done"]:
-            continue  # resume: this bucket group is already on disk
+    lock = threading.Lock()
 
+    def write_group(g: int) -> None:
         def group_filter(b: pa.Table, g=g) -> pa.Table:
             # bucket = base*salt + sub-salt, so the UNSALTED base bucket
             # assigns the group — all of a hub's salted sub-buckets stay
@@ -238,8 +239,20 @@ def materialize_graph(triples: rd.Dataset, out_dir: str, *,
         # manifest records the group. A rerun after a crash at any point
         # rewrites the whole group wholesale — never alongside leftovers.
         staging = os.path.join(out_dir, f"_staging_g{g}")
-        shutil.rmtree(staging, ignore_errors=True)
-        part.write_parquet(staging, partition_cols=["bucket"])
+        for attempt in range(3):
+            shutil.rmtree(staging, ignore_errors=True)
+            try:
+                part.write_parquet(staging, partition_cols=["bucket"])
+                break
+            except ImportError:
+                # concurrent writers can race fsspec's http module
+                # first-import (aiohttp absent): the loser sees a
+                # partially-torn-down module and gets ImportError instead
+                # of the ModuleNotFoundError Ray tolerates; retry after
+                # the window closes
+                if attempt == 2:
+                    raise
+                time.sleep(0.2 * (attempt + 1))
         if os.path.isdir(staging):  # empty groups write nothing
             for d in sorted(os.listdir(staging)):
                 if not d.startswith("bucket="):
@@ -248,8 +261,23 @@ def materialize_graph(triples: rd.Dataset, out_dir: str, *,
                 shutil.rmtree(dst, ignore_errors=True)
                 os.rename(os.path.join(staging, d), dst)
             shutil.rmtree(staging, ignore_errors=True)
-        manifest["groups_done"] = sorted(set(manifest["groups_done"]) | {g})
-        save()
+        with lock:
+            manifest["groups_done"] = sorted(set(manifest["groups_done"]) | {g})
+            save()
+
+    pending = [g for g in range(write_groups)
+               if g not in manifest["groups_done"]]  # resume: skip done
+    if parallel_writes > 1 and len(pending) > 1:
+        # overlap group writes (each is its own Ray execution over the
+        # pinned bucketed set; resume granularity stays per-group)
+        from concurrent.futures import ThreadPoolExecutor
+
+
+        with ThreadPoolExecutor(max_workers=parallel_writes) as ex:
+            list(ex.map(write_group, pending))
+    else:
+        for g in pending:
+            write_group(g)
 
     manifest["complete"] = True
     manifest["hubs"] = sorted(hubs)

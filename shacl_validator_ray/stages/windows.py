@@ -101,6 +101,26 @@ def session_windows(events: rd.Dataset, gap_s: int = 1800,
         events.select_columns([key, "ts", "event_id"]), key, sessions)
 
 
+def watermark_filter(events: rd.Dataset, delay_s: int = 3600,
+                     ts_col: str = "ts") -> rd.Dataset:
+    """Allowed-lateness gate: drop events older than
+    ``max(event time) − delay``. On an unbounded stream the watermark
+    advances per partition as data arrives; on a bounded log the horizon
+    is the global max event time, which keeps the operator deterministic
+    (and SQL-checkable). One tiny aggregate + one vectorized filter."""
+    from ray.data.aggregate import Max
+
+    hi = events.aggregate(Max(ts_col, alias_name="hi"))["hi"]
+    horizon = pa.scalar(hi).cast(pa.int64()).as_py() - delay_s * US
+
+    def keep(b: pa.Table) -> pa.Table:
+        return b.filter(pc.greater_equal(b[ts_col].cast(pa.int64()),
+                                         horizon))
+
+    return events.map_batches(keep, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+
 def systematic_sample(ds: rd.Dataset, id_col: str, modulus: int = 20,
                       keep: int = 3) -> rd.Dataset:
     """O5 deterministic systematic sampling: keep rows with

@@ -261,3 +261,16 @@ def test_canonical_rewrite_join_path_equivalence():
     joined = key_set(materialize.canonical_rewrite(triples, canon,
                                                    broadcast_threshold=0))
     assert broadcast == joined and len(broadcast) > 0
+
+
+def test_materialize_parallel_writes(tmp_path):
+    """Overlapped write groups produce the identical complete graph."""
+    docs, _ = synth.make_corpus_tables(60)
+    triples = rd.from_arrow(extract.extract_triples_batch(docs))
+    out = str(tmp_path / "graph")
+    m = materialize.materialize_graph(triples, out, n_buckets=8,
+                                      write_groups=4, parallel_writes=4,
+                                      salt=2, hub_threshold=50)
+    assert m["complete"] and m["groups_done"] == [0, 1, 2, 3]
+    back = materialize.read_graph(out)
+    assert back.count() == shacl.dedup_triples(triples).count()
