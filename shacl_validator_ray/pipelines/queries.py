@@ -363,6 +363,8 @@ QUERIES = {
     "cardinality_bounds": R.cardinality_bounds,
     "union_distinct": R.union_distinct,
     "top_orders": R.top_orders,
+    "top_orders_per_customer": R.top_orders_per_customer,
+    "running_total_per_user": R.running_total_per_user,
     "snapshot_counts": R.snapshot_counts,
     "salted_group_count": R.salted_group_count,
     "filter_search_limit": R.filter_search_limit,
@@ -460,6 +462,16 @@ ORACLE_SQL = {
     "top_orders":
         "SELECT o_orderkey, o_totalprice FROM orders "
         "ORDER BY o_totalprice DESC, o_orderkey LIMIT 10",
+    "top_orders_per_customer": """
+        SELECT o_custkey, o_orderkey, o_totalprice FROM orders
+        QUALIFY row_number() OVER (PARTITION BY o_custkey
+                                   ORDER BY o_totalprice DESC, o_orderkey) <= 2""",
+    "running_total_per_user": """
+        SELECT user_id, event_id,
+               round(sum(value) OVER (PARTITION BY user_id ORDER BY event_id
+                                      ROWS UNBOUNDED PRECEDING), 2)
+                 AS running_total
+        FROM events""",
     "snapshot_counts":
         "SELECT event_type, count(DISTINCT user_id) AS n_users FROM events "
         "GROUP BY event_type",

@@ -356,6 +356,39 @@ def union_distinct(sf_dir: str):
     return pd.DataFrame({"c_nationkey": pd.array(vals, dtype="int32")})
 
 
+# --- window-function family: top-k PER GROUP (row_number() OVER
+#     (PARTITION BY key ORDER BY v DESC) <= k) — per-key head inside a
+#     bucketed shuffle; no global sort ---
+def top_orders_per_customer(sf_dir: str, k: int = 2):
+    from ..stages.discovery import bucketed_groupby_apply
+
+    ds = t(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"])
+
+    def head_k(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(["o_totalprice", "o_orderkey"],
+                             ascending=[False, True]).head(k)
+
+    return bucketed_groupby_apply(ds, "o_custkey", head_k)
+
+
+# --- window-function family: cumulative per-partition aggregate
+#     (SUM(v) OVER (PARTITION BY key ORDER BY ts ROWS UNBOUNDED
+#     PRECEDING)) — per-key pandas cumsum inside a bucketed shuffle ---
+def running_total_per_user(sf_dir: str):
+    from ..stages.discovery import bucketed_groupby_apply
+
+    ds = t(sf_dir, "events", ["user_id", "event_id", "value"])
+
+    def cumsum(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("event_id")
+        return pd.DataFrame({
+            "user_id": g["user_id"].values,
+            "event_id": g["event_id"].values,
+            "running_total": np.round(g["value"].cumsum().values, 2)})
+
+    return bucketed_groupby_apply(ds, "user_id", cumsum)
+
+
 # --- O1/O2: sort + top-k (ValidationResults.tsx:189-193, ReportViewer.tsx:162) ---
 def top_orders(sf_dir: str):
     return (
