@@ -247,6 +247,19 @@ def q_kg_validate_qualified(sf_dir: str):
          "source_constraint_component"])
 
 
+def q_kg_validate_full(sf_dir: str):
+    """Integration: EVERY feature family in one validate() run (the five
+    demo profiles' shapes concatenated into a single shapes graph)."""
+    from ..stages import shacl
+    from ..state import shapes as shapes_mod
+    from . import kg
+    return shacl.validate(
+        kg.triples_dataset(sf_dir),
+        shapes_mod.load_profile_ttl("full_demo")).select_columns(
+        ["severity", "focus_node", "path", "value",
+         "source_constraint_component"])
+
+
 def q_kg_paths_constraint_counts(sf_dir: str):
     from ..stages import report, shacl
     from ..state import shapes as shapes_mod
@@ -335,6 +348,7 @@ QUERIES = {
     "kg_validate_logic": q_kg_validate_logic,
     "kg_validate_node": q_kg_validate_node,
     "kg_validate_qualified": q_kg_validate_qualified,
+    "kg_validate_full": q_kg_validate_full,
     "kg_paths_constraint_counts": q_kg_paths_constraint_counts,
     "kg_severity_counts": q_kg_severity_counts,
     "kg_constraint_counts": q_kg_constraint_counts,
@@ -793,7 +807,7 @@ WHERE d.subj NOT IN
        AND regexp_matches(obj_value, 'theme/T[0-3]$'))
 """
 
-    return {
+    out = {
         "kg_validate_qualified": qualified_sql,
         "kg_validate_node": node_viol +
             "SELECT severity, focus_node, path, value, "
@@ -884,6 +898,14 @@ SELECT c.ds AS id, coalesce(t.title, 'Unnamed Dataset') AS title,
        count(*) AS n_dists
 FROM comp c LEFT JOIN titles t ON c.ds = t.subj GROUP BY c.ds, t.title""",
     }
+    # integration oracle: the union of the five independent per-profile
+    # SQL re-implementations — validates that one combined validate()
+    # run over all feature families reproduces each family exactly
+    out["kg_validate_full"] = " UNION ALL ".join(
+        f"SELECT * FROM ({out[k]})"
+        for k in ("kg_validate", "kg_validate_paths", "kg_validate_logic",
+                  "kg_validate_node", "kg_validate_qualified"))
+    return out
 
 
 def get_oracle_sql() -> dict[str, str]:
