@@ -144,3 +144,80 @@ def contains_mask(container, values: np.ndarray) -> np.ndarray:
         return container.contains_array(values)
     return np.fromiter((v in container for v in values), dtype=bool,
                        count=len(values))
+
+
+class QuantileSketch:
+    """Mergeable approximate quantiles: each partial keeps ``k``
+    equally-spaced order statistics of its input (weight = rows/point);
+    merge concatenates and re-compresses. Rank error is bounded by
+    n/(2k) summed over merges — the cheap cousin of KLL/t-digest, and
+    the streaming swap for :func:`~..pipelines.relational.quantiles_qty`
+    when three scans are too many."""
+
+    __slots__ = ("k", "points", "weights")
+
+    def __init__(self, k: int = 256):
+        self.k = k
+        self.points = np.zeros(0, dtype=np.float64)
+        self.weights = np.zeros(0, dtype=np.float64)
+
+    @classmethod
+    def from_values(cls, values, k: int = 256) -> "QuantileSketch":
+        s = cls(k)
+        v = np.sort(np.asarray(values, dtype=np.float64))
+        if len(v) == 0:
+            return s
+        take = min(k, len(v))
+        idx = ((np.arange(take) + 0.5) * len(v) / take).astype(np.int64)
+        s.points = v[np.clip(idx, 0, len(v) - 1)]
+        s.weights = np.full(take, len(v) / take, dtype=np.float64)
+        return s
+
+    def merge(self, other: "QuantileSketch") -> "QuantileSketch":
+        pts = np.concatenate([self.points, other.points])
+        wts = np.concatenate([self.weights, other.weights])
+        order = np.argsort(pts, kind="stable")
+        pts, wts = pts[order], wts[order]
+        if len(pts) > 2 * self.k:  # re-compress to k weighted points
+            cum = np.cumsum(wts)
+            total = cum[-1]
+            targets = (np.arange(self.k) + 0.5) * total / self.k
+            sel = np.searchsorted(cum, targets)
+            out = QuantileSketch(self.k)
+            out.points = pts[np.clip(sel, 0, len(pts) - 1)]
+            out.weights = np.full(self.k, total / self.k, dtype=np.float64)
+            return out
+        out = QuantileSketch(self.k)
+        out.points, out.weights = pts, wts
+        return out
+
+    def quantile(self, q: float) -> float:
+        if len(self.points) == 0:
+            return float("nan")
+        cum = np.cumsum(self.weights)
+        target = q * cum[-1]
+        i = int(np.searchsorted(cum, target))
+        return float(self.points[min(i, len(self.points) - 1)])
+
+
+def approx_quantiles(ds: rd.Dataset, col: str, qs, k: int = 256) -> list[float]:
+    """ONE pass: per-batch QuantileSketch partials (k floats each), merged
+    on the driver — fixed-size structures only."""
+    def partial(b: pa.Table) -> pa.Table:
+        s = QuantileSketch.from_values(
+            np.asarray(b[col], dtype=np.float64), k)
+        return pa.table({"pts": pa.array([s.points.tolist()],
+                                         pa.list_(pa.float64())),
+                         "wts": pa.array([s.weights.tolist()],
+                                         pa.list_(pa.float64()))})
+
+    merged = QuantileSketch(k)
+    for b in ds.map_batches(partial, batch_format="pyarrow",
+                            zero_copy_batch=True).iter_batches(
+                                batch_format="pyarrow"):
+        for pts, wts in zip(b["pts"].to_pylist(), b["wts"].to_pylist()):
+            part = QuantileSketch(k)
+            part.points = np.asarray(pts, dtype=np.float64)
+            part.weights = np.asarray(wts, dtype=np.float64)
+            merged = merged.merge(part)
+    return [merged.quantile(q) for q in qs]

@@ -172,3 +172,25 @@ def test_collect_members_distributed_matches_exact():
             assert approx[key].contains_array(members).all(), key
         fp += int(approx[key].contains_array(absent).sum())
     assert fp == 0, fp
+
+
+def test_quantile_sketch_rank_error_bound():
+    """Merged per-batch quantile sketches stay within 1% rank error of
+    the exact quantiles (one pass, fixed-size partials)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from shacl_validator_ray.functions import sketch
+
+    rng = np.random.RandomState(11)
+    vals = rng.lognormal(0, 1.0, size=50_000)
+    ds = rd.from_arrow(pa.table({"v": vals})).repartition(16)
+    got = sketch.approx_quantiles(ds, "v", [0.1, 0.5, 0.9, 0.99])
+    srt = np.sort(vals)
+    for q, est in zip([0.1, 0.5, 0.9, 0.99], got):
+        # rank of the estimate must be within 1% of the true rank
+        rank = np.searchsorted(srt, est) / len(srt)
+        assert abs(rank - q) < 0.01, (q, est, rank)
+    # determinism: same input → same estimates
+    assert got == sketch.approx_quantiles(ds, "v", [0.1, 0.5, 0.9, 0.99])
