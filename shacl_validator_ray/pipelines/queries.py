@@ -374,6 +374,7 @@ QUERIES = {
     "join_native": R.join_native,
     "two_hop_join": R.two_hop_join,
     "anti_join_customers": R.anti_join_customers,
+    "anti_join_native": R.anti_join_native,
     "cardinality_bounds": R.cardinality_bounds,
     "union_distinct": R.union_distinct,
     "top_orders": R.top_orders,
@@ -463,6 +464,11 @@ ORACLE_SQL = {
         FROM supplier JOIN nation ON s_nationkey = n_nationkey
         JOIN region ON n_regionkey = r_regionkey GROUP BY r_name""",
     "anti_join_customers": """
+        SELECT c_mktsegment, count(*) AS n FROM customer
+        WHERE c_custkey NOT IN
+          (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+        GROUP BY c_mktsegment""",
+    "anti_join_native": """
         SELECT c_mktsegment, count(*) AS n FROM customer
         WHERE c_custkey NOT IN
           (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')

@@ -329,6 +329,27 @@ def anti_join_customers(sf_dir: str):
     )
 
 
+# --- A11 absence, both-sides-large variant: NATIVE distributed anti-join
+#     (left_outer join + null-probe filter) — same semantics as the
+#     broadcast anti_join_customers, no side collected anywhere ---
+def anti_join_native(sf_dir: str):
+    urgent = (t(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
+              .map_batches(
+                  lambda b: b.filter(pc.equal(b["o_orderpriority"], "1-URGENT"))
+                             .select(["o_custkey"])
+                             .rename_columns(["u_custkey"]),
+                  batch_format="pyarrow", zero_copy_batch=True)
+              .groupby("u_custkey").aggregate(Count(alias_name="dummy"))
+              .materialize())
+    cust = t(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    joined = cust.join(urgent, "left_outer", 16,
+                       on=("c_custkey",), right_on=("u_custkey",))
+    return (joined.map_batches(
+        lambda b: b.filter(pc.is_null(b["dummy"])).select(["c_mktsegment"]),
+        batch_format="pyarrow")
+        .groupby("c_mktsegment").aggregate(Count(alias_name="n")))
+
+
 # --- A11: cardinality bound check (sh:maxCount analog): per-key counts over bound ---
 def cardinality_bounds(sf_dir: str, bound: int = 15):
     out = (

@@ -230,6 +230,15 @@ def report_to_csv(viols: rd.Dataset, preferred_lang: str = "en") -> str:
     return buf.getvalue()
 
 
+def _term_ref(value: str) -> str:
+    """IRI reference, or a string literal for canonical path expressions
+    that are not plain IRIs (alternatives "(a | b)" carry spaces/parens —
+    the parser reads sh:resultPath of either term kind)."""
+    if re.search(r'[\s()"<>]', value):
+        return f'"{turtle.escape_literal(value)}"'
+    return f"<{value}>"
+
+
 def report_to_turtle(viols: rd.Dataset, profile_name: str = "dcat_ap_demo",
                      timestamp: str = "1970-01-01T00:00:00Z") -> str:
     """S9: prefixed Turtle report (format of SHACLValidationService.ts:426-555,
@@ -260,7 +269,7 @@ def report_to_turtle(viols: rd.Dataset, profile_name: str = "dcat_ap_demo",
             if r["focus_node"]:
                 block.append(f"        sh:focusNode <{r['focus_node']}> ;")
             if r["path"]:
-                block.append(f"        sh:resultPath <{r['path']}> ;")
+                block.append(f"        sh:resultPath {_term_ref(r['path'])} ;")
             if r["value"]:
                 block.append(f'        sh:value "{turtle.escape_literal(r["value"])}" ;')
             for m in r["message"] or []:
@@ -272,7 +281,7 @@ def report_to_turtle(viols: rd.Dataset, profile_name: str = "dcat_ap_demo",
                 block.append(
                     f"        sh:sourceConstraintComponent <{r['source_constraint_component']}> ;")
             if r["source_shape"]:
-                block.append(f"        sh:sourceShape <{r['source_shape']}> ;")
+                block.append(f"        sh:sourceShape {_term_ref(r['source_shape'])} ;")
             if r["foaf_page"]:
                 block.append(f"        foaf:page <{r['foaf_page']}> ;")
             block[-1] = block[-1].rstrip(" ;")

@@ -406,6 +406,8 @@ def compile_shapes(ttl_text: str) -> CompiledShapes:
                    for _, v, _, _ in preds.get(pred, [])]
         if not targets:
             continue
+        if first(subj, ns.SH + "deactivated") == "true":
+            continue  # sh:deactivated node shape: skipped entirely
         nshape = NodeShape(iri=subj, targets=targets,
                            foaf_page=first(subj, ns.FOAF + "page"),
                            closed=first(subj, ns.SH + "closed") == "true")
@@ -413,6 +415,8 @@ def compile_shapes(ttl_text: str) -> CompiledShapes:
         if ig:
             nshape.ignored_props = [v for _, v in read_list(ig)]
         for _, piri, _, _ in preds.get(ns.SH + "property", []):
+            if first(piri, ns.SH + "deactivated") == "true":
+                continue  # sh:deactivated property shape: skipped
             nshape.properties.append(prop_shape(piri))
         shapes.append(nshape)
     shapes.sort(key=lambda s: s.iri)

@@ -534,6 +534,52 @@ def test_sh_node_nested_shape():
     # z4 (reached only from the untargeted ex:other) was never validated
 
 
+def test_deactivated_shapes_skipped():
+    """sh:deactivated true on a node shape or a property shape disables it."""
+    shapes_ttl = """
+    @prefix sh: <http://www.w3.org/ns/shacl#> .
+    @prefix ex: <http://example.org/> .
+    ex:Off a sh:NodeShape ; sh:targetClass ex:T ; sh:deactivated true ;
+         sh:property [ sh:path ex:p ; sh:minCount 1 ] .
+    ex:On a sh:NodeShape ; sh:targetClass ex:T ;
+         sh:property [ sh:path ex:q ; sh:minCount 1 ] ;
+         sh:property [ sh:path ex:r ; sh:minCount 1 ; sh:deactivated true ] .
+    """
+    data_ttl = """
+    @prefix ex: <http://example.org/> .
+    ex:x a ex:T ; ex:q "present" .
+    """
+    viols = shacl.validate(_ds_from_ttl_text(data_ttl), shapes_ttl, concurrency=1)
+    # ex:p (deactivated node shape) and ex:r (deactivated property shape)
+    # would both be minCount violations if active
+    assert shacl.conforms(viols)
+
+
+def test_full_profile_report_roundtrip():
+    """Integration: violations from the all-families profile serialize to
+    a TTL report and parse back to the same flattened rows (S8/S9 with
+    every new component IRI)."""
+    from shacl_validator_ray.stages import report as report_mod
+    from shacl_validator_ray import synth
+    from shacl_validator_ray.stages import extract as extract_mod
+
+    docs, _ = synth.make_corpus_tables(60)
+    triples = rd.from_arrow(extract_mod.extract_triples_batch(docs))
+    viols = shacl.validate(triples, shapes_mod.load_profile_ttl("full_demo"))
+    ttl = report_mod.report_to_turtle(viols, profile_name="full_demo")
+    back = report_mod.parse_report_turtle(ttl)
+
+    def keys(recs):
+        return sorted((r["severity"], r["focus_node"], r["path"],
+                       r["source_constraint_component"])
+                      for r in recs)
+
+    orig = keys(viols.to_pandas().to_dict("records"))
+    assert len(orig) > 0
+    assert keys(back.to_pandas().to_dict("records")
+                if hasattr(back, "to_pandas") else back) == orig
+
+
 def test_custom_constraint_hook():
     """The §2.10 extension surface: a per-path Python predicate runs
     distributed alongside the compiled components (the engine-level
