@@ -668,7 +668,7 @@ class ValueConstraints:
             comp = ns.SH + "ClosedConstraintComponent"
             for i in cand[fm]:
                 out.append({
-                    "severity": "Violation", "focus_node": subjs[i],
+                    "severity": nshape.severity, "focus_node": subjs[i],
                     "path": preds[i], "value": vals[i],
                     "message": [{"text": f"Closed shape {nshape.iri} does "
                                  f"not allow property {preds[i]}",

@@ -5,18 +5,21 @@ plain dataclasses that validator actors hold in memory — the actor-pool
 analog of the reference's static shapes cache
 (/root/reference/src/services/SHACLValidationService.ts:35,114-138).
 
-Scope (BASELINE.json north_star subset + round-2 breadth):
+Scope — SHACL-core COMPLETE (BASELINE.json north_star subset grew to
+the full core over round 2):
 
-- **components**: ``sh:minCount`` / ``sh:maxCount``, ``sh:datatype``,
-  ``sh:class``, ``sh:pattern`` (+``sh:flags``), ``sh:nodeKind`` (incl.
-  composite kinds), ``sh:minLength`` / ``sh:maxLength``, ``sh:in``,
-  ``sh:hasValue``.
-- **paths**: single predicates, sequence paths ``( a b … )`` and
-  alternative paths ``[ sh:alternativePath ( a b ) ]`` — mirroring the
-  reference's path extractor
+- **components**: min/maxCount, datatype, class, pattern(+flags),
+  nodeKind (incl. composite kinds), min/maxLength, min/maxInclusive +
+  min/maxExclusive, in, hasValue, languageIn, uniqueLang,
+  or/and/xone/not (value-level bundles), equals/disjoint/lessThan/
+  lessThanOrEquals, closed(+ignoredProperties), node (nested shapes),
+  qualifiedValueShape(+qualified bounds), deactivated, severity
+  (property- and node-shape level), message.
+- **paths**: single predicates, sequences ``( a b … )``, alternatives
+  ``[ sh:alternativePath (…) ]``, inverses ``[ sh:inversePath p ]``,
+  closures ``[ sh:zeroOrMorePath p ]`` / ``[ sh:oneOrMorePath p ]`` —
+  mirroring and exceeding the reference's path extractor
   (/root/reference/src/services/SHACLValidationService.ts:207-247).
-  Inverse/zero-or-more path operators remain out of scope and are
-  rejected at compile time.
 - **targets**: ``sh:targetClass``, ``sh:targetNode``,
   ``sh:targetSubjectsOf``, ``sh:targetObjectsOf``
   (/root/reference/src/services/SHACLValidationService.ts:401-408 gets
@@ -107,6 +110,7 @@ class NodeShape:
     foaf_page: str = ""
     closed: bool = False                     # sh:closed
     ignored_props: list[str] = field(default_factory=list)  # sh:ignoredProperties
+    severity: str = "Violation"              # sh:severity (node-shape level)
 
     @property
     def target_class(self) -> str:
@@ -410,7 +414,9 @@ def compile_shapes(ttl_text: str) -> CompiledShapes:
             continue  # sh:deactivated node shape: skipped entirely
         nshape = NodeShape(iri=subj, targets=targets,
                            foaf_page=first(subj, ns.FOAF + "page"),
-                           closed=first(subj, ns.SH + "closed") == "true")
+                           closed=first(subj, ns.SH + "closed") == "true",
+                           severity=_SEVERITY.get(
+                               first(subj, ns.SH + "severity"), "Violation"))
         ig = first(subj, ns.SH + "ignoredProperties")
         if ig:
             nshape.ignored_props = [v for _, v in read_list(ig)]
