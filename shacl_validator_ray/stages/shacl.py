@@ -543,6 +543,28 @@ def _focus_sets(members: dict[str, object],
     return out
 
 
+def _pred_index(preds):
+    """One pandas factorize over the predicate column → O(1) index lookup
+    per predicate (vs an object-dtype equality scan per shape path)."""
+    import numpy as np
+    import pandas as pd
+
+    codes, uniques = pd.factorize(preds)
+    upos = {u: i for i, u in enumerate(uniques)}
+    order = np.argsort(codes, kind="stable")
+    sorted_codes = codes[order]
+    bounds = np.searchsorted(sorted_codes, np.arange(len(uniques) + 1))
+    empty = np.array([], dtype=np.int64)
+
+    def lookup(pred: str) -> "np.ndarray":
+        ci = upos.get(pred)
+        if ci is None:
+            return empty
+        return order[bounds[ci]:bounds[ci + 1]]
+
+    return lookup
+
+
 def _members_mask(fsets: list, values) -> "np.ndarray":
     """Vectorized focus-membership over a union of sets/Bloom filters."""
     import numpy as np
@@ -716,11 +738,14 @@ class ValueConstraints:
                     "foaf_page": page,
                 })
 
+        # ONE factorize pass replaces a full object-dtype equality scan
+        # per path (the dominant cost on wide shapes graphs)
+        pred_idx = _pred_index(preds)
+
         for path, shapes in self.by_path.items():
-            pm = preds == path
-            if not pm.any():
+            pidx = pred_idx(path)
+            if len(pidx) == 0:
                 continue
-            pidx = np.flatnonzero(pm)
             for fsets, p in shapes:
                 fm = _members_mask(fsets, subjs[pidx])
                 fidx = pidx[fm]
@@ -863,7 +888,9 @@ class CardinalityRows:
         langs = np.asarray(b["obj_lang"].to_pandas(), dtype=object)
         kinds_a = np.asarray(b["obj_kind"].to_pandas(), dtype=object)
         dts = np.asarray(b["obj_datatype"].to_pandas(), dtype=object)
-        tmask = preds == ns.RDF_TYPE
+        # one factorize pass; per-predicate index lookups are O(1)
+        pred_idx = _pred_index(preds)
+        t_idx = pred_idx(ns.RDF_TYPE)
 
         for targets, p, idx, kind in self.card:
             if kind == 0:
@@ -879,25 +906,24 @@ class CardinalityRows:
                 # nodeval → side table); uniqueLang needs none
                 for t in targets:
                     if t.kind == "class":
-                        emit(subjs[tmask & (objs == t.value)], idx, kind,
+                        emit(subjs[t_idx[objs[t_idx] == t.value]], idx, kind,
                              rmin, rmax, 0)
                     elif t.kind == "subjects_of":
-                        emit(subjs[preds == t.value], idx, kind, rmin, rmax, 0)
+                        emit(subjs[pred_idx(t.value)], idx, kind, rmin, rmax, 0)
                     elif t.kind == "objects_of":
-                        emit(objs[preds == t.value], idx, kind, rmin, rmax, 0)
+                        emit(objs[pred_idx(t.value)], idx, kind, rmin, rmax, 0)
 
             # observed rows (focus membership via broadcast sets)
-            pm = preds == p.path
+            base_idx = pred_idx(p.path)
             if kind == 1:
-                pm = pm & (objs == p.has_value)
+                base_idx = base_idx[objs[base_idx] == p.has_value]
             elif kind == 2:
-                pm = pm & (langs != "")
-            if not pm.any():
+                base_idx = base_idx[langs[base_idx] != ""]
+            if len(base_idx) == 0:
                 continue
             fsets = _focus_sets(self.members, targets)
-            pm_idx = np.flatnonzero(pm)
-            fm = _members_mask(fsets, subjs[pm_idx])
-            sel = pm_idx[fm]
+            fm = _members_mask(fsets, subjs[base_idx])
+            sel = base_idx[fm]
             if kind == 2:
                 # groupby key carries the lang: one count per (focus, lang)
                 keyed = np.array([f"{subjs[i]}\x1f{langs[i]}" for i in sel],
