@@ -112,9 +112,37 @@ def cmd_materialize(args) -> int:
     return 0
 
 
+def cmd_profiles(args) -> int:
+    """Registry listing (ProfileSelector.tsx surface): name, description,
+    shape files, and the compiled shape/constraint counts per profile."""
+    import json as _json
+    import os
+
+    from .state import shapes as shapes_mod
+
+    root = os.path.join(os.path.dirname(__file__), "profiles")
+    with open(os.path.join(root, "profiles.json")) as f:
+        registry = _json.load(f)
+    out = []
+    for name, meta in sorted(registry.items()):
+        compiled = shapes_mod.compile_shapes(shapes_mod.load_profile_ttl(name))
+        out.append({
+            "profile": name,
+            "description": meta.get("description", ""),
+            "shaclFiles": meta.get("shaclFiles", []),
+            "node_shapes": len(compiled.node_shapes),
+            "property_shapes": sum(1 for _ in compiled.property_shapes()),
+        })
+    print(json.dumps(out, indent=1))
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="shacl_validator_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
+
+    pr = sub.add_parser("profiles")
+    pr.set_defaults(fn=cmd_profiles)
 
     v = sub.add_parser("validate")
     v.add_argument("data")
