@@ -134,6 +134,13 @@ def q_sliding_window(sf_dir: str):
     return windows.sliding_window(R.t(sf_dir, "events", ["event_type", "ts", "value"]))
 
 
+def q_stratified_sample(sf_dir: str):
+    from ..stages import windows
+    return windows.stratified_sample(
+        R.t(sf_dir, "events", ["event_type", "event_id", "user_id"]),
+        "event_type", "event_id", n_per_stratum=5)
+
+
 def q_watermark_filter(sf_dir: str):
     """Allowed-lateness gate over the bounded events log (§2.9)."""
     from ..stages import windows
@@ -406,6 +413,7 @@ QUERIES = {
     "session_windows": q_session_windows,
     "upsert_latest": q_upsert_latest,
     "watermark_filter": q_watermark_filter,
+    "stratified_sample": q_stratified_sample,
     "systematic_sample": q_systematic_sample,
     # RDF projection
     "jsonld_projection": q_jsonld_projection,
@@ -572,6 +580,10 @@ WHERE n_tokens BETWEEN 20 AND 200
         QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) = 1""",
     "systematic_sample":
         "SELECT event_id, user_id, event_type FROM events WHERE event_id % 20 = 3",
+    "stratified_sample": """
+        SELECT event_type, event_id, user_id FROM events
+        QUALIFY row_number() OVER (PARTITION BY event_type
+                                   ORDER BY event_id) <= 5""",
     "watermark_filter": """
         SELECT event_id, user_id FROM events
         WHERE epoch_us(ts) >= (SELECT max(epoch_us(ts)) FROM events)

@@ -133,6 +133,19 @@ def systematic_sample(ds: rd.Dataset, id_col: str, modulus: int = 20,
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def stratified_sample(ds: rd.Dataset, stratum: str, id_col: str,
+                      n_per_stratum: int = 5) -> rd.Dataset:
+    """O5 variant: deterministic first-n per stratum (the reproducible
+    stratified sample — seeded random variants exist via
+    ``ds.random_sample``). One bucketed shuffle keyed by the stratum."""
+    from .discovery import bucketed_groupby_apply
+
+    def head_n(g):
+        return g.sort_values(id_col).head(n_per_stratum)
+
+    return bucketed_groupby_apply(ds, stratum, head_n)
+
+
 def upsert_latest(events: rd.Dataset, key: str = "user_id",
                   order_col: str = "event_id") -> rd.Dataset:
     """D2 replace-by-content semantics (DataDiscoveryService.ts:24-27):
