@@ -260,30 +260,49 @@ def collect_class_members(triples: rd.Dataset, classes: set[str]) -> dict[str, s
     return {c: got.get(f"class:{c}", set()) for c in classes}
 
 
+_SEQ_EDGE_SCHEMA = pa.schema([pa.field("src", pa.string()),
+                              pa.field("mid", pa.string())])
+
+
 def _seq_rows(triples: rd.Dataset, path_str: str, preds: tuple[str, ...],
               num_partitions: int) -> rd.Dataset:
     """Derived rows for a sequence path: fold a distributed self-join over
     the predicate chain; output rows are TRIPLES-schema with the virtual
-    predicate ``path_str`` (lineage columns from the FINAL step)."""
+    predicate ``path_str`` (lineage columns from the FINAL step). Each
+    join side is pinned and empty-checked first — Ray's JoinOperator
+    mis-resolves key fields when a side contributes no blocks."""
+    def empty_triples() -> rd.Dataset:
+        return rd.from_arrow(S.TRIPLES.empty_table())
+
     first_pred = preds[0]
     cur = triples.map_batches(
         lambda b, p0=first_pred: pa.table({
-            "src": (f := b.filter(pc.equal(b["pred"], p0)))["subj"],
-            "mid": f["obj_value"]}),
-        batch_format="pyarrow", zero_copy_batch=True)
+            "src": (f := b.filter(pc.equal(b["pred"], p0)))["subj"].cast(
+                pa.string()),
+            "mid": f["obj_value"].cast(pa.string())}, schema=_SEQ_EDGE_SCHEMA),
+        batch_format="pyarrow", zero_copy_batch=True).materialize()
+    if cur.count() == 0:
+        return empty_triples()
 
     for step in preds[1:-1]:
         nxt = triples.map_batches(
             lambda b, p0=step: pa.table({
-                "mid": (f := b.filter(pc.equal(b["pred"], p0)))["subj"],
-                "nxt": f["obj_value"]}),
-            batch_format="pyarrow", zero_copy_batch=True)
+                "mid": (f := b.filter(pc.equal(b["pred"], p0)))["subj"].cast(
+                    pa.string()),
+                "nxt": f["obj_value"].cast(pa.string())}),
+            batch_format="pyarrow", zero_copy_batch=True).materialize()
+        if nxt.count() == 0:
+            return empty_triples()
         # materialized between joins: chained hash-join operators in one
         # streaming execution thrash on small clusters (see dedup.py)
         cur = (cur.join(nxt, "inner", num_partitions, on=("mid",))
-               .map_batches(lambda b: pa.table({"src": b["src"],
-                                                "mid": b["nxt"]}),
-                            batch_format="pyarrow").materialize())
+               .map_batches(lambda b: pa.table({
+                   "src": b["src"].cast(pa.string()),
+                   "mid": b["nxt"].cast(pa.string())},
+                   schema=_SEQ_EDGE_SCHEMA),
+                   batch_format="pyarrow").materialize())
+        if cur.count() == 0:
+            return empty_triples()
 
     last_pred = preds[-1]
     final = triples.map_batches(
@@ -292,7 +311,9 @@ def _seq_rows(triples: rd.Dataset, path_str: str, preds: tuple[str, ...],
              "doc_id", "span_idx"]).rename_columns(
             ["mid", "obj_kind", "obj_value", "obj_datatype", "obj_lang",
              "doc_id", "span_idx"]),
-        batch_format="pyarrow", zero_copy_batch=True)
+        batch_format="pyarrow", zero_copy_batch=True).materialize()
+    if final.count() == 0:
+        return empty_triples()
     joined = cur.join(final, "inner", num_partitions, on=("mid",))
     return joined.map_batches(
         lambda b: pa.table({

@@ -750,3 +750,28 @@ def test_profile_registry_multiple_profiles():
 
     with pytest.raises(KeyError):
         load_profile_ttl("nope")
+
+
+def test_sequence_path_with_absent_predicate():
+    """A sequence path whose first/last predicate has NO rows in the data
+    must yield an empty derived set, not a join crash (empty join sides
+    break Ray's JoinOperator field resolution)."""
+    shapes_ttl = """
+    @prefix sh: <http://www.w3.org/ns/shacl#> .
+    @prefix ex: <http://example.org/> .
+    ex:S a sh:NodeShape ; sh:targetClass ex:T ;
+         sh:property [ sh:path ( ex:missing ex:alsoMissing ) ; sh:minCount 1 ] ;
+         sh:property [ sh:path ( ex:a ex:missing2 ) ; sh:minCount 1 ] .
+    """
+    data_ttl = """
+    @prefix ex: <http://example.org/> .
+    ex:x a ex:T ; ex:a ex:m .
+    """
+    viols = shacl.validate(_ds_from_ttl_text(data_ttl), shapes_ttl, concurrency=1)
+    got = {(r["path"], r["source_constraint_component"].rsplit("#", 1)[-1])
+           for r in viols.to_pandas().to_dict("records")}
+    # both paths have zero values for ex:x → two minCount findings
+    assert got == {("http://example.org/missing/http://example.org/alsoMissing",
+                    "MinCountConstraintComponent"),
+                   ("http://example.org/a/http://example.org/missing2",
+                    "MinCountConstraintComponent")}, got
