@@ -232,9 +232,10 @@ def report_to_csv(viols: rd.Dataset, preferred_lang: str = "en") -> str:
 
 def _term_ref(value: str) -> str:
     """IRI reference, or a string literal for canonical path expressions
-    that are not plain IRIs (alternatives "(a | b)" carry spaces/parens —
+    that are not plain IRIs (alternatives "(a | b)" carry spaces/parens;
+    inverse "^p" and closures "p*"/"p+" carry markers illegal in an IRI —
     the parser reads sh:resultPath of either term kind)."""
-    if re.search(r'[\s()"<>]', value):
+    if re.search(r'[\s()"<>^|]', value) or value.endswith(("*", "+")):
         return f'"{turtle.escape_literal(value)}"'
     return f"<{value}>"
 

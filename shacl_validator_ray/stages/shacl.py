@@ -328,99 +328,156 @@ def _seq_rows(triples: rd.Dataset, path_str: str, preds: tuple[str, ...],
 def _closure_rows(triples: rd.Dataset, path_str: str, pred: str,
                   include_zero: bool, num_partitions: int,
                   max_rounds: int = 8) -> rd.Dataset:
-    """Derived rows for zeroOrMore/oneOrMore paths: bounded distributed
-    transitive closure over the predicate's edge set (one join + dedup +
-    count fixpoint check per round — diameter-bounded like the
-    union-find rounds, SURVEY §7.3). ``include_zero`` adds identity rows
-    for every graph node so the focus itself is a value node."""
+    """Derived rows for zeroOrMore/oneOrMore paths: distributed transitive
+    closure by POINTER DOUBLING over the predicate's resource-pair table
+    (2 string columns) — each round self-joins the reach-pairs set R with
+    itself, doubling the covered path length, so ``max_rounds=8`` covers
+    2^8 = 256 hops (SURVEY §7.3; vs one hop per round previously). A
+    count fixpoint ends the loop early; if the pair set is STILL growing
+    at round exhaustion a loud RuntimeWarning reports partial closure
+    instead of silently truncating. Full object metadata joins back in
+    exactly once at the end. ``include_zero`` adds identity rows for
+    every graph node so the focus itself is a value node."""
+    import pandas as pd
+
+    from .discovery import bucketed_block_apply
+
     cols = ["obj_kind", "obj_value", "obj_datatype", "obj_lang",
             "doc_id", "span_idx"]
     _types = {c: (pa.int32() if c == "span_idx" else pa.string())
               for c in cols}
 
-    def _pin(b: pa.Table, first: str) -> pa.Table:
+    def _pin(b: pa.Table) -> pa.Table:
         """Explicit Arrow schema: upstream pandas-produced blocks report
-        object dtypes, which breaks the hash-join planner's field
-        resolution."""
+        object dtypes, which breaks downstream field resolution."""
         f = b.filter(pc.equal(b["pred"], pred))
-        arrays = {first: f["subj"].cast(pa.string())}
+        arrays = {"subj": f["subj"].cast(pa.string())}
         arrays.update({c: f[c].cast(_types[c]) for c in cols})
         return pa.table(arrays)
 
-    base = triples.map_batches(
-        lambda b: _pin(b, "subj"),
-        batch_format="pyarrow", zero_copy_batch=True).materialize()
-    # edge list for the extension joins: (mid, <obj cols>)
-    edges = triples.map_batches(
-        lambda b: _pin(b, "mid"),
-        batch_format="pyarrow", zero_copy_batch=True).materialize()
+    # one-hop rows with full object metadata: (subj, <obj cols>)
+    base = triples.map_batches(_pin, batch_format="pyarrow",
+                               zero_copy_batch=True).materialize()
 
-    hop_schema = pa.schema([pa.field("subj", pa.string()),
-                            pa.field("mid", pa.string())])
+    pair_schema = pa.schema([pa.field("src", pa.string()),
+                             pa.field("dst", pa.string())])
 
-    closure = dedup_triples(base.map_batches(
-        lambda b: b.add_column(1, "pred",
-                               pa.array([path_str] * b.num_rows, pa.string())),
-        batch_format="pyarrow")).materialize()
-    frontier = closure
-
-    def to_hop(b: pa.Table) -> pa.Table:
-        # empty blocks can arrive schema-less after unions/groupbys — emit
-        # the explicit hop schema so the join key always resolves
+    def to_pairs(b: pa.Table) -> pa.Table:
         if b.num_rows == 0 or "obj_kind" not in b.column_names:
-            return hop_schema.empty_table()
+            return pair_schema.empty_table()
         f = b.filter(pc.is_in(b["obj_kind"],
                               value_set=pa.array(["iri", "blank"])))
-        return pa.table({"subj": f["subj"], "mid": f["obj_value"]},
-                        schema=hop_schema)
+        return pa.table({"src": f["subj"], "dst": f["obj_value"]},
+                        schema=pair_schema)
 
-    # extension join as the engine's union-tag + bucketed-merge hash join
-    # (discovery J1 formulation): Ray's native JoinOperator mis-resolves
-    # key fields when its left side is itself a join output, which the
-    # round ≥ 1 frontier would be
-    from .discovery import bucketed_block_apply
+    def dedup_pairs(ds: rd.Dataset) -> rd.Dataset:
+        from ..sources import io as io_mod
 
-    def edge_tag(b: pa.Table) -> pa.Table:
-        return b.append_column("h_subj",
-                               pa.array([""] * b.num_rows, pa.string()))
+        def add_bucket(b: pa.Table) -> pa.Table:
+            if b.num_rows == 0:
+                return pair_schema.empty_table().append_column(
+                    "_bucket", pa.array([], pa.int32()))
+            concat = pc.binary_join_element_wise(b["src"], b["dst"], "\x1f")
+            return b.append_column(
+                "_bucket",
+                io_mod.hash_bucket_column(concat, num_partitions))
 
-    edges_tagged = edges.map_batches(edge_tag, batch_format="pyarrow",
-                                     zero_copy_batch=True).materialize()
+        def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+            return g.drop_duplicates(["src", "dst"]).drop(columns=["_bucket"])
 
-    def merge_bucket(g):
-        import pandas as pd
+        return (ds.map_batches(add_bucket, batch_format="pyarrow",
+                               zero_copy_batch=True)
+                .groupby("_bucket").map_groups(per_bucket,
+                                               batch_format="pandas"))
 
-        hs = g.loc[g["h_subj"] != "", ["mid", "h_subj"]]
-        es = g.loc[g["h_subj"] == ""].drop(columns=["h_subj"])
-        m = hs.merge(es, on="mid")
-        out = m.rename(columns={"h_subj": "subj"}).drop(columns=["mid"])
-        out.insert(1, "pred", path_str)
-        return out[["subj", "pred"] + cols] if len(out) else pd.DataFrame(
-            columns=["subj", "pred"] + cols)
+    # Union-tag + bucketed-merge self-join (discovery J1 formulation):
+    # Ray's native JoinOperator mis-resolves key fields when a side is
+    # itself a join output, which round ≥ 1 pairs would be. IRIs/blank
+    # labels are non-empty, so "" is a safe side sentinel for l_src.
+    def compose_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        ls = g.loc[g["l_src"] != "", ["key", "l_src"]]
+        rs = g.loc[g["l_src"] == "", ["key", "dst"]]
+        m = ls.merge(rs, on="key")
+        if not len(m):
+            return pd.DataFrame({"src": pd.Series(dtype=object),
+                                 "dst": pd.Series(dtype=object)})
+        return m.rename(columns={"l_src": "src"})[["src", "dst"]]
 
+    pairs = dedup_pairs(
+        base.map_batches(to_pairs, batch_format="pyarrow",
+                         zero_copy_batch=True)).materialize()
+    n_pairs = pairs.count()
+    converged = n_pairs == 0
     for _ in range(max_rounds):
-        # extend: frontier values that are resources → follow one more edge
-        hop = frontier.map_batches(to_hop, batch_format="pyarrow",
-                                   zero_copy_batch=True).materialize()
-        if hop.count() == 0:
+        if converged:
             break
-        hop_tagged = hop.map_batches(
-            lambda b: pa.table({
-                "mid": b["mid"],
-                **{c: pa.nulls(b.num_rows, _types[c]).fill_null(
-                    0 if c == "span_idx" else "") for c in cols},
-                "h_subj": b["subj"]}),
+        left = pairs.map_batches(
+            lambda b: pa.table({"key": b["dst"], "l_src": b["src"],
+                                "dst": pa.nulls(b.num_rows,
+                                                pa.string()).fill_null("")}),
             batch_format="pyarrow")
-        nxt = bucketed_block_apply(hop_tagged.union(edges_tagged), "mid",
-                                   merge_bucket,
-                                   n_buckets=num_partitions).materialize()
-        if nxt.count() == 0:
-            break
-        before = closure.count()
-        closure = dedup_triples(closure.union(nxt)).materialize()
-        if closure.count() == before:
-            break
-        frontier = nxt
+        right = pairs.map_batches(
+            lambda b: pa.table({"key": b["src"],
+                                "l_src": pa.nulls(b.num_rows,
+                                                  pa.string()).fill_null(""),
+                                "dst": b["dst"]}),
+            batch_format="pyarrow")
+        composed = bucketed_block_apply(left.union(right), "key",
+                                        compose_bucket,
+                                        n_buckets=num_partitions)
+        pairs = dedup_pairs(pairs.union(composed.map_batches(
+            lambda b: pa.table({
+                "src": b["src"].cast(pa.string()),
+                "dst": b["dst"].cast(pa.string())}, schema=pair_schema)
+            if b.num_rows else pair_schema.empty_table(),
+            batch_format="pyarrow"))).materialize()
+        n_after = pairs.count()
+        converged = n_after == n_pairs
+        n_pairs = n_after
+    if not converged:
+        import warnings
+
+        warnings.warn(
+            f"transitive closure over <{pred}> did not converge within "
+            f"{max_rounds} doubling rounds (2^{max_rounds} hops); "
+            f"validation results for path '{path_str}' may be incomplete "
+            f"— raise max_rounds", RuntimeWarning, stacklevel=2)
+
+    # join metadata back: for each reach-pair (x, y), every one-hop row
+    # (y → obj) yields (x → obj) at distance ≥ 2; distance-1 rows are
+    # `base` itself
+    def with_pred(b: pa.Table) -> pa.Table:
+        return b.add_column(1, "pred",
+                            pa.array([path_str] * b.num_rows, pa.string()))
+
+    closure = base.map_batches(with_pred, batch_format="pyarrow")
+    if n_pairs:
+        left = pairs.map_batches(
+            lambda b: pa.table({
+                "key": b["dst"], "l_src": b["src"],
+                **{c: pa.nulls(b.num_rows, _types[c]).fill_null(
+                    0 if c == "span_idx" else "") for c in cols}}),
+            batch_format="pyarrow")
+        right = base.map_batches(
+            lambda b: pa.table({
+                "key": b["subj"],
+                "l_src": pa.nulls(b.num_rows, pa.string()).fill_null(""),
+                **{c: b[c] for c in cols}}),
+            batch_format="pyarrow")
+
+        def final_bucket(g: pd.DataFrame) -> pd.DataFrame:
+            ls = g.loc[g["l_src"] != "", ["key", "l_src"]]
+            rs = g.loc[g["l_src"] == ""].drop(columns=["l_src"])
+            m = ls.merge(rs, on="key")
+            out = m.rename(columns={"l_src": "subj"}).drop(columns=["key"])
+            out.insert(1, "pred", path_str)
+            return out[["subj", "pred"] + cols] if len(out) else pd.DataFrame(
+                columns=["subj", "pred"] + cols)
+
+        ext = bucketed_block_apply(left.union(right), "key", final_bucket,
+                                   n_buckets=num_partitions)
+        closure = closure.union(ext)
+    closure = dedup_triples(closure).materialize()
 
     if include_zero:
         # identity rows: every node (subjects + resource objects) reaches
@@ -513,6 +570,29 @@ def augment_paths(triples: rd.Dataset,
         derived.append(
             _closure_rows(triples, path_str, pred, include_zero,
                           num_partitions))
+        if include_zero:
+            # per SHACL, p* of a focus node always contains the focus
+            # itself — including explicit sh:targetNode focus nodes that
+            # never appear in the data graph (graph-resident nodes get
+            # identity rows inside _closure_rows). Shape-sized side table.
+            tnodes = sorted({
+                t.value for nshape in compiled.node_shapes
+                if any(p.path == path_str for p in nshape.properties)
+                for t in nshape.targets if t.kind == "node"})
+            if tnodes:
+                derived.append(rd.from_arrow(pa.table({
+                    "subj": pa.array(tnodes, pa.string()),
+                    "pred": pa.array([path_str] * len(tnodes), pa.string()),
+                    "obj_kind": pa.array(
+                        ["blank" if v.startswith("_:") else "iri"
+                         for v in tnodes], pa.string()),
+                    "obj_value": pa.array(tnodes, pa.string()),
+                    "obj_datatype": pa.array([""] * len(tnodes), pa.string()),
+                    "obj_lang": pa.array([""] * len(tnodes), pa.string()),
+                    "doc_id": pa.array(["__shapes__"] * len(tnodes),
+                                       pa.string()),
+                    "span_idx": pa.array([0] * len(tnodes), pa.int32())},
+                    schema=S.TRIPLES)))
 
     out = derived[0]
     for d in derived[1:]:
@@ -937,7 +1017,12 @@ class CardinalityRows:
             # observed rows (focus membership via broadcast sets)
             base_idx = pred_idx(p.path)
             if kind == 1:
-                base_idx = base_idx[objs[base_idx] == p.has_value]
+                # term equality, not string equality: a literal whose
+                # lexical form equals the required IRI must not match
+                hv_match = objs[base_idx] == p.has_value
+                if p.has_value_kind:
+                    hv_match &= kinds_a[base_idx] == p.has_value_kind
+                base_idx = base_idx[hv_match]
             elif kind == 2:
                 base_idx = base_idx[langs[base_idx] != ""]
             if len(base_idx) == 0:

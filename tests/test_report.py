@@ -119,3 +119,25 @@ def test_flatten_ids_stable():
     f2 = report.flatten(_viols().repartition(3)).to_pandas().sort_values("id")
     assert list(f1["id"]) == list(f2["id"])
     assert all("-" in k for k in f1["constraint_key"])
+
+
+def test_inverse_and_closure_paths_serialize_as_literals():
+    """Canonical non-IRI path strings ('^p', 'p*', 'p+') must not be
+    emitted as <IRI> refs — '^', '*' and '+' are illegal there (ADVICE
+    r2); they fall back to string literals and round-trip."""
+    rows = [{"severity": "Violation", "focus_node": "http://ex.org/f",
+             "path": p, "value": "", "message": [{"text": "m", "lang": "en"}],
+             "source_constraint_component":
+                 "http://www.w3.org/ns/shacl#MinCountConstraintComponent",
+             "source_shape": "http://ex.org/S", "foaf_page": ""}
+            for p in ("^http://ex.org/p", "http://ex.org/p*",
+                      "http://ex.org/p+")]
+    viols = rd.from_arrow(pa.Table.from_pylist(rows, schema=S.VIOLATIONS))
+    ttl = report.report_to_turtle(viols)
+    assert "<^http://ex.org/p>" not in ttl
+    assert "<http://ex.org/p*>" not in ttl
+    assert "<http://ex.org/p+>" not in ttl
+    assert '"^http://ex.org/p"' in ttl
+    parsed = report.parse_report_turtle(ttl)
+    assert sorted(parsed["path"].to_pylist()) == sorted(
+        r["path"] for r in rows)

@@ -775,3 +775,61 @@ def test_sequence_path_with_absent_predicate():
                     "MinCountConstraintComponent"),
                    ("http://example.org/a/http://example.org/missing2",
                     "MinCountConstraintComponent")}, got
+
+
+def test_deep_closure_chain_beyond_nine_hops():
+    """Pointer-doubling closure: a 12-edge chain with oneOrMorePath
+    minCount 12 on the head must CONFORM (the one-hop-per-round loop
+    silently truncated at ~9 hops — ADVICE r2)."""
+    shapes_ttl = """
+    @prefix sh: <http://www.w3.org/ns/shacl#> .
+    @prefix ex: <http://example.org/> .
+    ex:Chain a sh:NodeShape ; sh:targetNode ex:n0 ;
+        sh:property [ sh:path [ sh:oneOrMorePath ex:next ] ; sh:minCount 12 ] .
+    """
+    data_ttl = "@prefix ex: <http://example.org/> .\n" + "\n".join(
+        f"ex:n{i} ex:next ex:n{i + 1} ." for i in range(12))
+    viols = shacl.validate(_ds_from_ttl_text(data_ttl), shapes_ttl,
+                           concurrency=1)
+    assert viols.count() == 0
+
+
+def test_zero_or_more_identity_for_absent_target_node():
+    """sh:zeroOrMorePath value set always contains the focus node itself,
+    even when the sh:targetNode focus never appears in the data graph
+    (ADVICE r2: graph-resident-only identity rows falsely violated)."""
+    shapes_ttl = """
+    @prefix sh: <http://www.w3.org/ns/shacl#> .
+    @prefix ex: <http://example.org/> .
+    ex:Iso a sh:NodeShape ; sh:targetNode ex:isolated ;
+        sh:property [ sh:path [ sh:zeroOrMorePath ex:next ] ; sh:minCount 1 ] .
+    """
+    data_ttl = """
+    @prefix ex: <http://example.org/> .
+    ex:a ex:next ex:b .
+    """
+    viols = shacl.validate(_ds_from_ttl_text(data_ttl), shapes_ttl,
+                           concurrency=1)
+    assert viols.count() == 0
+
+
+def test_has_value_term_kind_not_just_lexical_form():
+    """sh:hasValue is TERM equality: a literal whose lexical form equals
+    the required IRI must not satisfy the constraint (ADVICE r2)."""
+    shapes_ttl = """
+    @prefix sh: <http://www.w3.org/ns/shacl#> .
+    @prefix ex: <http://example.org/> .
+    ex:HV a sh:NodeShape ; sh:targetSubjectsOf ex:p ;
+        sh:property [ sh:path ex:p ; sh:hasValue ex:want ] .
+    """
+    data_ttl = """
+    @prefix ex: <http://example.org/> .
+    ex:good ex:p ex:want .
+    ex:bad ex:p "http://example.org/want" .
+    """
+    viols = shacl.validate(_ds_from_ttl_text(data_ttl), shapes_ttl,
+                           concurrency=1)
+    got = {(r["focus_node"].rsplit("/")[-1],
+            r["source_constraint_component"].rsplit("#", 1)[-1])
+           for r in viols.to_pandas().to_dict("records")}
+    assert got == {("bad", "HasValueConstraintComponent")}, got
