@@ -64,10 +64,19 @@ def cmd_validate(args) -> int:
         print(report_mod.report_to_csv(viols))
     else:
         print(json.dumps({"conforms": n == 0, "results": n}))
-        for r in viols.take_all():
+        # stream a BOUNDED detail listing — on a dirty 100 TB corpus the
+        # violation set scales with data and must never be take_all()'d
+        # onto the driver (--limit 0 = unbounded, explicit opt-in)
+        shown = 0
+        for r in viols.iter_rows():
+            if args.limit and shown >= args.limit:
+                print(json.dumps({"truncated": True, "shown": shown,
+                                  "total": n}))
+                break
             print(json.dumps({k: r[k] for k in
                               ("severity", "focus_node", "path", "value",
                                "source_constraint_component")}))
+            shown += 1
     return 0 if n == 0 else 1
 
 
@@ -149,6 +158,9 @@ def main(argv=None) -> int:
     v.add_argument("--shapes")
     v.add_argument("--profile", default="dcat_ap_demo")
     v.add_argument("--format", choices=["json", "ttl", "csv"], default="json")
+    v.add_argument("--limit", type=int, default=100,
+                   help="max violation detail lines in json mode "
+                        "(0 = unbounded)")
     v.set_defaults(fn=cmd_validate)
 
     r = sub.add_parser("report")

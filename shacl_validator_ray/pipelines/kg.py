@@ -50,36 +50,48 @@ def conformant_triples(sf_dir: str, profile: str = "dcat_ap_demo",
                        bloom_threshold: int | None = None) -> rd.Dataset:
     """Canonicalized graph gated on validation: triples whose subject has a
     Violation-severity result are excluded (the "SHACL-conformant triple
-    set" of the north star). The violating focus-node set is entity-scale
-    → broadcast anti-join (semi-join pattern, SURVEY §2.4); beyond
-    ``bloom_threshold`` focus nodes the broadcast is a Bloom filter
-    (an FP *keeps* a violating subject's triples — suppressed findings
-    are the documented at-scale trade, rate ~4e-9)."""
-    import numpy as np
+    set" of the north star) — a fully DISTRIBUTED anti-join (A11
+    both-sides-large formulation, relational.anti_join_native): the
+    violating focus set is distinct-reduced by one groupby and
+    left_outer-joined against the graph on subject; the null probe keeps
+    conformant rows. The driver never holds the violating set, even
+    transiently — it scales with data on a dirty corpus (VERDICT r2 #1).
+    ``bloom_threshold`` is kept for API compatibility; the exact
+    anti-join replaced the Bloom broadcast, so it gates nothing."""
     import pyarrow as pa
     import pyarrow.compute as pc
-    import ray
 
-    from ..functions.sketch import BloomFilter, contains_mask
+    from .. import schema as S
 
-    if bloom_threshold is None:
-        bloom_threshold = shacl.BLOOM_THRESHOLD
     viols = shacl.validate(triples_dataset(sf_dir),
                            shapes_mod.load_profile_ttl(profile))
-    bad: set[str] = set()
-    for b in viols.iter_batches(batch_format="pyarrow"):
-        f = b.filter(pc.equal(b["severity"], "Violation"))
-        bad.update(f["focus_node"].to_pylist())
-    payload = BloomFilter.from_items(bad) if len(bad) > bloom_threshold else bad
-    ref = ray.put(payload)
+    from ray.data.aggregate import Count
 
-    def drop_bad(b: pa.Table) -> pa.Table:
-        s = ray.get(ref)
-        subjs = np.asarray(b["subj"].to_pandas(), dtype=object)
-        return b.filter(pa.array(~contains_mask(s, subjs)))
-
-    return canonical_triples(sf_dir).map_batches(
-        drop_bad, batch_format="pyarrow", zero_copy_batch=True)
+    bad = (viols.map_batches(
+               lambda b: b.filter(pc.equal(b["severity"], "Violation"))
+                          .select(["focus_node"])
+                          .rename_columns(["bad_subj"]),
+               batch_format="pyarrow", zero_copy_batch=True)
+           .groupby("bad_subj").aggregate(Count(alias_name="_nviol"))
+           .materialize())
+    # pin the Arrow schema on both sides: pandas-produced blocks report
+    # object dtypes, which breaks the hash-join planner's key resolution
+    triples = canonical_triples(sf_dir).map_batches(
+        lambda b: pa.table({f.name: b[f.name].cast(f.type)
+                            for f in S.TRIPLES}, schema=S.TRIPLES),
+        batch_format="pyarrow", zero_copy_batch=True)
+    if bad.count() == 0:
+        return triples
+    bad = bad.map_batches(
+        lambda b: pa.table({"bad_subj": b["bad_subj"].cast(pa.string()),
+                            "_nviol": b["_nviol"].cast(pa.int64())}),
+        batch_format="pyarrow")
+    joined = triples.join(bad, "left_outer", io.shuffle_buckets(),
+                          on=("subj",), right_on=("bad_subj",))
+    cols = [f.name for f in S.TRIPLES]
+    return joined.map_batches(
+        lambda b: b.filter(pc.is_null(b["_nviol"])).select(cols),
+        batch_format="pyarrow")
 
 
 def materialized_graph(sf_dir: str, out_dir: str, **kw) -> dict:

@@ -72,16 +72,29 @@ class EntityLinker:
     def __init__(self, index_ref, tau: float = 0.5):
         self.index: LinkIndex = ray.get(index_ref)
         self.tau = tau
+        # alias keys as an Arrow array, built once per actor: the exact
+        # alias fast path is then one vectorized pc.is_in per batch
+        self.alias_keys = pa.array(sorted(self.index.alias), pa.string())
 
     def __call__(self, b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        miris = np.asarray(b["mention_iri"].to_pandas(), dtype=object)
+        docs = np.asarray(b["doc_id"].to_pandas(), dtype=object)
+        surfaces = np.array([extract.mention_surface(m) for m in miris],
+                            dtype=object)
+        # vectorized exact-alias fast path (typically the vast majority
+        # of mentions); only misses fall to the per-row LSH probe
+        hit_mask = pc.is_in(pa.array(surfaces, pa.string()),
+                            value_set=self.alias_keys).to_numpy(
+                                zero_copy_only=False)
         rows = []
-        for miri, doc_id in zip(b["mention_iri"].to_pylist(), b["doc_id"].to_pylist()):
-            surface = extract.mention_surface(miri)
-            hit = self.index.alias.get(surface)
-            if hit is not None:
-                rows.append({"mention": surface, "mention_iri": miri,
-                             "candidate_iri": hit, "score": 1.0, "doc_id": doc_id})
-                continue
+        for i in np.flatnonzero(hit_mask):
+            rows.append({"mention": surfaces[i], "mention_iri": miris[i],
+                         "candidate_iri": self.index.alias[surfaces[i]],
+                         "score": 1.0, "doc_id": docs[i]})
+        for i in np.flatnonzero(~hit_mask):
+            surface = surfaces[i]
             sh = char_shingles(surface)
             best_iri, best = "", 0.0
             for ei in self.index.candidates(surface):
@@ -90,9 +103,9 @@ class EntityLinker:
                 if j > best or (j == best and ciri < best_iri):
                     best, best_iri = j, ciri
             if best >= self.tau:
-                rows.append({"mention": surface, "mention_iri": miri,
-                             "candidate_iri": best_iri, "score": round(best, 6),
-                             "doc_id": doc_id})
+                rows.append({"mention": surface, "mention_iri": miris[i],
+                             "candidate_iri": best_iri,
+                             "score": round(best, 6), "doc_id": docs[i]})
         return pa.Table.from_pylist(rows, schema=S.ENTITY_LINKS)
 
 

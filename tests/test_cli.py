@@ -16,7 +16,7 @@ class _Args:
 def test_cli_validate_invalid(capsys):
     rc = cli.cmd_validate(_Args(data=f"{FIX}/data/invalid_catalog.ttl",
                                 shapes=None, profile="dcat_ap_demo",
-                                format="json"))
+                                format="json", limit=100))
     assert rc == 1  # non-conforming → nonzero exit
     out = capsys.readouterr().out.strip().splitlines()
     head = json.loads(out[0])
@@ -52,3 +52,19 @@ def test_cli_discover(capsys):
     assert rc == 0
     recs = json.loads(capsys.readouterr().out)
     assert {r["id"].rsplit("/", 1)[-1] for r in recs} == {"dsA", "dsC"}
+
+
+def test_cli_validate_json_output_is_bounded(capsys):
+    """json mode streams at most --limit detail lines plus a truncation
+    marker — a dirty corpus must never take_all() onto the driver."""
+    rc = cli.cmd_validate(_Args(data=f"{FIX}/data/invalid_catalog.ttl",
+                                shapes=None, profile="dcat_ap_demo",
+                                format="json", limit=2))
+    assert rc == 1
+    out = capsys.readouterr().out.strip().splitlines()
+    head = json.loads(out[0])
+    assert head["results"] == 5
+    # 1 header + 2 detail + 1 truncation marker
+    assert len(out) == 4
+    tail = json.loads(out[-1])
+    assert tail == {"truncated": True, "shown": 2, "total": 5}

@@ -833,3 +833,49 @@ def test_has_value_term_kind_not_just_lexical_form():
             r["source_constraint_component"].rsplit("#", 1)[-1])
            for r in viols.to_pandas().to_dict("records")}
     assert got == {("bad", "HasValueConstraintComponent")}, got
+
+
+def test_distributed_members_path_equivalence():
+    """validate() with distributed_members=True (the 100 TB routing:
+    mergeable HLL→partial-Bloom membership, Bloom nodeval broadcast) must
+    produce exactly the findings of the default exact path — including
+    sh:node nested/parent findings and cardinality rows."""
+    shapes_ttl = """
+    @prefix sh: <http://www.w3.org/ns/shacl#> .
+    @prefix xsd: <http://www.w3.org/2001/XMLSchema#> .
+    @prefix ex: <http://example.org/> .
+    ex:S a sh:NodeShape ; sh:targetClass ex:T ;
+        sh:property [ sh:path ex:dist ; sh:minCount 1 ;
+                      sh:node ex:DistShape ] ;
+        sh:property [ sh:path ex:title ; sh:datatype xsd:string ] .
+    ex:DistShape a sh:NodeShape ;
+        sh:property [ sh:path ex:url ; sh:minCount 1 ] .
+    ex:Sub a sh:NodeShape ; sh:targetSubjectsOf ex:url ;
+        sh:property [ sh:path ex:url ; sh:maxCount 1 ] .
+    """
+    data_ttl = """
+    @prefix ex: <http://example.org/> .
+    ex:a a ex:T ; ex:dist ex:d1 ; ex:title "ok" .
+    ex:b a ex:T ; ex:dist ex:d2 ; ex:title 42 .
+    ex:d1 ex:url "http://x" .
+    ex:d3 ex:url "u1" , "u2" .
+    """
+
+    def keys(viols):
+        return sorted(
+            (r["severity"], r["focus_node"], r["path"], r["value"],
+             r["source_constraint_component"], r["source_shape"])
+            for r in viols.to_pandas().to_dict("records"))
+
+    exact = shacl.validate(_ds_from_ttl_text(data_ttl), shapes_ttl,
+                           concurrency=1)
+    dist = shacl.validate(_ds_from_ttl_text(data_ttl), shapes_ttl,
+                          concurrency=1, distributed_members=True)
+    ke, kd = keys(exact), keys(dist)
+    assert ke == kd, (ke, kd)
+    # sanity: the fixture exercises nested failure (d2 missing url →
+    # nested MinCount + parent NodeConstraint on b) and datatype
+    comps = {k[4].rsplit("#", 1)[-1] for k in ke}
+    assert {"MinCountConstraintComponent", "NodeConstraintComponent",
+            "DatatypeConstraintComponent",
+            "MaxCountConstraintComponent"} <= comps
