@@ -315,10 +315,11 @@ def q_kg_media_features(sf_dir: str):
 
 
 def q_kg_image_stats(sf_dir: str):
-    """Real PPM decode → pixel statistics (rows-only: float features)."""
+    """Real PPM decode → integer-exact pixel statistics, oracle-checked
+    against the gt_media table planted at corpus-synthesis time."""
     from ..stages import multimodal
     from . import kg
-    return multimodal.image_pixel_features(kg.documents_dataset(sf_dir))
+    return multimodal.image_stats_table(kg.documents_dataset(sf_dir))
 
 
 def q_kg_property_breakdown(sf_dir: str):
@@ -630,8 +631,35 @@ WHERE n_tokens BETWEEN 20 AND 200
                bit_count(xor(a.sig, b.sig))::BIGINT AS hamming
         FROM sig2 a JOIN sig2 b ON a.doc_id < b.doc_id
         WHERE bit_count(xor(a.sig, b.sig)) <= 3""",
-    # lang_id (heuristic), knn_lsh / knn_ivf (approximate recall-tested),
-    # kg_links, kg_media_features (model/stub-shaped): rows-only
+    # lang_id: exact SQL re-implementation of the stopword-profile
+    # heuristic — distinct lowercase whitespace tokens intersected with
+    # each profile; first-wins priority en > es > fr > de on ties, 'und'
+    # when nothing matches (textfns.lang_id)
+    "lang_id": r"""
+        WITH tok AS (SELECT doc_id,
+                            unnest(regexp_split_to_array(
+                                lower(coalesce(text, '')), '\s+')) AS t
+                     FROM documents),
+        d AS (SELECT DISTINCT doc_id, t FROM tok),
+        c AS (SELECT doc_id,
+                count(*) FILTER (WHERE t IN
+                    ('the','and','of','is','was','with')) AS en,
+                count(*) FILTER (WHERE t IN
+                    ('el','la','de','es','con','por')) AS es,
+                count(*) FILTER (WHERE t IN
+                    ('le','la','de','est','avec','pour')) AS fr,
+                count(*) FILTER (WHERE t IN
+                    ('der','die','das','und','ist','mit')) AS de
+              FROM d GROUP BY doc_id)
+        SELECT doc_id, CASE
+            WHEN de > greatest(en, es, fr) THEN 'de'
+            WHEN fr > greatest(en, es) THEN 'fr'
+            WHEN es > en THEN 'es'
+            WHEN en > 0 THEN 'en'
+            ELSE 'und' END AS pred_lang
+        FROM c""",
+    # knn_lsh / knn_ivf (approximate recall-tested),
+    # kg_media_features (stub-shaped feature floats): rows-only
 }
 
 
@@ -915,6 +943,64 @@ titles AS (SELECT subj, min(obj_value) AS title FROM gt
 SELECT c.ds AS id, coalesce(t.title, 'Unnamed Dataset') AS title,
        count(*) AS n_dists
 FROM comp c LEFT JOIN titles t ON c.ds = t.subj GROUP BY c.ds, t.title""",
+        # kg_links: full-fidelity re-implementation of the linker in SQL —
+        # exact alias-dict hits score 1.0; fuzzy mentions link to the
+        # BEST char-3-shingle Jaccard candidate over the whole alias
+        # table (tie-break: min IRI), threshold tau=0.5. The Ray side
+        # uses MinHash-LSH candidate pruning, so this oracle also proves
+        # the LSH loses no candidate at this scale. Mention IRIs are
+        # percent-encoded surfaces (space → %20 is the only escapable
+        # char the generator emits).
+        "kg_links": f"""
+WITH gtp AS (SELECT surface, min(doc_id) AS doc_id FROM {gt}
+             WHERE pred = '{dct}publisher' AND surface <> ''
+               AND NOT regexp_matches(surface, '^Organization [0-9]+$')
+             GROUP BY surface),
+alias AS (SELECT 'Organization ' || k AS surface,
+                 'http://example.org/org/' || k AS iri FROM range(50) t(k)
+          UNION ALL
+          SELECT 'Org-' || k, 'http://example.org/org/' || k
+          FROM range(50) t(k)),
+exact_hit AS (SELECT g.surface, a.iri, 1.0 AS score, g.doc_id
+              FROM gtp g JOIN alias a USING (surface)),
+fuzzy_m AS (SELECT surface, doc_id FROM gtp
+            WHERE surface NOT IN (SELECT surface FROM alias)),
+msh AS (SELECT surface,
+               substring('^' || lower(surface) || '$', i, 3) AS sh
+        FROM fuzzy_m CROSS JOIN range(1, 64) t(i)
+        WHERE i <= len(surface) GROUP BY 1, 2),
+ash AS (SELECT surface, iri,
+               substring('^' || lower(surface) || '$', i, 3) AS sh
+        FROM alias CROSS JOIN range(1, 64) t(i)
+        WHERE i <= len(surface) GROUP BY 1, 2, 3),
+msz AS (SELECT surface, count(*) AS n FROM msh GROUP BY surface),
+asz AS (SELECT surface, count(*) AS n FROM ash GROUP BY surface),
+inter AS (SELECT m.surface AS ms, a.surface AS asf, a.iri, count(*) AS c
+          FROM msh m JOIN ash a ON m.sh = a.sh GROUP BY 1, 2, 3),
+scored AS (SELECT i.ms AS surface, i.iri,
+                  i.c::DOUBLE / (mz.n + az.n - i.c) AS j
+           FROM inter i JOIN msz mz ON mz.surface = i.ms
+                        JOIN asz az ON az.surface = i.asf),
+best AS (SELECT surface, iri, j, row_number() OVER (
+             PARTITION BY surface ORDER BY j DESC, iri ASC) AS rn
+         FROM scored),
+fuzzy_hit AS (SELECT b.surface, b.iri, round(b.j, 6) AS score, m.doc_id
+              FROM best b JOIN fuzzy_m m USING (surface)
+              WHERE b.rn = 1 AND b.j >= 0.5),
+links AS (SELECT * FROM exact_hit UNION ALL SELECT * FROM fuzzy_hit)
+SELECT surface AS mention,
+       'http://example.org/mention/' || replace(surface, ' ', '%20')
+           AS mention_iri,
+       iri AS candidate_iri, score, doc_id
+FROM links""",
+        # kg_image_stats: the corpus generator plants the expected decode
+        # results (dimensions + integer channel sums straight off the
+        # pixel array) in gt_media; the engine recomputes them through
+        # PPM encode → REAL header/pixel parse → stats
+        "kg_image_stats": f"""
+SELECT doc_id, span_idx, kind, media_ref, width, height, n_frames,
+       sum_r, sum_g, sum_b
+FROM read_parquet('{corpus}/gt_media/part-*.parquet')""",
     }
     # integration oracle: the union of the five independent per-profile
     # SQL re-implementations — validates that one combined validate()

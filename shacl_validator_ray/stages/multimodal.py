@@ -120,13 +120,13 @@ class MediaDecoder:
 
     def _synth_fetch(self, ref: str) -> tuple[bytes, int]:
         """Stand-in for the payload fetch (object store / blob read):
-        deterministic small P6 image + frame count per media_ref."""
-        h = hashlib.blake2b(ref.encode(), digest_size=16).digest()
-        rng = np.random.RandomState(int.from_bytes(h[:4], "little"))
-        w, h_ = 16 + h[4] % 64, 16 + h[5] % 64
-        pixels = rng.randint(0, 256, size=(h_, w, 3), dtype=np.uint8)
-        payload = b"P6\n%d %d\n255\n" % (w, h_) + pixels.tobytes()
-        return payload, 1 + h[6] % 8
+        the deterministic payload is owned by the corpus generator
+        (synth.media_payload) so the planted gt_media decode stats are
+        an independent oracle for the real-parse path below."""
+        from .. import synth
+
+        payload, n_frames, _ = synth.media_payload(ref)
+        return payload, n_frames
 
     def __call__(self, b: pa.Table) -> pa.Table:
         payloads, ws, hs, fs = [], [], [], []
@@ -190,6 +190,36 @@ class FeatureExtractor:
                  .append_column("feature",
                                 pa.array([f.tolist() for f in feats],
                                          pa.list_(pa.float32()))))
+
+
+def image_stats_table(docs: rd.Dataset,
+                      concurrency: int | tuple = (1, 4)) -> rd.Dataset:
+    """decode (REAL PPM parse) → integer-exact per-image statistics:
+    width/height from the parsed header, per-channel pixel SUMS (not
+    float means, so the DuckDB oracle over the planted gt_media table
+    hashes exactly)."""
+
+    def fn(b: pa.Table) -> pa.Table:
+        ws, hs, sr, sg, sb = [], [], [], [], []
+        for payload in b["payload"].to_pylist():
+            w, h, img = decode_image_bytes(payload)
+            if img.ndim == 2:
+                img = np.stack([img] * 3, axis=-1)
+            s = img.reshape(-1, 3).sum(axis=0, dtype=np.int64)
+            ws.append(w); hs.append(h)
+            sr.append(int(s[0])); sg.append(int(s[1])); sb.append(int(s[2]))
+        return pa.table({
+            "doc_id": b["doc_id"], "span_idx": b["span_idx"],
+            "kind": b["kind"], "media_ref": b["media_ref"],
+            "width": pa.array(ws, pa.int32()),
+            "height": pa.array(hs, pa.int32()),
+            "n_frames": b["n_frames"],
+            "sum_r": pa.array(sr, pa.int64()),
+            "sum_g": pa.array(sg, pa.int64()),
+            "sum_b": pa.array(sb, pa.int64())})
+
+    return decode_media(docs, concurrency=concurrency).map_batches(
+        fn, batch_format="pyarrow", batch_size=256)
 
 
 def frame_sample(decoded: rd.Dataset, every: int = 2) -> rd.Dataset:

@@ -31,7 +31,7 @@ SEED = 42
 N_ORGS = 50
 N_THEMES = 8
 HUB_ORG = 0            # hub publisher: draws ~30% of all publisher edges (skew fixture)
-CACHE_ROOT = "/tmp/svr_corpus_v3"  # bump suffix when corpus semantics change
+CACHE_ROOT = "/tmp/svr_corpus_v4"  # bump suffix when corpus semantics change
 
 # violation seeding probabilities (deterministic per doc)
 P_MISSING_TITLE = 0.10   # sh:minCount violation
@@ -205,14 +205,56 @@ def gen_doc(i: int, seed: int = SEED) -> tuple[dict, list[dict], dict]:
     return {"doc_id": doc_id, "spans": spans}, gt, flags
 
 
+def media_payload(ref: str):
+    """Deterministic media payload for a media_ref: a valid binary P6
+    PPM + frame count + the raw pixel array. The CORPUS GENERATOR owns
+    payload content (a real system would fetch these bytes from a blob
+    store); the engine's synthetic fetch stage returns exactly these
+    bytes (multimodal.MediaDecoder._synth_fetch delegates here), so the
+    gt_media stats written at synth time are the decode oracle."""
+    import hashlib
+    import numpy as np
+
+    h = hashlib.blake2b(ref.encode(), digest_size=16).digest()
+    rng = np.random.RandomState(int.from_bytes(h[:4], "little"))
+    w, h_ = 16 + h[4] % 64, 16 + h[5] % 64
+    pixels = rng.randint(0, 256, size=(h_, w, 3), dtype=np.uint8)
+    payload = b"P6\n%d %d\n255\n" % (w, h_) + pixels.tobytes()
+    return payload, 1 + h[6] % 8, pixels
+
+
+MEDIA_GT_SCHEMA = pa.schema([
+    pa.field("doc_id", pa.string()), pa.field("span_idx", pa.int32()),
+    pa.field("kind", pa.string()), pa.field("media_ref", pa.string()),
+    pa.field("width", pa.int32()), pa.field("height", pa.int32()),
+    pa.field("n_frames", pa.int32()),
+    pa.field("sum_r", pa.int64()), pa.field("sum_g", pa.int64()),
+    pa.field("sum_b", pa.int64()),
+])
+
+
 def make_corpus_tables(num_docs: int, seed: int = SEED,
-                       start: int = 0) -> tuple[pa.Table, pa.Table]:
-    """Build (documents, gt_triples) Arrow tables for docs [start, start+num_docs)."""
-    docs, gts = [], []
+                       start: int = 0) -> tuple[pa.Table, pa.Table, pa.Table]:
+    """Build (documents, gt_triples, gt_media) Arrow tables for docs
+    [start, start+num_docs). gt_media plants the expected decode results
+    (dimensions + integer per-channel pixel sums) for every media span —
+    the engine recomputes them through PPM encode → real parse."""
+    docs, gts, medias = [], [], []
     for i in range(start, start + num_docs):
         d, g, _ = gen_doc(i, seed)
         docs.append(d)
         gts.extend(g)
+        for si, s in enumerate(d["spans"]):
+            if s["kind"] == "text":
+                continue
+            _, n_frames, px = media_payload(s["media_ref"])
+            sums = px.reshape(-1, 3).sum(axis=0, dtype="int64")
+            medias.append({
+                "doc_id": d["doc_id"], "span_idx": si, "kind": s["kind"],
+                "media_ref": s["media_ref"],
+                "width": px.shape[1], "height": px.shape[0],
+                "n_frames": n_frames, "sum_r": int(sums[0]),
+                "sum_g": int(sums[1]), "sum_b": int(sums[2])})
     doc_tbl = pa.Table.from_pylist(docs, schema=S.DOCUMENTS)
     gt_schema = pa.schema([
         pa.field("subj", pa.string()), pa.field("pred", pa.string()),
@@ -221,7 +263,8 @@ def make_corpus_tables(num_docs: int, seed: int = SEED,
         pa.field("doc_id", pa.string()), pa.field("surface", pa.string()),
     ])
     gt_tbl = pa.Table.from_pylist(gts, schema=gt_schema)
-    return doc_tbl, gt_tbl
+    media_tbl = pa.Table.from_pylist(medias, schema=MEDIA_GT_SCHEMA)
+    return doc_tbl, gt_tbl, media_tbl
 
 
 def num_docs_for_sf(sf: float) -> int:
@@ -264,6 +307,7 @@ def ensure_corpus_n(n: int, seed: int = SEED, shard_rows: int = 4096,
         return out
     os.makedirs(os.path.join(out, "documents"), exist_ok=True)
     os.makedirs(os.path.join(out, "gt_triples"), exist_ok=True)
+    os.makedirs(os.path.join(out, "gt_media"), exist_ok=True)
     shards = [(i, start, min(shard_rows, n - start))
               for i, start in enumerate(range(0, n, shard_rows))]
     if len(shards) > 8:  # generation is per-doc seeded → shard-parallel
@@ -282,9 +326,10 @@ def ensure_corpus_n(n: int, seed: int = SEED, shard_rows: int = 4096,
 
 def _write_shard(arg) -> None:
     out, seed, (shard, start, cnt) = arg
-    doc_tbl, gt_tbl = make_corpus_tables(cnt, seed, start=start)
+    doc_tbl, gt_tbl, media_tbl = make_corpus_tables(cnt, seed, start=start)
     pq.write_table(doc_tbl, os.path.join(out, "documents", f"part-{shard:05d}.parquet"))
     pq.write_table(gt_tbl, os.path.join(out, "gt_triples", f"part-{shard:05d}.parquet"))
+    pq.write_table(media_tbl, os.path.join(out, "gt_media", f"part-{shard:05d}.parquet"))
 
 
 def alias_table() -> pa.Table:

@@ -28,17 +28,17 @@ def _canonicalize_mentions(rows):
 
 
 def test_corpus_deterministic():
-    d1, g1 = synth.make_corpus_tables(20, start=5)
-    d2, g2 = synth.make_corpus_tables(20, start=5)
+    d1, g1, _mgt = synth.make_corpus_tables(20, start=5)
+    d2, g2, _mgt = synth.make_corpus_tables(20, start=5)
     assert d1.equals(d2) and g1.equals(g2)
     # sharded generation matches monolithic generation
-    d3a, _ = synth.make_corpus_tables(10, start=5)
-    d3b, _ = synth.make_corpus_tables(10, start=15)
+    d3a, _, _mgt = synth.make_corpus_tables(10, start=5)
+    d3b, _, _mgt = synth.make_corpus_tables(10, start=15)
     assert pa.concat_tables([d3a, d3b]).equals(d1)
 
 
 def test_span_offsets_strictly_increasing():
-    docs, _ = synth.make_corpus_tables(50)
+    docs, _, _mgt = synth.make_corpus_tables(50)
     for row in docs.to_pylist():
         offs = [s["offset"] for s in row["spans"]]
         assert offs == sorted(offs) and len(set(offs)) == len(offs)
@@ -46,7 +46,7 @@ def test_span_offsets_strictly_increasing():
 
 
 def test_extract_batch_matches_ground_truth_exactly():
-    docs, gt = synth.make_corpus_tables(100)
+    docs, gt, _mgt = synth.make_corpus_tables(100)
     out = extract.extract_triples_batch(docs)
     got = {_key(r) for r in _canonicalize_mentions(out.to_pylist())}
     want = {_key(r) for r in gt.to_pylist()}
@@ -61,7 +61,7 @@ def test_extract_batch_matches_ground_truth_exactly():
 
 
 def test_extract_dataset_pipeline():
-    docs, gt = synth.make_corpus_tables(60)
+    docs, gt, _mgt = synth.make_corpus_tables(60)
     ds = rd.from_arrow(docs).map_batches(
         extract.extract_triples_batch, batch_format="pyarrow", batch_size=16)
     n = ds.count()
@@ -76,7 +76,7 @@ def test_extract_dataset_pipeline():
 def test_span_sequence_equality_roundtrip():
     """Per-row invariant (BASELINE.json): span sequence (kind, text,
     media_ref, order) survives the Dataset round-trip unchanged."""
-    docs, _ = synth.make_corpus_tables(40)
+    docs, _, _mgt = synth.make_corpus_tables(40)
     ds = rd.from_arrow(docs)
     back = {}
     for b in ds.iter_batches(batch_format="pyarrow"):
@@ -96,7 +96,7 @@ def test_span_sequence_with_preserve_order():
     prev = ctx.execution_options.preserve_order
     ctx.execution_options.preserve_order = True
     try:
-        docs, _ = synth.make_corpus_tables(80)
+        docs, _, _mgt = synth.make_corpus_tables(80)
         ds = (rd.from_arrow(docs)
               .map_batches(lambda b: b, batch_format="pyarrow", batch_size=16)
               .map_batches(lambda b: b, batch_format="pyarrow", batch_size=8))

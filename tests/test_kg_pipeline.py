@@ -67,7 +67,7 @@ def test_union_find_partition_count_invariant():
 
 
 def test_full_pipeline_precision_recall(tmp_path):
-    docs, gt = synth.make_corpus_tables(250)
+    docs, gt, _mgt = synth.make_corpus_tables(250)
     triples = rd.from_arrow(extract.extract_triples_batch(docs))
     links = linking.link_entities(triples, _alias_rows(), tau=0.5)
     canon = canonicalize.canonical_map_from_links(links)
@@ -87,7 +87,7 @@ def test_full_pipeline_precision_recall(tmp_path):
 
 
 def test_materialize_resumable(tmp_path):
-    docs, _ = synth.make_corpus_tables(60)
+    docs, _, _mgt = synth.make_corpus_tables(60)
     triples = rd.from_arrow(extract.extract_triples_batch(docs))
     out = str(tmp_path / "graph")
     m1 = materialize.materialize_graph(triples, out, n_buckets=4, hub_threshold=50,
@@ -111,7 +111,7 @@ def test_materialize_partial_resume(tmp_path, monkeypatch):
     final graph is complete and duplicate-free."""
     import ray.data as rd_
 
-    docs, _ = synth.make_corpus_tables(50)
+    docs, _, _mgt = synth.make_corpus_tables(50)
     triples = rd.from_arrow(extract.extract_triples_batch(docs))
     out = str(tmp_path / "graph")
 
@@ -150,7 +150,7 @@ def test_materialize_resume_after_written_but_unrecorded_group(tmp_path):
     write a second copy alongside them (staging + wholesale move)."""
     import json
 
-    docs, _ = synth.make_corpus_tables(50)
+    docs, _, _mgt = synth.make_corpus_tables(50)
     triples = rd.from_arrow(extract.extract_triples_batch(docs))
     out = str(tmp_path / "graph")
     materialize.materialize_graph(triples, out, n_buckets=4, write_groups=4,
@@ -177,7 +177,7 @@ def test_materialize_write_groups_nondegenerate(tmp_path):
     into write group 0 (group = unsalted base bucket % write_groups)."""
     import os
 
-    docs, _ = synth.make_corpus_tables(60)
+    docs, _, _mgt = synth.make_corpus_tables(60)
     triples = rd.from_arrow(extract.extract_triples_batch(docs))
     out = str(tmp_path / "graph")
     materialize.materialize_graph(triples, out, n_buckets=8, write_groups=4,
@@ -222,7 +222,7 @@ def test_full_pipeline_sidecars_and_conformant_graph(tmp_path):
 def test_hub_subject_salted_across_buckets(tmp_path):
     """F2 skew fixture: the catalog hub subject (~10% of triples) is
     detected and salted across multiple sub-buckets at materialize."""
-    docs, gt = synth.make_corpus_tables(200)
+    docs, gt, _mgt = synth.make_corpus_tables(200)
     triples = rd.from_arrow(extract.extract_triples_batch(docs))
     hub = "http://example.org/catalog/main"
     n_hub = sum(1 for r in gt.to_pylist() if r["subj"] == hub)
@@ -243,7 +243,7 @@ def test_hub_subject_salted_across_buckets(tmp_path):
 def test_canonical_rewrite_join_path_equivalence():
     """broadcast_threshold=0 forces the distributed-join rewrite; the
     output triple multiset must equal the broadcast path's."""
-    docs, _ = synth.make_corpus_tables(80)
+    docs, _, _mgt = synth.make_corpus_tables(80)
     triples = rd.from_arrow(extract.extract_triples_batch(docs))
     from shacl_validator_ray.pipelines import kg
     from shacl_validator_ray.stages import canonicalize, linking
@@ -265,7 +265,7 @@ def test_canonical_rewrite_join_path_equivalence():
 
 def test_materialize_parallel_writes(tmp_path):
     """Overlapped write groups produce the identical complete graph."""
-    docs, _ = synth.make_corpus_tables(60)
+    docs, _, _mgt = synth.make_corpus_tables(60)
     triples = rd.from_arrow(extract.extract_triples_batch(docs))
     out = str(tmp_path / "graph")
     m = materialize.materialize_graph(triples, out, n_buckets=8,

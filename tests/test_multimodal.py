@@ -9,12 +9,12 @@ from shacl_validator_ray.stages import multimodal as mm
 
 
 def _docs(n=80):
-    docs, _ = synth.make_corpus_tables(n)
+    docs, _, _mgt = synth.make_corpus_tables(n)
     return rd.from_arrow(docs)
 
 
 def test_media_spans_explode():
-    docs, _ = synth.make_corpus_tables(80)
+    docs, _, _mgt = synth.make_corpus_tables(80)
     expected = sum(1 for r in docs.to_pylist() for s in r["spans"]
                    if s["kind"] != "text")
     ds = mm.media_spans(rd.from_arrow(docs))
@@ -113,3 +113,19 @@ def test_image_pixel_features_real_decode():
     m1 = dict(zip(feats["media_ref"], map(tuple, feats["pixel_feature"])))
     m2 = dict(zip(again["media_ref"], map(tuple, again["pixel_feature"])))
     assert m1 == m2
+
+
+def test_image_stats_match_planted_gt():
+    """image_stats_table (PPM encode → REAL parse → integer sums) must
+    reproduce the gt_media stats the corpus generator planted from the
+    raw pixel arrays — the local form of the kg_image_stats oracle."""
+    import pandas as pd
+
+    docs, _, gt_media = synth.make_corpus_tables(60)
+    got = (mm.image_stats_table(rd.from_arrow(docs))
+           .to_pandas().sort_values(["doc_id", "span_idx"])
+           .reset_index(drop=True))
+    want = (gt_media.to_pandas().sort_values(["doc_id", "span_idx"])
+            .reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        got[want.columns.tolist()].astype(want.dtypes.to_dict()), want)

@@ -42,7 +42,7 @@ def test_minhash_estimates_bounded(texts):
 def test_dedup_idempotent():
     from shacl_validator_ray.stages import extract, shacl
 
-    docs, _ = synth.make_corpus_tables(40)
+    docs, _, _mgt = synth.make_corpus_tables(40)
     triples = rd.from_arrow(extract.extract_triples_batch(docs))
     once = shacl.dedup_triples(triples).materialize()
     twice = shacl.dedup_triples(once).materialize()
@@ -71,7 +71,7 @@ def test_blank_node_doc_scoping():
 
 
 def test_extraction_batchsize_invariance():
-    docs, _ = synth.make_corpus_tables(60)
+    docs, _, _mgt = synth.make_corpus_tables(60)
     from shacl_validator_ray.stages import extract
 
     whole = extract.extract_triples_batch(docs)
@@ -130,7 +130,7 @@ def test_validate_bloom_path_equivalence():
     from shacl_validator_ray.stages import extract, shacl
     from shacl_validator_ray.state import shapes as shapes_mod
 
-    docs, _ = synth.make_corpus_tables(150)
+    docs, _, _mgt = synth.make_corpus_tables(150)
     triples = rd.from_arrow(extract.extract_triples_batch(docs))
     ttl = shapes_mod.load_profile_ttl("dcat_ap_demo")
 
@@ -155,7 +155,7 @@ def test_collect_members_distributed_matches_exact():
     from shacl_validator_ray.stages import extract, shacl
     from shacl_validator_ray.state import shapes as shapes_mod
 
-    docs, _ = synth.make_corpus_tables(200)
+    docs, _, _mgt = synth.make_corpus_tables(200)
     triples = rd.from_arrow(extract.extract_triples_batch(docs)).materialize()
     compiled = shapes_mod.compile_shapes(
         shapes_mod.load_profile_ttl("dcat_ap_demo"))

@@ -563,7 +563,7 @@ def test_full_profile_report_roundtrip():
     from shacl_validator_ray import synth
     from shacl_validator_ray.stages import extract as extract_mod
 
-    docs, _ = synth.make_corpus_tables(60)
+    docs, _, _mgt = synth.make_corpus_tables(60)
     triples = rd.from_arrow(extract_mod.extract_triples_batch(docs))
     viols = shacl.validate(triples, shapes_mod.load_profile_ttl("full_demo"))
     ttl = report_mod.report_to_turtle(viols, profile_name="full_demo")
@@ -721,7 +721,7 @@ def mini_validate(gt_rows):
 
 
 def test_validate_synthetic_corpus_matches_mini_validator():
-    docs, gt = synth.make_corpus_tables(300)
+    docs, gt, _mgt = synth.make_corpus_tables(300)
     triples = rd.from_arrow(extract.extract_triples_batch(docs))
     viols = shacl.validate(triples, _read(f"{FIX}/shapes/profile.ttl"),
                            concurrency=2)
