@@ -322,6 +322,23 @@ def q_kg_image_stats(sf_dir: str):
     return multimodal.image_stats_table(kg.documents_dataset(sf_dir))
 
 
+def q_kg_bgp_constraint(sf_dir: str):
+    """sh:sparql analog (§2.10): declarative BGP constraint — flag every
+    dataset offering a PDF-only distribution format, expressed as two
+    joined triple patterns over the extracted graph."""
+    from ..functions import ns
+    from ..stages.bgp import BGPConstraint
+    from . import kg
+
+    cc = BGPConstraint(
+        patterns=[("$this", ns.DCAT + "distribution", "?d"),
+                  ("?d", ns.DCT + "format", "application/pdf")],
+        component="http://example.org/constraints#NoPdfDistribution",
+        message="dataset offers a PDF distribution")
+    return cc.violations(kg.triples_dataset(sf_dir)).select_columns(
+        ["severity", "focus_node", "value", "source_constraint_component"])
+
+
 def q_kg_property_breakdown(sf_dir: str):
     """A6 (ReportViewer.tsx:166-190): per-path severity pivot, top 8."""
     from ..stages import report
@@ -366,6 +383,7 @@ QUERIES = {
     "kg_focus_types": q_kg_focus_types,
     "kg_links": q_kg_links,
     "kg_discovery": q_kg_discovery,
+    "kg_bgp_constraint": q_kg_bgp_constraint,
     "kg_media_features": q_kg_media_features,
     "kg_image_stats": q_kg_image_stats,
     # relational operator inventory (SURVEY.md §2)
@@ -993,6 +1011,17 @@ SELECT surface AS mention,
            AS mention_iri,
        iri AS candidate_iri, score, doc_id
 FROM links""",
+        # kg_bgp_constraint: the two-pattern BGP join in SQL — datasets
+        # whose distribution carries format 'application/pdf'
+        "kg_bgp_constraint": f"""
+WITH g AS (SELECT DISTINCT subj, pred, obj_value FROM {gt}),
+hits AS (SELECT DISTINCT a.subj FROM g a JOIN g b ON a.obj_value = b.subj
+         WHERE a.pred = '{dcat}distribution' AND b.pred = '{dct}format'
+           AND b.obj_value = 'application/pdf')
+SELECT 'Violation' AS severity, subj AS focus_node, subj AS value,
+       'http://example.org/constraints#NoPdfDistribution'
+           AS source_constraint_component
+FROM hits""",
         # kg_image_stats: the corpus generator plants the expected decode
         # results (dimensions + integer channel sums straight off the
         # pixel array) in gt_media; the engine recomputes them through

@@ -1,0 +1,217 @@
+"""Declarative BGP (basic-graph-pattern) constraints — the engine-level
+analog of the reference's SPARQL-based validations plug-in
+(/root/reference/src/services/SHACLValidationService.ts:399-406, which
+hands ``validations: sparqlValidations`` to shacl-engine): a conjunctive
+triple-pattern query evaluated DISTRIBUTED over the triples Dataset.
+
+Semantics follow ``sh:sparql`` with ``sh:select "SELECT $this WHERE
+{ ... }"``: every solution binding of ``$this`` yields one violation on
+that focus node. Patterns are ``(subject, predicate, object)`` triples
+whose predicate is a constant IRI and whose subject/object are either
+constants or variables (``"?x"`` / ``"$this"``).
+
+Execution is Ray-Data-first:
+
+- each pattern becomes one vectorized filter+projection over the
+  triples stream (constant positions prune inside the batch fn);
+- patterns chain through bucketed hash joins on their shared variables
+  (the discovery J1 union-tag formulation — one shuffle per join, keyed
+  by the first shared variable, remaining shared variables equi-checked
+  inside the bucket);
+- an optional vectorized ``filter_fn`` (pandas DataFrame → bool mask)
+  plays the role of SPARQL ``FILTER``;
+- the final distinct-``$this`` reduction is a groupby, and the optional
+  target selector restricts focus nodes via the broadcast membership
+  sets exactly like the built-in components.
+
+Cross-product joins (no shared variable between a pattern and the
+bindings built so far) are rejected at construction: at 100 TB an
+accidental cartesian explosion must be an error, not a slow query.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data as rd
+
+THIS = "$this"
+
+
+def _is_var(term: str) -> bool:
+    return term.startswith("?") or term.startswith("$")
+
+
+class BGPConstraint:
+    """One conjunctive-pattern constraint; plugs into
+    :func:`..stages.shacl.validate` via ``custom=[...]`` (duck-typed
+    alongside :class:`..stages.shacl.CustomConstraint`).
+
+    Parameters
+    ----------
+    patterns : list[tuple[str, str, str]]
+        Triple patterns; at least one must mention ``$this``.
+    component : str
+        IRI reported as ``sourceConstraintComponent``.
+    filter_fn : callable, optional
+        ``pandas.DataFrame -> bool mask`` over the solution bindings
+        (columns = variable names) — the vectorized FILTER clause.
+    target : shapes.Target, optional
+        Restricts ``$this`` to a target selector's focus set.
+    """
+
+    def __init__(self, patterns, component: str, *, message: str = "",
+                 severity: str = "Violation", shape_iri: str = "",
+                 target=None, filter_fn=None):
+        if not patterns:
+            raise ValueError("BGPConstraint needs at least one pattern")
+        for s, p, o in patterns:
+            if _is_var(p):
+                raise ValueError(
+                    f"predicate must be a constant IRI, got variable {p!r}")
+        bound: set[str] = set()
+        seen_this = False
+        for i, (s, p, o) in enumerate(patterns):
+            pvars = {t for t in (s, o) if _is_var(t)}
+            seen_this = seen_this or THIS in pvars
+            if i > 0 and bound and not (pvars & bound):
+                raise ValueError(
+                    f"pattern {i} shares no variable with the preceding "
+                    f"patterns — cross products are rejected (reorder the "
+                    f"patterns so each one joins on a bound variable)")
+            bound |= pvars
+        if not seen_this:
+            raise ValueError("no pattern binds $this")
+        self.patterns = [tuple(p) for p in patterns]
+        self.component = component
+        self.message = message or f"BGP constraint {component} matched"
+        self.severity = severity
+        self.shape_iri = shape_iri or component
+        self.target = target
+        self.filter_fn = filter_fn
+
+    # -- pattern → candidate bindings ----------------------------------
+    def _candidates(self, triples: rd.Dataset,
+                    pattern: tuple[str, str, str]) -> rd.Dataset:
+        s, p, o = pattern
+        out_vars = list(dict.fromkeys(t for t in (s, o) if _is_var(t)))
+        schema = pa.schema([pa.field(v, pa.string()) for v in out_vars])
+
+        def fn(b: pa.Table) -> pa.Table:
+            f = b.filter(pc.equal(b["pred"], p))
+            if not _is_var(s):
+                f = f.filter(pc.equal(f["subj"], s))
+            if not _is_var(o):
+                f = f.filter(pc.equal(f["obj_value"], o))
+            cols = {}
+            if _is_var(s):
+                cols[s] = f["subj"].cast(pa.string())
+            if _is_var(o):
+                cols[o] = f["obj_value"].cast(pa.string())
+            if s == o and _is_var(s):  # (?x p ?x): self-referencing rows
+                f2 = f.filter(pc.equal(f["subj"], f["obj_value"]))
+                cols = {s: f2["subj"].cast(pa.string())}
+            return pa.table(cols, schema=schema)
+
+        return triples.map_batches(fn, batch_format="pyarrow",
+                                   zero_copy_batch=True)
+
+    # -- bucketed hash join on shared variables ------------------------
+    @staticmethod
+    def _join(bindings: rd.Dataset, cand: rd.Dataset, shared: list[str],
+              b_cols: list[str], c_cols: list[str]) -> rd.Dataset:
+        """Union-tag + bucketed merge (a side that is itself a join
+        output breaks Ray's native JoinOperator key resolution)."""
+        import pandas as pd
+
+        from .discovery import bucketed_block_apply
+
+        key = shared[0]
+        out_cols = sorted(set(b_cols) | set(c_cols))
+
+        def tag(side: str, cols: list[str]):
+            def fn(b: pa.Table) -> pa.Table:
+                arrays = {"_side": pa.array([side] * b.num_rows, pa.string())}
+                for c in out_cols:
+                    arrays[c] = (b[c].cast(pa.string()) if c in cols
+                                 else pa.nulls(b.num_rows, pa.string()))
+                return pa.table(arrays)
+            return fn
+
+        both = (bindings.map_batches(tag("b", b_cols), batch_format="pyarrow")
+                .union(cand.map_batches(tag("c", c_cols),
+                                        batch_format="pyarrow")))
+
+        def merge(g: pd.DataFrame) -> pd.DataFrame:
+            lb = g.loc[g["_side"] == "b", b_cols]
+            rc = g.loc[g["_side"] == "c", c_cols]
+            if not len(lb) or not len(rc):
+                return pd.DataFrame({c: pd.Series(dtype=object)
+                                     for c in out_cols})
+            m = lb.merge(rc, on=shared)
+            return m[out_cols].drop_duplicates()
+
+        return bucketed_block_apply(both, key, merge)
+
+    # -- public surface ------------------------------------------------
+    def bindings(self, triples: rd.Dataset) -> tuple[rd.Dataset, list[str]]:
+        """Distributed solution bindings for the full pattern chain."""
+        cur: rd.Dataset | None = None
+        cur_cols: list[str] = []
+        for pattern in self.patterns:
+            pvars = [t for t in (pattern[0], pattern[2]) if _is_var(t)]
+            pvars = list(dict.fromkeys(pvars))
+            cand = self._candidates(triples, pattern)
+            if cur is None:
+                cur, cur_cols = cand, pvars
+                continue
+            shared = [v for v in pvars if v in cur_cols]
+            cur = self._join(cur, cand, shared, cur_cols, pvars)
+            cur_cols = sorted(set(cur_cols) | set(pvars))
+        assert cur is not None
+        if self.filter_fn is not None:
+            fn = self.filter_fn
+
+            def apply_filter(df):
+                import pandas as pd
+
+                mask = fn(df)
+                out = df[pd.Series(mask, index=df.index).astype(bool)]
+                return out if len(out) else df.iloc[0:0]
+
+            cur = cur.map_batches(apply_filter, batch_format="pandas")
+        return cur, cur_cols
+
+    def violations(self, triples: rd.Dataset,
+                   members: dict | None = None) -> rd.Dataset:
+        from ray.data.aggregate import Count
+
+        from .shacl import _focus_sets, _members_mask, _violation_rows
+
+        sol, _ = self.bindings(triples)
+        focus = (sol.map_batches(
+            lambda b: pa.table({"focus": b[THIS].cast(pa.string())}),
+            batch_format="pyarrow")
+            .groupby("focus").aggregate(Count(alias_name="_n")))
+
+        fsets = (_focus_sets(members or {}, (self.target,))
+                 if self.target is not None else None)
+        ref = ray.put((fsets, self.severity, self.component, self.message,
+                       self.shape_iri))
+
+        def to_viol(b: pa.Table) -> pa.Table:
+            import numpy as np
+
+            fsets_, sev, comp, msg, shape = ray.get(ref)
+            vals = np.asarray(b["focus"].to_pandas(), dtype=object)
+            if fsets_ is not None:
+                vals = vals[_members_mask(fsets_, vals)]
+            return _violation_rows([
+                {"severity": sev, "focus_node": v, "path": "", "value": v,
+                 "message": [{"text": msg, "lang": "en"}],
+                 "source_constraint_component": comp,
+                 "source_shape": shape, "foaf_page": ""}
+                for v in vals])
+
+        return focus.map_batches(to_viol, batch_format="pyarrow")
