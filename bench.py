@@ -184,10 +184,34 @@ def run_scaling() -> dict:
     }
 
 
+def run_e2e_samples(n: int = 3) -> dict:
+    """Matched-window sampling for the headline numbers: run the full
+    bench ``n`` times in FRESH processes back-to-back (one quiet-window
+    candidate) and report every sample plus the best — shared-sandbox
+    tenancy noise is ±30%, so single-shot round-over-round deltas are
+    not interpretable (BASELINE.md noise note)."""
+    samples = []
+    for _ in range(n):
+        out = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                             env=dict(os.environ), capture_output=True,
+                             text=True, check=True).stdout
+        samples.append(json.loads(out.strip().splitlines()[-1]))
+    best = min(samples, key=lambda s: s["value"])
+    return {
+        "metric": "e2e matched-window samples (fresh process each)",
+        "samples": [{"full_pipeline": s["queries"]["full_pipeline"],
+                     "extract_only": s["queries"]["extract_only"],
+                     "docs_per_sec": s["docs_per_sec"]} for s in samples],
+        "best": best,
+    }
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
     elif "--emit" in sys.argv:
         print(json.dumps(run_emit()))
+    elif "--e2e-samples" in sys.argv:
+        print(json.dumps(run_e2e_samples()))
     else:
         print(json.dumps(run_once()))

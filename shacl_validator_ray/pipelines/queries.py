@@ -339,6 +339,24 @@ def q_kg_bgp_constraint(sf_dir: str):
         ["severity", "focus_node", "value", "source_constraint_component"])
 
 
+def q_kg_bgp_not_exists(sf_dir: str):
+    """sh:sparql FILTER NOT EXISTS analog: datasets that offer at least
+    one distribution but NONE in text/csv — a distributed anti-join of
+    two BGP solution sets."""
+    from ..functions import ns
+    from ..stages.bgp import BGPConstraint
+    from . import kg
+
+    cc = BGPConstraint(
+        patterns=[("$this", ns.DCAT + "distribution", "?d")],
+        absent_patterns=[("$this", ns.DCAT + "distribution", "?z"),
+                         ("?z", ns.DCT + "format", "text/csv")],
+        component="http://example.org/constraints#NoCsvDistribution",
+        message="dataset has distributions but none in text/csv")
+    return cc.violations(kg.triples_dataset(sf_dir)).select_columns(
+        ["severity", "focus_node", "value", "source_constraint_component"])
+
+
 def q_kg_property_breakdown(sf_dir: str):
     """A6 (ReportViewer.tsx:166-190): per-path severity pivot, top 8."""
     from ..stages import report
@@ -384,6 +402,7 @@ QUERIES = {
     "kg_links": q_kg_links,
     "kg_discovery": q_kg_discovery,
     "kg_bgp_constraint": q_kg_bgp_constraint,
+    "kg_bgp_not_exists": q_kg_bgp_not_exists,
     "kg_media_features": q_kg_media_features,
     "kg_image_stats": q_kg_image_stats,
     # relational operator inventory (SURVEY.md §2)
@@ -1022,6 +1041,18 @@ SELECT 'Violation' AS severity, subj AS focus_node, subj AS value,
        'http://example.org/constraints#NoPdfDistribution'
            AS source_constraint_component
 FROM hits""",
+        # kg_bgp_not_exists: BGP + NOT EXISTS anti-join in SQL
+        "kg_bgp_not_exists": f"""
+WITH g AS (SELECT DISTINCT subj, pred, obj_value FROM {gt}),
+has_dist AS (SELECT DISTINCT subj FROM g
+             WHERE pred = '{dcat}distribution'),
+has_csv AS (SELECT DISTINCT a.subj FROM g a JOIN g b ON a.obj_value = b.subj
+            WHERE a.pred = '{dcat}distribution' AND b.pred = '{dct}format'
+              AND b.obj_value = 'text/csv')
+SELECT 'Violation' AS severity, subj AS focus_node, subj AS value,
+       'http://example.org/constraints#NoCsvDistribution'
+           AS source_constraint_component
+FROM has_dist WHERE subj NOT IN (SELECT subj FROM has_csv)""",
         # kg_image_stats: the corpus generator plants the expected decode
         # results (dimensions + integer channel sums straight off the
         # pixel array) in gt_media; the engine recomputes them through

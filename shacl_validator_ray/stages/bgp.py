@@ -59,11 +59,17 @@ class BGPConstraint:
         (columns = variable names) — the vectorized FILTER clause.
     target : shapes.Target, optional
         Restricts ``$this`` to a target selector's focus set.
+    absent_patterns : list[tuple[str, str, str]], optional
+        SPARQL ``FILTER NOT EXISTS`` analog: a second pattern chain that
+        must share ``$this``; a focus node matching ``patterns`` is a
+        violation only when NO solution of ``absent_patterns`` binds the
+        same ``$this`` (distributed anti-join on the two distinct-focus
+        sets).
     """
 
     def __init__(self, patterns, component: str, *, message: str = "",
                  severity: str = "Violation", shape_iri: str = "",
-                 target=None, filter_fn=None):
+                 target=None, filter_fn=None, absent_patterns=None):
         if not patterns:
             raise ValueError("BGPConstraint needs at least one pattern")
         for s, p, o in patterns:
@@ -83,6 +89,11 @@ class BGPConstraint:
             bound |= pvars
         if not seen_this:
             raise ValueError("no pattern binds $this")
+        if absent_patterns:
+            inner = BGPConstraint(absent_patterns, component)
+            self.absent = inner.patterns
+        else:
+            self.absent = None
         self.patterns = [tuple(p) for p in patterns]
         self.component = component
         self.message = message or f"BGP constraint {component} matched"
@@ -155,11 +166,11 @@ class BGPConstraint:
         return bucketed_block_apply(both, key, merge)
 
     # -- public surface ------------------------------------------------
-    def bindings(self, triples: rd.Dataset) -> tuple[rd.Dataset, list[str]]:
-        """Distributed solution bindings for the full pattern chain."""
+    def _chain(self, triples: rd.Dataset,
+               patterns) -> tuple[rd.Dataset, list[str]]:
         cur: rd.Dataset | None = None
         cur_cols: list[str] = []
-        for pattern in self.patterns:
+        for pattern in patterns:
             pvars = [t for t in (pattern[0], pattern[2]) if _is_var(t)]
             pvars = list(dict.fromkeys(pvars))
             cand = self._candidates(triples, pattern)
@@ -170,6 +181,11 @@ class BGPConstraint:
             cur = self._join(cur, cand, shared, cur_cols, pvars)
             cur_cols = sorted(set(cur_cols) | set(pvars))
         assert cur is not None
+        return cur, cur_cols
+
+    def bindings(self, triples: rd.Dataset) -> tuple[rd.Dataset, list[str]]:
+        """Distributed solution bindings for the full pattern chain."""
+        cur, cur_cols = self._chain(triples, self.patterns)
         if self.filter_fn is not None:
             fn = self.filter_fn
 
@@ -194,6 +210,39 @@ class BGPConstraint:
             lambda b: pa.table({"focus": b[THIS].cast(pa.string())}),
             batch_format="pyarrow")
             .groupby("focus").aggregate(Count(alias_name="_n")))
+
+        if self.absent is not None:
+            # FILTER NOT EXISTS: anti-join the distinct focus sets — one
+            # bucketed shuffle, the absent side only ships its focus col
+            import pandas as pd
+
+            from .discovery import bucketed_block_apply
+
+            ab, _ = self._chain(triples, self.absent)
+            ab_focus = (ab.map_batches(
+                lambda b: pa.table({"focus": b[THIS].cast(pa.string())}),
+                batch_format="pyarrow")
+                .groupby("focus").aggregate(Count(alias_name="_n")))
+
+            def tag(side: str):
+                def fn(b: pa.Table) -> pa.Table:
+                    return pa.table({
+                        "focus": b["focus"].cast(pa.string()),
+                        "_side": pa.array([side] * b.num_rows, pa.string())})
+                return fn
+
+            both = (focus.map_batches(tag("m"), batch_format="pyarrow")
+                    .union(ab_focus.map_batches(tag("a"),
+                                                batch_format="pyarrow")))
+
+            def anti(g: pd.DataFrame) -> pd.DataFrame:
+                drop = set(g.loc[g["_side"] == "a", "focus"])
+                keep = g.loc[(g["_side"] == "m") & ~g["focus"].isin(drop),
+                             ["focus"]]
+                return keep if len(keep) else pd.DataFrame(
+                    {"focus": pd.Series(dtype=object)})
+
+            focus = bucketed_block_apply(both, "focus", anti)
 
         fsets = (_focus_sets(members or {}, (self.target,))
                  if self.target is not None else None)

@@ -94,3 +94,22 @@ def test_bgp_three_pattern_chain():
         component=EX + "c#Sized",
         filter_fn=lambda df: df["?s"].astype(int) > 50)
     assert _focus(cc.violations(_ds_from_ttl_text(data))) == ["d3"]
+
+
+def test_bgp_not_exists_anti_join():
+    """NOT EXISTS: entities with a dist but no csv dist violate."""
+    cc = BGPConstraint(
+        patterns=[("$this", EX + "dist", "?d")],
+        absent_patterns=[("$this", EX + "dist", "?z"),
+                         ("?z", EX + "format", "text/csv")],
+        component=EX + "c#NoCsv")
+    # d2 has a csv dist → conforms; d1/d3/other have dists but no csv
+    assert _focus(cc.violations(_ds_from_ttl_text(DATA))) == \
+        ["d1", "d3", "other"]
+
+
+def test_bgp_not_exists_requires_this_in_absent():
+    with pytest.raises(ValueError, match="binds \\$this"):
+        BGPConstraint(patterns=[("$this", EX + "p", "?a")],
+                      absent_patterns=[("?x", EX + "q", "?y")],
+                      component=EX + "c#X")
