@@ -149,6 +149,15 @@ def q_watermark_filter(sf_dir: str):
         delay_s=86400).select_columns(["event_id", "user_id"])
 
 
+def q_asof_join(sf_dir: str):
+    """As-of join: each click joins the latest view at-or-before it per
+    user (custom §2.9 operator; DuckDB expresses it as a windowed
+    greatest-match join)."""
+    from ..stages import windows
+    return windows.asof_join(
+        R.t(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"]))
+
+
 def q_upsert_latest(sf_dir: str):
     from ..stages import windows
     return windows.upsert_latest(R.t(sf_dir, "events"))
@@ -450,6 +459,7 @@ QUERIES = {
     "sliding_window": q_sliding_window,
     "session_windows": q_session_windows,
     "upsert_latest": q_upsert_latest,
+    "asof_join": q_asof_join,
     "watermark_filter": q_watermark_filter,
     "stratified_sample": q_stratified_sample,
     "systematic_sample": q_systematic_sample,
@@ -616,6 +626,22 @@ WHERE n_tokens BETWEEN 20 AND 200
     "upsert_latest": """
         SELECT event_id, ts, user_id, event_type, value, props FROM events
         QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) = 1""",
+    # as-of: latest view at-or-before each click per user; ties on the
+    # timestamp break to max right event_id (the engine's tie-break)
+    "asof_join": """
+        WITH l AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us
+                   FROM events WHERE event_type = 'click'),
+        r AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us
+              FROM events WHERE event_type = 'view'),
+        pairs AS (SELECT l.event_id, l.user_id, l.ts_us,
+                         r.event_id AS right_event_id,
+                         l.ts_us - r.ts_us AS lag_us,
+                         row_number() OVER (PARTITION BY l.event_id
+                             ORDER BY r.ts_us DESC, r.event_id DESC) AS rn
+                  FROM l JOIN r ON l.user_id = r.user_id
+                              AND r.ts_us <= l.ts_us)
+        SELECT event_id, user_id, ts_us, right_event_id, lag_us
+        FROM pairs WHERE rn = 1""",
     "systematic_sample":
         "SELECT event_id, user_id, event_type FROM events WHERE event_id % 20 = 3",
     "stratified_sample": """

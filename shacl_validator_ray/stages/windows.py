@@ -155,3 +155,56 @@ def upsert_latest(events: rd.Dataset, key: str = "user_id",
         return g.sort_values(order_col).tail(1)
 
     return bucketed_groupby_apply(events, key, latest)
+
+
+def asof_join(events: rd.Dataset, left_type: str = "click",
+              right_type: str = "view", key: str = "user_id") -> rd.Dataset:
+    """As-of join — a custom operator Ray Data has no native form of
+    (§2.9): each LEFT-type event joins the most recent RIGHT-type event
+    of the same key at or before its timestamp (inner: unmatched left
+    rows drop). ONE bucketed shuffle on the key; inside each bucket a
+    single vectorized ``pandas.merge_asof`` handles every key at once
+    (``by=key``), so per-bucket work is O(n log n) sort + linear merge —
+    no per-key Python loop and no all-pairs blowup. Tie-break on equal
+    timestamps: max right event_id (deterministic).
+
+    Output: (event_id, user_id, ts_us, right_event_id, lag_us)."""
+    types = pa.array([left_type, right_type])
+
+    def project(b: pa.Table) -> pa.Table:
+        f = b.filter(pc.is_in(b["event_type"], value_set=types))
+        return pa.table({
+            "event_id": f["event_id"].cast(pa.int64()),
+            key: f[key].cast(pa.int64()),
+            "ts_us": f["ts"].cast(pa.timestamp("us")).cast(pa.int64()),
+            "event_type": f["event_type"].cast(pa.string())})
+
+    need = events.map_batches(project, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+    out_cols = ["event_id", key, "ts_us", "right_event_id", "lag_us"]
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        left = g.loc[g["event_type"] == left_type].sort_values(
+            ["ts_us", "event_id"])
+        right = g.loc[g["event_type"] == right_type].sort_values(
+            ["ts_us", "event_id"])
+        if not len(left) or not len(right):
+            return pd.DataFrame({c: pd.Series(dtype="int64")
+                                 for c in out_cols})
+        right = right.assign(r_ts_us=right["ts_us"])  # the on-column is
+        # consumed by merge_asof; keep the right timestamp for the lag
+        m = pd.merge_asof(left, right, on="ts_us", by=key,
+                          direction="backward", suffixes=("", "_r"))
+        m = m.dropna(subset=["event_id_r"])
+        return pd.DataFrame({
+            "event_id": m["event_id"].astype("int64"),
+            key: m[key].astype("int64"),
+            "ts_us": m["ts_us"].astype("int64"),
+            "right_event_id": m["event_id_r"].astype("int64"),
+            "lag_us": (m["ts_us"] - m["r_ts_us"]).astype("int64"),
+        })
+
+    from .discovery import bucketed_block_apply
+
+    return bucketed_block_apply(need, key, per_bucket)

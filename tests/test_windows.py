@@ -99,3 +99,27 @@ def test_rolling_fingerprint_deterministic():
     a = tf.rolling_fingerprint("Hello World")
     assert a == tf.rolling_fingerprint("  hello world  ")  # normalized
     assert a != tf.rolling_fingerprint("hello worlds")
+
+
+def test_asof_join_latest_view_per_click():
+    """Each click joins the most recent view at-or-before it per user;
+    exact-timestamp ties break to the max right event_id; clicks with no
+    prior view drop (inner)."""
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+
+    def ev(eid, mins, uid, typ):
+        rows.append({"event_id": eid, "ts": base + dt.timedelta(minutes=mins),
+                     "user_id": uid, "event_type": typ})
+
+    ev(1, 0, 1, "view"); ev(2, 5, 1, "view"); ev(3, 10, 1, "click")
+    ev(4, 20, 1, "click")          # both clicks see view 2
+    ev(5, 0, 2, "click")           # no prior view → dropped
+    ev(6, 30, 2, "view"); ev(7, 30, 2, "view")  # tie: same ts
+    ev(8, 30, 2, "click")          # exact-match tie → view 7 (max id)
+    out = windows.asof_join(rd.from_arrow(pa.Table.from_pylist(rows)))
+    got = {r["event_id"]: (r["right_event_id"], r["lag_us"])
+           for r in out.to_pandas().to_dict("records")}
+    assert got == {3: (2, 5 * 60 * 1_000_000),
+                   4: (2, 15 * 60 * 1_000_000),
+                   8: (7, 0)}, got
