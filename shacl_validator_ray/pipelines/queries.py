@@ -158,6 +158,27 @@ def q_asof_join(sf_dir: str):
         R.t(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"]))
 
 
+def q_interval_join(sf_dir: str):
+    """Range join: every event joined back to the session window that
+    contains it (sessions from session_windows — non-overlapping per
+    user, the operator's documented partitioning assumption)."""
+    import pyarrow as pa
+
+    from ..stages import windows
+
+    ev = R.t(sf_dir, "events", ["event_id", "user_id", "ts"])
+    points = ev.map_batches(
+        lambda b: pa.table({
+            "event_id": b["event_id"].cast(pa.int64()),
+            "user_id": b["user_id"].cast(pa.int64()),
+            "ts_s": pa.compute.divide(b["ts"].cast(pa.int64()),
+                                      1_000_000).cast(pa.int64())}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    sessions = windows.session_windows(
+        R.t(sf_dir, "events", ["user_id", "ts", "event_id"]))
+    return windows.interval_join(points, sessions)
+
+
 def q_upsert_latest(sf_dir: str):
     from ..stages import windows
     return windows.upsert_latest(R.t(sf_dir, "events"))
@@ -460,6 +481,7 @@ QUERIES = {
     "session_windows": q_session_windows,
     "upsert_latest": q_upsert_latest,
     "asof_join": q_asof_join,
+    "interval_join": q_interval_join,
     "watermark_filter": q_watermark_filter,
     "stratified_sample": q_stratified_sample,
     "systematic_sample": q_systematic_sample,
@@ -626,6 +648,25 @@ WHERE n_tokens BETWEEN 20 AND 200
     "upsert_latest": """
         SELECT event_id, ts, user_id, event_type, value, props FROM events
         QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) = 1""",
+    # range join: events → containing session window (sessions as in
+    # the session_windows oracle; containment on floored epoch seconds)
+    "interval_join": """
+        WITH e AS (SELECT user_id, event_id, ts, floor(epoch(ts))::BIGINT AS ts_s
+                   FROM events),
+        g AS (SELECT *, CASE WHEN lag(ts_s) OVER w IS NULL
+                             OR ts_s - lag(ts_s) OVER w > 1800
+                        THEN 1 ELSE 0 END AS brk
+              FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        s AS (SELECT *, (sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                        ROWS UNBOUNDED PRECEDING))::BIGINT AS sid
+              FROM g),
+        sess AS (SELECT user_id, sid, min(ts_s) AS session_start,
+                        max(ts_s) AS session_end
+                 FROM s GROUP BY user_id, sid)
+        SELECT e.event_id, e.user_id, e.ts_s, sess.sid
+        FROM e JOIN sess ON e.user_id = sess.user_id
+                        AND e.ts_s BETWEEN sess.session_start
+                                       AND sess.session_end""",
     # as-of: latest view at-or-before each click per user; ties on the
     # timestamp break to max right event_id (the engine's tie-break)
     "asof_join": """

@@ -208,3 +208,53 @@ def asof_join(events: rd.Dataset, left_type: str = "click",
     from .discovery import bucketed_block_apply
 
     return bucketed_block_apply(need, key, per_bucket)
+
+
+def interval_join(points: rd.Dataset, intervals: rd.Dataset,
+                  key: str = "user_id", ts_col: str = "ts_s",
+                  point_id: str = "event_id", interval_id: str = "sid",
+                  start_col: str = "session_start",
+                  end_col: str = "session_end") -> rd.Dataset:
+    """Range/interval join — each point row joins the per-key interval
+    containing its timestamp (inner; unmatched points drop). PARTITIONING
+    ASSUMPTION: intervals are NON-OVERLAPPING per key (sessions, windows,
+    validity ranges) — containment is then equivalent to "latest interval
+    start at-or-before ts whose end covers ts", so ONE bucketed shuffle
+    on the key + a single vectorized ``merge_asof`` per bucket resolves
+    every key at once. No per-key loop, no point×interval blowup.
+
+    Output: (point_id, key, ts_col, interval_id)."""
+    p_cols = [point_id, key, ts_col]
+    i_cols = [key, interval_id, start_col, end_col]
+    all_cols = [point_id, key, ts_col, interval_id, start_col, end_col]
+
+    def tag(side: str, cols: list[str]):
+        def fn(b: pa.Table) -> pa.Table:
+            arrays = {"_side": pa.array([side] * b.num_rows, pa.string())}
+            for c in all_cols:
+                arrays[c] = (b[c].cast(pa.int64()) if c in cols
+                             else pa.nulls(b.num_rows, pa.int64()))
+            return pa.table(arrays)
+        return fn
+
+    both = (points.map_batches(tag("p", p_cols), batch_format="pyarrow")
+            .union(intervals.map_batches(tag("i", i_cols),
+                                         batch_format="pyarrow")))
+
+    out_cols = [point_id, key, ts_col, interval_id]
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        pts = g.loc[g["_side"] == "p", p_cols].sort_values([ts_col, point_id])
+        ivs = g.loc[g["_side"] == "i", i_cols].sort_values([start_col])
+        if not len(pts) or not len(ivs):
+            return pd.DataFrame({c: pd.Series(dtype="int64")
+                                 for c in out_cols})
+        m = pd.merge_asof(pts, ivs, left_on=ts_col, right_on=start_col,
+                          by=key, direction="backward")
+        m = m.dropna(subset=[interval_id])
+        m = m.loc[m[ts_col] <= m[end_col]]
+        return pd.DataFrame({c: m[c].astype("int64") for c in out_cols})
+
+    from .discovery import bucketed_block_apply
+
+    return bucketed_block_apply(both, key, per_bucket)

@@ -123,3 +123,21 @@ def test_asof_join_latest_view_per_click():
     assert got == {3: (2, 5 * 60 * 1_000_000),
                    4: (2, 15 * 60 * 1_000_000),
                    8: (7, 0)}, got
+
+
+def test_interval_join_points_to_containing_interval():
+    """Points join the per-key interval containing their ts; points
+    outside every interval drop; keys without intervals drop."""
+    pts = rd.from_arrow(pa.Table.from_pylist([
+        {"event_id": 1, "user_id": 1, "ts_s": 5},
+        {"event_id": 2, "user_id": 1, "ts_s": 25},   # gap → drops
+        {"event_id": 3, "user_id": 1, "ts_s": 35},
+        {"event_id": 4, "user_id": 2, "ts_s": 5},    # no intervals → drops
+    ]))
+    ivs = rd.from_arrow(pa.Table.from_pylist([
+        {"user_id": 1, "sid": 1, "session_start": 0, "session_end": 10},
+        {"user_id": 1, "sid": 2, "session_start": 30, "session_end": 40},
+    ]))
+    out = windows.interval_join(pts, ivs)
+    got = {r["event_id"]: r["sid"] for r in out.to_pandas().to_dict("records")}
+    assert got == {1: 1, 3: 2}, got
