@@ -53,3 +53,71 @@ def language_id(docs: rd.Dataset, id_col: str = "doc_id", text_col: str = "text"
             "pred_lang": pa.array([tf.lang_id(t or "") for t in texts], pa.string()),
         })
     return docs.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def sequence_pack(docs: rd.Dataset, seq_len: int = 2048,
+                  range_bucket: int = 500, id_col: str = "doc_id",
+                  text_col: str = "text") -> rd.Dataset:
+    """Sequence packing for LLM pretraining: assign each document a
+    global token offset in doc_id order and the id of the fixed-length
+    pack its first token lands in (``pack_id = offset // seq_len``).
+
+    The global prefix sum is the classic two-phase DISTRIBUTED scan —
+    nothing order-dependent ever sits on one worker:
+
+    1. one pass emits (range_bucket(doc), n_tokens) and reduces to
+       per-bucket token sums (a groupby whose cardinality is
+       n_docs / range_bucket — bucket-level, not doc-level);
+    2. the driver prefix-sums only that small bucket table and
+       broadcasts the per-bucket starting offsets;
+    3. a second pass sorts WITHIN each bucket (bounded work per group)
+       and adds the broadcast base offset.
+
+    Assumes lexicographic doc_id order == intended corpus order (the
+    synthetic ids are zero-padded). Output: (doc_id, n_tokens,
+    token_offset, pack_id)."""
+    import numpy as np
+    import ray
+    from ray.data.aggregate import Sum
+
+    from ..functions import textfns as tf_
+    from .discovery import bucketed_groupby_apply
+
+    def with_counts(b: pa.Table) -> pa.Table:
+        texts = b.column(text_col).to_pylist()
+        ids = b.column(id_col).to_pylist()
+        # range bucket from the numeric doc suffix: contiguous doc-id
+        # ranges share a bucket, so within-bucket sort is a local sort
+        nums = [int(str(d).rsplit("-", 1)[-1]) for d in ids]
+        return pa.table({
+            id_col: b.column(id_col).cast(pa.string()),
+            "_rb": pa.array([n // range_bucket for n in nums], pa.int64()),
+            "n_tokens": pa.array([tf_.token_count(t or "") for t in texts],
+                                 pa.int64())})
+
+    counted = docs.map_batches(with_counts, batch_format="pyarrow",
+                               zero_copy_batch=True).materialize()
+
+    # phase 1: per-bucket sums → driver-side prefix over the SMALL table
+    sums = counted.groupby("_rb").aggregate(
+        Sum("n_tokens", alias_name="bucket_tokens")).to_pandas()
+    sums = sums.sort_values("_rb").reset_index(drop=True)
+    base = dict(zip(sums["_rb"],
+                    sums["bucket_tokens"].cumsum() - sums["bucket_tokens"]))
+    base_ref = ray.put(base)
+
+    # phase 2: within-bucket ordered cumsum + broadcast base offset
+    def pack_bucket(g):
+        import pandas as pd
+
+        base_ = ray.get(base_ref)
+        g = g.sort_values(id_col)
+        off = (g["n_tokens"].cumsum() - g["n_tokens"]
+               + base_[g["_rb"].iloc[0]])
+        return pd.DataFrame({
+            id_col: g[id_col],
+            "n_tokens": g["n_tokens"].astype("int64"),
+            "token_offset": off.astype("int64"),
+            "pack_id": (off // seq_len).astype("int64")})
+
+    return bucketed_groupby_apply(counted, "_rb", pack_bucket)
