@@ -60,6 +60,13 @@ def q_lang_id(sf_dir: str):
     return text.language_id(_docs(sf_dir))
 
 
+def q_sequence_pack(sf_dir: str):
+    """LLM-pretraining sequence packing: global token offsets in corpus
+    order via a two-phase distributed prefix sum + pack assignment."""
+    from ..stages import text
+    return text.sequence_pack(_docs(sf_dir), seq_len=2048)
+
+
 # ---- dedup family ----
 
 def q_exact_dedup(sf_dir: str):
@@ -462,6 +469,7 @@ QUERIES = {
     "token_counts": q_token_counts,
     "quality_counts": q_quality_counts,
     "fingerprints": q_fingerprints,
+    "sequence_pack": q_sequence_pack,
     "lang_id": q_lang_id,
     # dedup family
     "exact_dedup": q_exact_dedup,
@@ -599,6 +607,20 @@ ORACLE_SQL = {
         FROM q""",
     "fingerprints":
         "SELECT doc_id, md5(lower(trim(text))) AS fp FROM documents",
+    # prefix-sum pack assignment: offset = running token total BEFORE
+    # the doc (corpus order = doc_id order); pack = offset // seq_len
+    "sequence_pack": r"""
+        WITH t AS (SELECT doc_id,
+                          length(regexp_extract_all(text, '\S+'))::BIGINT AS n_tokens
+                   FROM documents),
+        c AS (SELECT doc_id, n_tokens,
+                     (sum(n_tokens) OVER (ORDER BY doc_id
+                                          ROWS UNBOUNDED PRECEDING)
+                      - n_tokens)::BIGINT AS token_offset
+              FROM t)
+        SELECT doc_id, n_tokens, token_offset,
+               (token_offset // 2048)::BIGINT AS pack_id
+        FROM c""",
     "exact_dedup":
         "SELECT doc_id, text, lang, source, n_chars FROM documents",
     "jaccard_dups": _JACCARD_PAIRS_SQL,

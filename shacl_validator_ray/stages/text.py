@@ -90,7 +90,8 @@ def sequence_pack(docs: rd.Dataset, seq_len: int = 2048,
         # ranges share a bucket, so within-bucket sort is a local sort
         nums = [int(str(d).rsplit("-", 1)[-1]) for d in ids]
         return pa.table({
-            id_col: b.column(id_col).cast(pa.string()),
+            id_col: b.column(id_col),
+            "_num": pa.array(nums, pa.int64()),
             "_rb": pa.array([n // range_bucket for n in nums], pa.int64()),
             "n_tokens": pa.array([tf_.token_count(t or "") for t in texts],
                                  pa.int64())})
@@ -111,7 +112,7 @@ def sequence_pack(docs: rd.Dataset, seq_len: int = 2048,
         import pandas as pd
 
         base_ = ray.get(base_ref)
-        g = g.sort_values(id_col)
+        g = g.sort_values("_num")
         off = (g["n_tokens"].cumsum() - g["n_tokens"]
                + base_[g["_rb"].iloc[0]])
         return pd.DataFrame({

@@ -194,3 +194,39 @@ def test_quantile_sketch_rank_error_bound():
         assert abs(rank - q) < 0.01, (q, est, rank)
     # determinism: same input → same estimates
     assert got == sketch.approx_quantiles(ds, "v", [0.1, 0.5, 0.9, 0.99])
+
+
+def test_sequence_pack_exact_prefix_sum_and_partition_invariance():
+    """sequence_pack's two-phase distributed prefix sum must equal the
+    single-threaded cumulative sum in corpus order, regardless of input
+    partitioning (the bucket-offset broadcast is the only coupling)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from shacl_validator_ray.stages import text as text_mod
+
+    docs, _, _m = synth.make_corpus_tables(120)
+    # spans → a text column like the driver documents table
+    texts = [" ".join(s["text"] for s in spans if s["kind"] == "text")
+             for spans in docs["spans"].to_pylist()]
+    import pyarrow as pa
+    tbl = pa.table({"doc_id": docs["doc_id"], "text": texts})
+
+    expect = pd.DataFrame({
+        "doc_id": tbl["doc_id"].to_pylist(),
+        "n_tokens": [len(t.split()) for t in texts]})
+    expect = expect.sort_values("doc_id").reset_index(drop=True)
+    expect["token_offset"] = expect["n_tokens"].cumsum() - expect["n_tokens"]
+    expect["pack_id"] = expect["token_offset"] // 512
+
+    for parts in (1, 7):
+        got = (text_mod.sequence_pack(
+            rd.from_arrow(tbl).repartition(parts), seq_len=512,
+            range_bucket=16)
+            .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        pd.testing.assert_frame_equal(
+            got[["doc_id", "n_tokens", "token_offset", "pack_id"]]
+            .astype({"n_tokens": "int64", "token_offset": "int64",
+                     "pack_id": "int64"}),
+            expect.astype({"n_tokens": "int64", "token_offset": "int64",
+                           "pack_id": "int64"}))
