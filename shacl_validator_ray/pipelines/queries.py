@@ -67,6 +67,12 @@ def q_sequence_pack(sf_dir: str):
     return text.sequence_pack(_docs(sf_dir), seq_len=2048)
 
 
+def q_contamination(sf_dir: str):
+    """Train/eval decontamination: 8-gram overlap vs the eval split."""
+    from ..stages import text
+    return text.contamination(_docs(sf_dir), eval_mod=10)
+
+
 # ---- dedup family ----
 
 def q_exact_dedup(sf_dir: str):
@@ -470,6 +476,7 @@ QUERIES = {
     "quality_counts": q_quality_counts,
     "fingerprints": q_fingerprints,
     "sequence_pack": q_sequence_pack,
+    "contamination": q_contamination,
     "lang_id": q_lang_id,
     # dedup family
     "exact_dedup": q_exact_dedup,
@@ -607,6 +614,20 @@ ORACLE_SQL = {
         FROM q""",
     "fingerprints":
         "SELECT doc_id, md5(lower(trim(text))) AS fp FROM documents",
+    # 8-gram overlap vs the eval split (doc_id % 10 == 0); distinct
+    # grams per doc, counted per training doc
+    "contamination": """
+        WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ws
+                      FROM documents),
+        grams AS (SELECT doc_id, array_to_string(ws[i:i+7], ' ') AS g
+                  FROM toks CROSS JOIN range(1, 2000) t(i)
+                  WHERE i + 7 <= len(ws)
+                  GROUP BY doc_id, g),
+        ev AS (SELECT DISTINCT g FROM grams WHERE doc_id % 10 = 0),
+        hits AS (SELECT g.doc_id, count(*) AS n_hits
+                 FROM grams g JOIN ev ON g.g = ev.g
+                 WHERE g.doc_id % 10 != 0 GROUP BY g.doc_id)
+        SELECT doc_id, n_hits FROM hits""",
     # prefix-sum pack assignment: offset = running token total BEFORE
     # the doc (corpus order = doc_id order); pack = offset // seq_len
     "sequence_pack": r"""

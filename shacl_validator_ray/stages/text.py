@@ -122,3 +122,59 @@ def sequence_pack(docs: rd.Dataset, seq_len: int = 2048,
             "pack_id": (off // seq_len).astype("int64")})
 
     return bucketed_groupby_apply(counted, "_rb", pack_bucket)
+
+
+def contamination(docs: rd.Dataset, eval_mod: int = 50, n: int = 8,
+                  id_col: str = "doc_id",
+                  text_col: str = "text") -> rd.Dataset:
+    """Train/eval DECONTAMINATION: flag training documents sharing any
+    word n-gram (default n=8, the GPT-3-style overlap rule) with the
+    eval split. Here the eval split is ``doc number % eval_mod == 0``;
+    a production run passes explicit eval ids the same way.
+
+    Architecture: eval sets are FIXED-SIZE regardless of corpus scale,
+    so the eval n-gram set is collected once and broadcast via
+    ``ray.put`` (never a shuffle join against the full corpus); the
+    training-side scan is one per-batch set intersection. Output:
+    (doc_id, n_hits) for contaminated non-eval docs — n_hits = distinct
+    overlapping n-grams."""
+    import ray
+
+    def doc_num(d) -> int:
+        return int(str(d).rsplit("-", 1)[-1])
+
+    def grams_of(text: str) -> set:
+        toks = (text or "").split()
+        return {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+
+    def eval_gram_rows(b: pa.Table) -> pa.Table:
+        out = set()
+        for d, t in zip(b.column(id_col).to_pylist(),
+                        b.column(text_col).to_pylist()):
+            if doc_num(d) % eval_mod == 0:
+                out |= grams_of(t)
+        return pa.table({"g": pa.array(sorted(out), pa.string())})
+
+    ev = set()
+    for b in docs.map_batches(eval_gram_rows, batch_format="pyarrow",
+                              zero_copy_batch=True).iter_batches(
+                                  batch_format="pyarrow"):
+        ev.update(b["g"].to_pylist())
+    ev_ref = ray.put(frozenset(ev))
+
+    def scan(b: pa.Table) -> pa.Table:
+        ev_ = ray.get(ev_ref)
+        ids, hits = [], []
+        for d, t in zip(b.column(id_col).to_pylist(),
+                        b.column(text_col).to_pylist()):
+            if doc_num(d) % eval_mod == 0:
+                continue
+            k = len(grams_of(t) & ev_)
+            if k:
+                ids.append(d)
+                hits.append(k)
+        return pa.table({id_col: pa.array(ids, b.column(id_col).type),
+                         "n_hits": pa.array(hits, pa.int64())})
+
+    return docs.map_batches(scan, batch_format="pyarrow",
+                            zero_copy_batch=True)

@@ -230,3 +230,30 @@ def test_sequence_pack_exact_prefix_sum_and_partition_invariance():
                      "pack_id": "int64"}),
             expect.astype({"n_tokens": "int64", "token_offset": "int64",
                            "pack_id": "int64"}))
+
+
+def test_contamination_flags_planted_ngram_overlap():
+    """A training doc sharing an 8-gram with an eval doc is flagged with
+    the exact distinct-overlap count; eval docs and clean docs are not."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from shacl_validator_ray.stages import text as text_mod
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    docs = pa.table({
+        "doc_id": [0, 1, 2, 3],
+        "text": [
+            f"{shared} iota kappa",          # eval doc (0 % 2 == 0... use mod 4)
+            f"prefix {shared} suffix",        # contaminated (1 shared 8-gram... plus shifted)
+            "totally different words here with no overlap at all",
+            f"{shared} iota kappa",           # exact dup of eval doc
+        ]})
+    out = text_mod.contamination(rd.from_arrow(docs), eval_mod=4, n=8)
+    got = {r["doc_id"]: r["n_hits"] for r in out.to_pandas().to_dict("records")}
+    # doc 0 is eval (0 % 4 == 0); doc 3 duplicates it entirely: its
+    # 8-grams are {shared, shared[1:]+iota, shared[2:]+iota kappa} = 3
+    assert got[3] == 3
+    # doc 1 contains `shared` as its only overlapping 8-gram
+    assert got[1] == 1
+    assert 2 not in got and 0 not in got
