@@ -297,11 +297,18 @@ _SEQ_EDGE_SCHEMA = pa.schema([pa.field("src", pa.string()),
 
 def _seq_rows(triples: rd.Dataset, path_str: str, preds: tuple[str, ...],
               num_partitions: int) -> rd.Dataset:
-    """Derived rows for a sequence path: fold a distributed self-join over
-    the predicate chain; output rows are TRIPLES-schema with the virtual
-    predicate ``path_str`` (lineage columns from the FINAL step). Each
-    join side is pinned and empty-checked first — Ray's JoinOperator
-    mis-resolves key fields when a side contributes no blocks."""
+    """Derived rows for a sequence path: fold a distributed join over the
+    predicate chain; output rows are TRIPLES-schema with the virtual
+    predicate ``path_str`` (lineage columns from the FINAL step). Joins
+    use the engine's union-tag + bucketed-merge formulation (discovery
+    J1) — one shuffle per step on the single join key, no native
+    JoinOperator spin-up (which also mis-resolves key fields when a side
+    is itself a join output). IRIs/blank labels are non-empty, so "" is
+    a safe side sentinel."""
+    import pandas as pd
+
+    from .discovery import bucketed_block_apply
+
     def empty_triples() -> rd.Dataset:
         return rd.from_arrow(S.TRIPLES.empty_table())
 
@@ -315,44 +322,75 @@ def _seq_rows(triples: rd.Dataset, path_str: str, preds: tuple[str, ...],
     if cur.count() == 0:
         return empty_triples()
 
+    def hop_merge(g: pd.DataFrame) -> pd.DataFrame:
+        ls = g.loc[g["src"] != "", ["mid", "src"]]
+        rs = g.loc[g["src"] == "", ["mid", "nxt"]]
+        m = ls.merge(rs, on="mid")
+        if not len(m):
+            return pd.DataFrame({"src": pd.Series(dtype=object),
+                                 "mid": pd.Series(dtype=object)})
+        return pd.DataFrame({"src": m["src"], "mid": m["nxt"]})
+
     for step in preds[1:-1]:
         nxt = triples.map_batches(
             lambda b, p0=step: pa.table({
                 "mid": (f := b.filter(pc.equal(b["pred"], p0)))["subj"].cast(
                     pa.string()),
+                "src": pa.nulls(f.num_rows, pa.string()).fill_null(""),
                 "nxt": f["obj_value"].cast(pa.string())}),
-            batch_format="pyarrow", zero_copy_batch=True).materialize()
-        if nxt.count() == 0:
-            return empty_triples()
-        # materialized between joins: chained hash-join operators in one
-        # streaming execution thrash on small clusters (see dedup.py)
-        cur = (cur.join(nxt, "inner", num_partitions, on=("mid",))
+            batch_format="pyarrow", zero_copy_batch=True)
+        cur_tagged = cur.map_batches(
+            lambda b: pa.table({
+                "mid": b["mid"], "src": b["src"],
+                "nxt": pa.nulls(b.num_rows, pa.string()).fill_null("")}),
+            batch_format="pyarrow")
+        cur = (bucketed_block_apply(cur_tagged.union(nxt), "mid", hop_merge,
+                                    n_buckets=num_partitions)
                .map_batches(lambda b: pa.table({
                    "src": b["src"].cast(pa.string()),
-                   "mid": b["nxt"].cast(pa.string())},
-                   schema=_SEQ_EDGE_SCHEMA),
+                   "mid": b["mid"].cast(pa.string())},
+                   schema=_SEQ_EDGE_SCHEMA)
+                   if b.num_rows else _SEQ_EDGE_SCHEMA.empty_table(),
                    batch_format="pyarrow").materialize())
         if cur.count() == 0:
             return empty_triples()
 
+    obj_cols = ["obj_kind", "obj_value", "obj_datatype", "obj_lang",
+                "doc_id", "span_idx"]
+    _t = {c: (pa.int32() if c == "span_idx" else pa.string())
+          for c in obj_cols}
     last_pred = preds[-1]
     final = triples.map_batches(
-        lambda b, p0=last_pred: (f := b.filter(pc.equal(b["pred"], p0))).select(
-            ["subj", "obj_kind", "obj_value", "obj_datatype", "obj_lang",
-             "doc_id", "span_idx"]).rename_columns(
-            ["mid", "obj_kind", "obj_value", "obj_datatype", "obj_lang",
-             "doc_id", "span_idx"]),
-        batch_format="pyarrow", zero_copy_batch=True).materialize()
-    if final.count() == 0:
-        return empty_triples()
-    joined = cur.join(final, "inner", num_partitions, on=("mid",))
-    return joined.map_batches(
+        lambda b, p0=last_pred: pa.table({
+            "mid": (f := b.filter(pc.equal(b["pred"], p0)))["subj"].cast(
+                pa.string()),
+            "src": pa.nulls(f.num_rows, pa.string()).fill_null(""),
+            **{c: f[c].cast(_t[c]) for c in obj_cols}}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    cur_tagged = cur.map_batches(
         lambda b: pa.table({
-            "subj": b["src"],
-            "pred": pa.array([path_str] * b.num_rows, pa.string()),
-            "obj_kind": b["obj_kind"], "obj_value": b["obj_value"],
-            "obj_datatype": b["obj_datatype"], "obj_lang": b["obj_lang"],
-            "doc_id": b["doc_id"], "span_idx": b["span_idx"]}),
+            "mid": b["mid"], "src": b["src"],
+            **{c: pa.nulls(b.num_rows, _t[c]).fill_null(
+                0 if c == "span_idx" else "") for c in obj_cols}}),
+        batch_format="pyarrow")
+
+    def final_merge(g: pd.DataFrame) -> pd.DataFrame:
+        ls = g.loc[g["src"] != "", ["mid", "src"]]
+        rs = g.loc[g["src"] == ""].drop(columns=["src"])
+        m = ls.merge(rs, on="mid")
+        out = m.rename(columns={"src": "subj"}).drop(columns=["mid"])
+        out.insert(1, "pred", path_str)
+        cols = ["subj", "pred"] + obj_cols
+        return out[cols] if len(out) else pd.DataFrame(
+            {c: pd.Series(dtype=object) for c in cols})
+
+    return bucketed_block_apply(cur_tagged.union(final), "mid", final_merge,
+                                n_buckets=num_partitions).map_batches(
+        lambda b: pa.table(
+            {"subj": b["subj"].cast(pa.string()),
+             "pred": b["pred"].cast(pa.string()),
+             **{c: b[c].cast(_t[c]) for c in obj_cols}}, schema=S.TRIPLES)
+        if b.num_rows else S.TRIPLES.empty_table(),
         batch_format="pyarrow")
 
 
@@ -629,8 +667,15 @@ def augment_paths(triples: rd.Dataset,
     for d in derived[1:]:
         out = out.union(d)
     # dedup: a path value reachable via two intermediates (or two
-    # alternatives) is ONE value node, not two
-    return dedup_triples(out).materialize()
+    # alternatives) is ONE value node, not two. Derived rows arrive as
+    # many small pandas blocks (bucketed-merge outputs) — coalesce before
+    # the dedup shuffle (sort cost is per input-block × partition)
+    coalesce = max(8, io_mod.shuffle_buckets() // 4)
+    # identity arrow map first: repartition's block builder refuses a
+    # union of Arrow-map and pandas-map_groups blocks
+    out = out.map_batches(lambda b: b, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    return dedup_triples(out.repartition(coalesce)).materialize()
 
 
 _STATE_CACHE: dict = {}
@@ -1293,16 +1338,38 @@ def validate(triples: rd.Dataset, shapes_ttl: str, *, deduped: bool = False,
     """
     from ray.data.dataset import MaterializedDataset
 
+    import os as _os
+    import time as _time
+
+    _t0 = _time.time()
+
+    def _mark(label: str) -> None:
+        # phase timing to stderr when SVR_TIMING=1 (perf forensics only)
+        nonlocal _t0
+        if _os.environ.get("SVR_TIMING"):
+            import sys as _sys
+
+            now = _time.time()
+            print(f"[validate] {label}: {now - _t0:.2f}s", file=_sys.stderr)
+            _t0 = now
+
     compiled = shapes_mod.compile_shapes(shapes_ttl)
     if not deduped:
         triples = dedup_triples(triples)
     if not isinstance(triples, MaterializedDataset):
         triples = triples.materialize()
 
+    _mark("dedup+pin")
     # derived virtual-predicate rows for sequence/alternative paths
     derived = augment_paths(triples, compiled)
-    eval_triples = triples.union(derived) if derived is not None else triples
+    # pinned like the deduped set: FIVE consumers (membership scan,
+    # nodeval scans, fused pass, pair shuffle, phase-2 candidates) each
+    # re-drive the union otherwise — at 100 TB this materialization is
+    # the path-augmented checkpoint next to the dedup checkpoint
+    eval_triples = (triples.union(derived).materialize()
+                    if derived is not None else triples)
 
+    _mark("augment_paths")
     # membership scans run over the PATH-AUGMENTED set so subjects_of /
     # objects_of targets on virtual path predicates resolve too. Past
     # DISTRIBUTED_MEMBERS_THRESHOLD triples the fully mergeable collector
@@ -1315,6 +1382,7 @@ def validate(triples: rd.Dataset, shapes_ttl: str, *, deduped: bool = False,
                else collect_members(eval_triples, compiled,
                                     bloom_threshold=bloom_threshold))
 
+    _mark("collect_members")
     # sh:node: the derived shapes' focus sets are the referencing
     # property shapes' VALUE-node sets — values of p.path whose subject
     # is in the parent shape's focus. One distributed scan + distinct
@@ -1354,6 +1422,7 @@ def validate(triples: rd.Dataset, shapes_ttl: str, *, deduped: bool = False,
                 vals.update(b["val"].to_pylist())
             members[f"nodeval:{p.iri}"] = vals
 
+    _mark("nodeval")
     members_ref = ray.put(members)
 
     # Stateless task pools + a per-worker-process compile cache (see
@@ -1372,6 +1441,7 @@ def validate(triples: rd.Dataset, shapes_ttl: str, *, deduped: bool = False,
     kw = {"concurrency": concurrency} if isinstance(concurrency, int) else {}
     fused = eval_triples.map_batches(fused_fn, batch_format="pyarrow",
                                      batch_size=batch_size, **kw).materialize()
+    _mark("fused")
     viol_cols = [f.name for f in S.VIOLATIONS]
     card_cols = [f.name for f in _CARD_SCHEMA]
     value_viols = fused.map_batches(
@@ -1435,11 +1505,38 @@ def validate(triples: rd.Dataset, shapes_ttl: str, *, deduped: bool = False,
         card_rows = card_rows.union(
             nv.map_batches(req_rows, batch_format="pyarrow"))
 
-    counts = card_rows.groupby(["subj", "shape_idx", "kind"]).aggregate(
-        Max("req_min", alias_name="req_min"),
-        Max("req_max", alias_name="req_max"),
-        Sum("n", alias_name="n"),
-    )
+    # ONE int32-bucket shuffle keyed by subject hash + in-bucket pandas
+    # aggregation — Ray's sort-based 3-column groupby on (string subj,
+    # idx, kind) costs ~10× this formulation at 700k card rows (the
+    # dedup_triples trick applied to the cardinality reduce)
+    from ..sources import io as io_mod
+
+    card_buckets = io_mod.shuffle_buckets()
+
+    def add_card_bucket(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return b.append_column("_bucket", pa.array([], pa.int32()))
+        return b.append_column(
+            "_bucket", io_mod.hash_bucket_column(b["subj"], card_buckets))
+
+    def reduce_bucket(g):
+        import pandas as pd
+
+        out = (g.groupby(["subj", "shape_idx", "kind"], sort=False)
+               .agg(req_min=("req_min", "max"), req_max=("req_max", "max"),
+                    n=("n", "sum")).reset_index())
+        return out if len(out) else pd.DataFrame({
+            "subj": pd.Series(dtype=object),
+            "shape_idx": pd.Series(dtype="int32"),
+            "kind": pd.Series(dtype="int32"),
+            "req_min": pd.Series(dtype="int32"),
+            "req_max": pd.Series(dtype="int32"),
+            "n": pd.Series(dtype="int64")})
+
+    counts = (card_rows.map_batches(add_card_bucket, batch_format="pyarrow",
+                                    zero_copy_batch=True)
+              .groupby("_bucket").map_groups(reduce_bucket,
+                                             batch_format="pandas"))
 
     pshapes = {idx: p for _, p, idx in compiled.property_shapes()}
     pages = compiled.foaf_pages()
@@ -1488,6 +1585,7 @@ def validate(triples: rd.Dataset, shapes_ttl: str, *, deduped: bool = False,
     card_viols = counts.map_batches(card_violations, batch_format="pyarrow")
     out = value_viols.union(card_viols)
 
+    _mark("card_pipeline_built")
     pair_viols = pair_constraint_violations(eval_triples, compiled, members)
     if pair_viols is not None:
         out = out.union(pair_viols)
@@ -1507,6 +1605,7 @@ def validate(triples: rd.Dataset, shapes_ttl: str, *, deduped: bool = False,
         from .discovery import bucketed_block_apply
 
         out = out.materialize()
+        _mark("phase2_out_materialize")
         pref_list = sorted((p.iri, f"{p.iri}::node::") for _, p in node_refs)
 
         def failed_rows(b: pa.Table) -> pa.Table:
@@ -1522,10 +1621,19 @@ def validate(triples: rd.Dataset, shapes_ttl: str, *, deduped: bool = False,
             return pa.table({"parent": pa.array([], pa.string()),
                              "val": pa.array([], pa.string())})
 
+        from ..sources import io as io_mod
+
+        # Ray's sort-based groupby pays a fixed cost per (input block ×
+        # output partition); violations arrive as many small blocks, so
+        # coalesce first — the repartition target scales with the
+        # cluster (shuffle_buckets), keeping real-scale parallelism
+        coalesce = max(8, io_mod.shuffle_buckets() // 4)
         bad = (out.map_batches(failed_rows, batch_format="pyarrow",
                                zero_copy_batch=True)
+               .repartition(coalesce)
                .groupby(["parent", "val"]).aggregate(Count(alias_name="_n"))
                .materialize())
+        _mark("phase2_bad")
         if bad.count():
             # small per-parent metadata broadcast (shape-sized)
             comp = ns.SH + "NodeConstraintComponent"
@@ -1586,8 +1694,12 @@ def validate(triples: rd.Dataset, shapes_ttl: str, *, deduped: bool = False,
                                   "val": pd.Series(dtype=object),
                                   "subj": pd.Series(dtype=object)})
 
-            matched = bucketed_block_apply(cand.union(bad_tagged), "val",
-                                           join_bucket)
+            matched = bucketed_block_apply(
+                cand.union(bad_tagged)
+                .map_batches(lambda b: b, batch_format="pyarrow",
+                             zero_copy_batch=True)
+                .repartition(coalesce), "val",
+                join_bucket)
 
             def to_parent_viol(b: pa.Table) -> pa.Table:
                 meta_ = ray.get(mref)
@@ -1607,6 +1719,7 @@ def validate(triples: rd.Dataset, shapes_ttl: str, *, deduped: bool = False,
             out = out.union(matched.map_batches(to_parent_viol,
                                                 batch_format="pyarrow"))
 
+    _mark("node_phase2")
     if custom:
         # membership sets for custom targets not already collected
         extra = [c.target for c in custom
