@@ -102,6 +102,14 @@ def sequence_pack(docs: rd.Dataset, seq_len: int = 2048,
     # phase 1: per-bucket sums → driver-side prefix over the SMALL table
     sums = counted.groupby("_rb").aggregate(
         Sum("n_tokens", alias_name="bucket_tokens")).to_pandas()
+    if not len(sums):
+        import pandas as pd
+
+        return rd.from_arrow(pa.table({
+            id_col: pa.array([], pa.string()),
+            "n_tokens": pa.array([], pa.int64()),
+            "token_offset": pa.array([], pa.int64()),
+            "pack_id": pa.array([], pa.int64())}))
     sums = sums.sort_values("_rb").reset_index(drop=True)
     base = dict(zip(sums["_rb"],
                     sums["bucket_tokens"].cumsum() - sums["bucket_tokens"]))

@@ -141,3 +141,30 @@ def test_interval_join_points_to_containing_interval():
     out = windows.interval_join(pts, ivs)
     got = {r["event_id"]: r["sid"] for r in out.to_pandas().to_dict("records")}
     assert got == {1: 1, 3: 2}, got
+
+
+def test_new_operators_accept_empty_inputs():
+    """asof/interval joins, sequence packing and contamination must all
+    return empty results (not crash) on empty datasets."""
+    from shacl_validator_ray.stages import text as text_mod
+
+    empty_ev = rd.from_arrow(pa.table({
+        "event_id": pa.array([], pa.int64()),
+        "ts": pa.array([], pa.timestamp("us")),
+        "user_id": pa.array([], pa.int64()),
+        "event_type": pa.array([], pa.string())}))
+    assert windows.asof_join(empty_ev).count() == 0
+    empty_docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([], pa.int64()),
+        "text": pa.array([], pa.string())}))
+    assert text_mod.sequence_pack(empty_docs).count() == 0
+    assert text_mod.contamination(empty_docs).count() == 0
+    pts = rd.from_arrow(pa.table({
+        "event_id": pa.array([], pa.int64()),
+        "user_id": pa.array([], pa.int64()),
+        "ts_s": pa.array([], pa.int64())}))
+    ivs = rd.from_arrow(pa.table({
+        "user_id": pa.array([], pa.int64()), "sid": pa.array([], pa.int64()),
+        "session_start": pa.array([], pa.int64()),
+        "session_end": pa.array([], pa.int64())}))
+    assert windows.interval_join(pts, ivs).count() == 0
