@@ -400,6 +400,25 @@ def q_kg_bgp_not_exists(sf_dir: str):
         ["severity", "focus_node", "value", "source_constraint_component"])
 
 
+def q_kg_pagerank(sf_dir: str):
+    """Distributed PageRank over the extracted resource graph (5 power
+    iterations, d=0.85; SQL oracle unrolls the same iterations)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..stages.graph import pagerank
+    from . import kg
+
+    def to_edges(b: pa.Table) -> pa.Table:
+        f = b.filter(pc.equal(b["obj_kind"], "iri"))
+        return pa.table({"src": f["subj"].cast(pa.string()),
+                         "dst": f["obj_value"].cast(pa.string())})
+
+    edges = kg.triples_dataset(sf_dir).map_batches(
+        to_edges, batch_format="pyarrow", zero_copy_batch=True)
+    return pagerank(edges, iters=5)
+
+
 def q_kg_property_breakdown(sf_dir: str):
     """A6 (ReportViewer.tsx:166-190): per-path severity pivot, top 8."""
     from ..stages import report
@@ -446,6 +465,7 @@ QUERIES = {
     "kg_discovery": q_kg_discovery,
     "kg_bgp_constraint": q_kg_bgp_constraint,
     "kg_bgp_not_exists": q_kg_bgp_not_exists,
+    "kg_pagerank": q_kg_pagerank,
     "kg_media_features": q_kg_media_features,
     "kg_image_stats": q_kg_image_stats,
     # relational operator inventory (SURVEY.md §2)
@@ -810,6 +830,32 @@ WHERE n_tokens BETWEEN 20 AND 200
 }
 
 
+def _pagerank_sql(mapped: str, iters: int = 5, d: float = 0.85) -> str:
+    """Unrolled power-iteration SQL: r0 = 1/N, then ``iters`` chained
+    CTE rounds of contribution-sum + damping (same dangling-mass rule
+    as stages/graph.py::pagerank — sinks leak, nothing redistributes)."""
+    sql = "WITH " + mapped.strip() + f""",
+edges AS (SELECT DISTINCT subj AS src, obj_value AS dst FROM mapped
+          WHERE obj_kind = 'iri'),
+nodes AS (SELECT DISTINCT node FROM
+          (SELECT src AS node FROM edges UNION SELECT dst FROM edges)),
+nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+deg AS (SELECT src, count(*)::DOUBLE AS c FROM edges GROUP BY src),
+r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes)"""
+    for i in range(1, iters + 1):
+        sql += f""",
+s{i} AS (SELECT e.dst AS node, sum(r.rank / dg.c) AS m
+         FROM r{i - 1} r JOIN edges e ON r.node = e.src
+         JOIN deg dg ON dg.src = e.src
+         GROUP BY e.dst),
+r{i} AS (SELECT n.node,
+                (1 - {d}) / (SELECT n FROM nn)
+                + {d} * coalesce(s.m, 0) AS rank
+         FROM nodes n LEFT JOIN s{i} s ON n.node = s.node)"""
+    sql += f"\nSELECT node, round(rank, 6) AS rank FROM r{iters}"
+    return sql
+
+
 def _kg_oracle_sql(sf: float = 0.01) -> dict[str, str]:
     """Oracles for the flagship pipeline: DuckDB over the deterministic
     corpus ground truth under /tmp (written by synth.ensure_corpus with
@@ -1163,6 +1209,9 @@ SELECT 'Violation' AS severity, subj AS focus_node, subj AS value,
        'http://example.org/constraints#NoCsvDistribution'
            AS source_constraint_component
 FROM has_dist WHERE subj NOT IN (SELECT subj FROM has_csv)""",
+        # kg_pagerank: the same 5 power iterations unrolled as chained
+        # CTEs over the mention-mapped resource graph
+        "kg_pagerank": _pagerank_sql(mapped),
         # kg_image_stats: the corpus generator plants the expected decode
         # results (dimensions + integer channel sums straight off the
         # pixel array) in gt_media; the engine recomputes them through

@@ -1,0 +1,47 @@
+"""Iterative graph analytics (stages/graph.py)."""
+
+import collections
+
+import pyarrow as pa
+import ray.data as rd
+
+from shacl_validator_ray.stages.graph import pagerank
+
+
+def _reference(E, iters=5, d=0.85):
+    nodes = sorted({x for e in E for x in e})
+    N = len(nodes)
+    deg = collections.Counter(s for s, _ in E)
+    r = {n: 1 / N for n in nodes}
+    for _ in range(iters):
+        s = collections.defaultdict(float)
+        for u, v in E:
+            s[v] += r[u] / deg[u]
+        r = {n: (1 - d) / N + d * s.get(n, 0.0) for n in nodes}
+    return {n: round(v, 6) for n, v in r.items()}
+
+
+def test_pagerank_matches_single_threaded_power_iteration():
+    E = [("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"), ("d", "a")]
+    ds = rd.from_arrow(pa.table({"src": [e[0] for e in E],
+                                 "dst": [e[1] for e in E]}))
+    got = {r["node"]: r["rank"]
+           for r in pagerank(ds, iters=5).to_pandas().to_dict("records")}
+    assert got == _reference(E)
+
+
+def test_pagerank_dedups_edges_and_handles_sinks():
+    # duplicate edges count once; b is a sink (dangling mass leaks,
+    # matching the documented rule)
+    E = [("a", "b"), ("a", "b"), ("a", "b")]
+    ds = rd.from_arrow(pa.table({"src": [e[0] for e in E],
+                                 "dst": [e[1] for e in E]}))
+    got = {r["node"]: r["rank"]
+           for r in pagerank(ds, iters=3).to_pandas().to_dict("records")}
+    assert got == _reference([("a", "b")], iters=3)
+
+
+def test_pagerank_empty():
+    ds = rd.from_arrow(pa.table({"src": pa.array([], pa.string()),
+                                 "dst": pa.array([], pa.string())}))
+    assert pagerank(ds).count() == 0
