@@ -257,3 +257,37 @@ def test_contamination_flags_planted_ngram_overlap():
     # doc 1 contains `shared` as its only overlapping 8-gram
     assert got[1] == 1
     assert 2 not in got and 0 not in got
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 5), st.integers(0, 2),
+                          st.integers(0, 5)),
+                min_size=1, max_size=25))
+def test_bgp_two_pattern_join_matches_naive_evaluation(edges):
+    """Distributed BGP (join on shared variable) ≡ naive nested-loop
+    evaluation on random small graphs: patterns
+    ($this p?P ?x), (?x pB ?y) with pB fixed."""
+    from shacl_validator_ray.stages.bgp import BGPConstraint
+
+    E = "http://e/"
+    triples = [
+        {"subj": f"{E}n{s}", "pred": f"{E}p{p}", "obj_kind": "iri",
+         "obj_value": f"{E}n{o}", "obj_datatype": "", "obj_lang": "",
+         "doc_id": "d", "span_idx": i}
+        for i, (s, p, o) in enumerate(edges)]
+    from shacl_validator_ray import schema as S
+    ds = rd.from_arrow(pa.Table.from_pylist(triples, schema=S.TRIPLES))
+
+    cc = BGPConstraint(
+        patterns=[("$this", f"{E}p0", "?x"), ("?x", f"{E}p1", "?y")],
+        component=f"{E}c#X")
+    got = sorted(r["focus_node"]
+                 for r in cc.violations(ds).to_pandas().to_dict("records"))
+
+    # naive nested loops over the triple list
+    expect = sorted({
+        t1["subj"]
+        for t1 in triples if t1["pred"] == f"{E}p0"
+        for t2 in triples
+        if t2["pred"] == f"{E}p1" and t2["subj"] == t1["obj_value"]})
+    assert got == expect
