@@ -43,8 +43,11 @@ def pagerank(edges: rd.Dataset, iters: int = 5, damping: float = 0.85,
     from ..sources import io as io_mod
 
     if n_buckets is None:
-        n_buckets = io_mod.shuffle_buckets()
-    k = max(8, n_buckets // 4)
+        # quarter of the global fan-out: PageRank runs 2 shuffles per
+        # iteration, and Ray's sort pays per (block × partition) — the
+        # target still scales with the cluster
+        n_buckets = max(8, io_mod.shuffle_buckets() // 4)
+    k = n_buckets
 
     # distinct edges (set semantics like the quad store)
     def dedup_bucket(g: pd.DataFrame) -> pd.DataFrame:
