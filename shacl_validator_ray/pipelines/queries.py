@@ -352,9 +352,29 @@ def q_kg_discovery(sf_dir: str):
 
 
 def q_kg_media_features(sf_dir: str):
+    """Media feature extraction (byte-histogram × fixed projection),
+    oracle-checked against feature vectors planted independently at
+    corpus-synthesis time — one column per dimension for exact hashing."""
+    import pyarrow as pa
+
     from ..stages import multimodal
     from . import kg
-    return multimodal.media_features(kg.documents_dataset(sf_dir))
+
+    feats = multimodal.media_features(kg.documents_dataset(sf_dir))
+
+    def widen(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        f = np.array([list(v) for v in b["feature"].to_pylist()],
+                     dtype=np.float32) if b.num_rows else \
+            np.zeros((0, 16), dtype=np.float32)
+        cols = {c: b[c] for c in ("doc_id", "span_idx", "kind", "media_ref")}
+        for i in range(16):
+            cols[f"f{i}"] = pa.array(f[:, i].astype("float64"), pa.float64())
+        return pa.table(cols)
+
+    return feats.map_batches(widen, batch_format="pyarrow",
+                             zero_copy_batch=True)
 
 
 def q_kg_image_stats(sf_dir: str):
@@ -1212,6 +1232,11 @@ FROM has_dist WHERE subj NOT IN (SELECT subj FROM has_csv)""",
         # kg_pagerank: the same 5 power iterations unrolled as chained
         # CTEs over the mention-mapped resource graph
         "kg_pagerank": _pagerank_sql(mapped),
+        # kg_media_features: planted per-dimension feature expectations
+        "kg_media_features": f"""
+SELECT doc_id, span_idx, kind, media_ref,
+       {', '.join(f'f{i}' for i in range(16))}
+FROM read_parquet('{corpus}/gt_media/part-*.parquet')""",
         # kg_image_stats: the corpus generator plants the expected decode
         # results (dimensions + integer channel sums straight off the
         # pixel array) in gt_media; the engine recomputes them through

@@ -31,7 +31,7 @@ SEED = 42
 N_ORGS = 50
 N_THEMES = 8
 HUB_ORG = 0            # hub publisher: draws ~30% of all publisher edges (skew fixture)
-CACHE_ROOT = "/tmp/svr_corpus_v4"  # bump suffix when corpus semantics change
+CACHE_ROOT = "/tmp/svr_corpus_v5"  # bump suffix when corpus semantics change
 
 # violation seeding probabilities (deterministic per doc)
 P_MISSING_TITLE = 0.10   # sh:minCount violation
@@ -223,14 +223,36 @@ def media_payload(ref: str):
     return payload, 1 + h[6] % 8, pixels
 
 
-MEDIA_GT_SCHEMA = pa.schema([
-    pa.field("doc_id", pa.string()), pa.field("span_idx", pa.int32()),
-    pa.field("kind", pa.string()), pa.field("media_ref", pa.string()),
-    pa.field("width", pa.int32()), pa.field("height", pa.int32()),
-    pa.field("n_frames", pa.int32()),
-    pa.field("sum_r", pa.int64()), pa.field("sum_g", pa.int64()),
-    pa.field("sum_b", pa.int64()),
-])
+MEDIA_GT_SCHEMA = pa.schema(
+    [pa.field("doc_id", pa.string()), pa.field("span_idx", pa.int32()),
+     pa.field("kind", pa.string()), pa.field("media_ref", pa.string()),
+     pa.field("width", pa.int32()), pa.field("height", pa.int32()),
+     pa.field("n_frames", pa.int32()),
+     pa.field("sum_r", pa.int64()), pa.field("sum_g", pa.int64()),
+     pa.field("sum_b", pa.int64())]
+    # expected feature-extractor outputs (byte-histogram × fixed random
+    # projection, computed here independently of the engine's
+    # actor-pool stage) — one column per dimension so the DuckDB oracle
+    # hashes exactly
+    + [pa.field(f"f{i}", pa.float64()) for i in range(16)])
+
+
+def _feature_projection(dim: int = 16, seed: int = 42):
+    import numpy as np
+
+    return np.random.RandomState(seed).normal(
+        size=(256, dim)).astype(np.float32)
+
+
+def expected_media_feature(payload: bytes):
+    """Independent re-computation of the engine's stub feature
+    (multimodal.FeatureExtractor): normalized byte histogram of the FULL
+    payload (header included) through the seed-42 Gaussian projection."""
+    import numpy as np
+
+    hist = np.bincount(np.frombuffer(payload, dtype=np.uint8),
+                       minlength=256).astype(np.float32)
+    return (hist / max(1.0, hist.sum())) @ _feature_projection()
 
 
 def make_corpus_tables(num_docs: int, seed: int = SEED,
@@ -247,14 +269,16 @@ def make_corpus_tables(num_docs: int, seed: int = SEED,
         for si, s in enumerate(d["spans"]):
             if s["kind"] == "text":
                 continue
-            _, n_frames, px = media_payload(s["media_ref"])
+            payload, n_frames, px = media_payload(s["media_ref"])
             sums = px.reshape(-1, 3).sum(axis=0, dtype="int64")
+            feat = expected_media_feature(payload)
             medias.append({
                 "doc_id": d["doc_id"], "span_idx": si, "kind": s["kind"],
                 "media_ref": s["media_ref"],
                 "width": px.shape[1], "height": px.shape[0],
                 "n_frames": n_frames, "sum_r": int(sums[0]),
-                "sum_g": int(sums[1]), "sum_b": int(sums[2])})
+                "sum_g": int(sums[1]), "sum_b": int(sums[2]),
+                **{f"f{i}": float(feat[i]) for i in range(16)}})
     doc_tbl = pa.Table.from_pylist(docs, schema=S.DOCUMENTS)
     gt_schema = pa.schema([
         pa.field("subj", pa.string()), pa.field("pred", pa.string()),

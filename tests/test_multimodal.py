@@ -125,7 +125,24 @@ def test_image_stats_match_planted_gt():
     got = (mm.image_stats_table(rd.from_arrow(docs))
            .to_pandas().sort_values(["doc_id", "span_idx"])
            .reset_index(drop=True))
+    stat_cols = ["doc_id", "span_idx", "kind", "media_ref", "width",
+                 "height", "n_frames", "sum_r", "sum_g", "sum_b"]
     want = (gt_media.to_pandas().sort_values(["doc_id", "span_idx"])
-            .reset_index(drop=True))
+            .reset_index(drop=True))[stat_cols]
     pd.testing.assert_frame_equal(
-        got[want.columns.tolist()].astype(want.dtypes.to_dict()), want)
+        got[stat_cols].astype(want.dtypes.to_dict()), want)
+
+
+def test_media_features_match_planted_gt():
+    """The feature-extractor stage reproduces the per-dimension feature
+    expectations planted by the independent synth-side computation."""
+    import numpy as np
+
+    docs, _, gt_media = synth.make_corpus_tables(40)
+    feats = mm.media_features(rd.from_arrow(docs)).to_pandas()
+    want = gt_media.to_pandas()
+    m = feats.merge(want, on=["doc_id", "span_idx"])
+    assert len(m) == len(want) and len(want) > 0
+    got = np.array([list(v) for v in m["feature"]], dtype=np.float64)
+    exp = m[[f"f{i}" for i in range(16)]].to_numpy(dtype=np.float64)
+    assert np.allclose(got, exp, atol=1e-7)
