@@ -50,8 +50,11 @@ def _headline(sf_dir: str) -> dict:
 
 
 def _aux_queries(sf_dir: str) -> dict:
-    """Representative non-KG pipelines over the driver tables."""
-    from shacl_validator_ray.pipelines import queries as q
+    """Representative non-KG pipelines over the driver tables, plus the
+    all-families SHACL profile (the heaviest validation path)."""
+    from shacl_validator_ray.pipelines import kg, queries as q
+    from shacl_validator_ray.stages import shacl
+    from shacl_validator_ray.state import shapes as shapes_mod
 
     out = {}
     for name in ("pruned_agg", "join_orders_customers", "minhash_lsh_dups",
@@ -61,6 +64,12 @@ def _aux_queries(sf_dir: str) -> dict:
         if hasattr(res, "count"):
             res.count()
         out[name] = round(time.time() - t0, 3)
+
+    deduped = shacl.dedup_triples(kg.triples_dataset(sf_dir)).materialize()
+    t0 = time.time()
+    shacl.validate(deduped, shapes_mod.load_profile_ttl("full_demo"),
+                   deduped=True).count()
+    out["validate_all_families"] = round(time.time() - t0, 3)
     return out
 
 
