@@ -221,3 +221,42 @@ def approx_quantiles(ds: rd.Dataset, col: str, qs, k: int = 256) -> list[float]:
             part.weights = np.asarray(wts, dtype=np.float64)
             merged = merged.merge(part)
     return [merged.quantile(q) for q in qs]
+
+
+class CountMin:
+    """Mergeable Count-Min sketch: ``depth × width`` int64 counters;
+    adds/queries are vectorized over value arrays (one stable hash per
+    depth row, the pandas hash with a per-row salt). Estimates NEVER
+    undercount, so values whose estimate clears a threshold are a
+    SUPERSET of the true heavy hitters — the sketch gates a cheap exact
+    verification pass (see relational.heavy_hitters)."""
+
+    def __init__(self, width: int = 4096, depth: int = 4,
+                 table: "np.ndarray | None" = None):
+        self.width, self.depth = width, depth
+        self.table = (table if table is not None
+                      else np.zeros((depth, width), dtype=np.int64))
+
+    def _idx(self, values, j: int) -> "np.ndarray":
+        import pandas as pd
+
+        s = pd.Series(values).astype(str) + f"\x1f{j}"
+        h = pd.util.hash_pandas_object(s, index=False).to_numpy()
+        return (h % self.width).astype(np.int64)
+
+    def add_array(self, values, counts=None) -> None:
+        counts = (np.ones(len(values), dtype=np.int64)
+                  if counts is None else np.asarray(counts, dtype=np.int64))
+        for j in range(self.depth):
+            np.add.at(self.table[j], self._idx(values, j), counts)
+
+    def estimate_array(self, values) -> "np.ndarray":
+        est = None
+        for j in range(self.depth):
+            v = self.table[j][self._idx(values, j)]
+            est = v if est is None else np.minimum(est, v)
+        return est
+
+    def merge(self, other: "CountMin") -> "CountMin":
+        self.table += other.table
+        return self

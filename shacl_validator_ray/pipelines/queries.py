@@ -510,6 +510,7 @@ QUERIES = {
     "running_total_per_user": R.running_total_per_user,
     "snapshot_counts": R.snapshot_counts,
     "salted_group_count": R.salted_group_count,
+    "heavy_users": R.heavy_users,
     "filter_search_limit": R.filter_search_limit,
     # text analysis
     "token_counts": q_token_counts,
@@ -630,6 +631,10 @@ ORACLE_SQL = {
         "GROUP BY event_type",
     "salted_group_count":
         "SELECT user_id, count(*) AS n FROM events GROUP BY user_id",
+    # sketch-gated exact heavy hitters ≡ plain GROUP BY HAVING
+    "heavy_users":
+        "SELECT user_id::VARCHAR AS user_id, count(*) AS n FROM events "
+        "GROUP BY user_id HAVING count(*) >= 80",
     "filter_search_limit":
         "SELECT doc_id, source FROM documents WHERE contains(text, 'merge') "
         "ORDER BY doc_id LIMIT 50",

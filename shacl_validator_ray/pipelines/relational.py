@@ -441,3 +441,53 @@ def filter_search_limit(sf_dir: str, needle: str = "merge"):
         .sort("doc_id")
         .limit(50)
     )
+
+
+# --- sketch-gated exact heavy hitters (Count-Min prune + exact verify) ---
+def heavy_hitters(ds: rd.Dataset, col: str, threshold: int,
+                  width: int = 4096, depth: int = 4) -> rd.Dataset:
+    """Exact heavy hitters at sketch cost: pass 1 merges per-batch
+    Count-Min PARTIALS (fixed ``depth×width`` arrays — the driver only
+    adds matrices); pass 2 filters each batch's distinct values by the
+    broadcast sketch estimate MAP-SIDE (CMS never undercounts → the
+    filter keeps a superset of the true hitters) and one small exact
+    groupby over the surviving candidates applies the threshold. The
+    all-to-all only ever carries near-heavy values; everything else
+    drops at the map stage."""
+    from ..functions.sketch import CountMin
+
+    def cms_partial(b: pa.Table) -> pa.Table:
+        vc = pd.Series(np.asarray(b[col].to_pandas())).value_counts()
+        cm = CountMin(width, depth)
+        cm.add_array(vc.index.to_numpy(), vc.to_numpy())
+        return pa.table({"t": pa.array([cm.table.tobytes()], pa.binary())})
+
+    merged = CountMin(width, depth)
+    for b in ds.map_batches(cms_partial, batch_format="pyarrow",
+                            zero_copy_batch=True).iter_batches(
+                                batch_format="pyarrow"):
+        for raw in b["t"].to_pylist():
+            merged.table += np.frombuffer(
+                raw, dtype=np.int64).reshape(depth, width)
+    ref = ray.put(merged)
+
+    def candidates(b: pa.Table) -> pa.Table:
+        cm = ray.get(ref)
+        vc = pd.Series(np.asarray(b[col].to_pandas())).value_counts()
+        vals = vc.index.to_numpy()
+        keep = cm.estimate_array(vals) >= threshold
+        return pa.table({col: pa.array(vals[keep].astype(str), pa.string()),
+                         "n": pa.array(vc.to_numpy()[keep], pa.int64())})
+
+    out = (ds.map_batches(candidates, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby(col).aggregate(Sum("n", alias_name="n")))
+    return out.map_batches(
+        lambda b: b.filter(pc.greater_equal(b["n"], threshold)),
+        batch_format="pyarrow")
+
+
+def heavy_users(sf_dir: str, threshold: int = 80):
+    """Query registration: users with ≥ threshold events."""
+    return heavy_hitters(t(sf_dir, "events", ["user_id"]), "user_id",
+                         threshold)

@@ -291,3 +291,35 @@ def test_bgp_two_pattern_join_matches_naive_evaluation(edges):
         for t2 in triples
         if t2["pred"] == f"{E}p1" and t2["subj"] == t1["obj_value"]})
     assert got == expect
+
+
+def test_countmin_never_undercounts_and_heavy_hitters_exact():
+    """CMS property: estimate >= true count for every value (so the
+    threshold filter keeps a superset); the sketch-gated operator's
+    output equals the exact GROUP BY HAVING on a skewed dataset."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from shacl_validator_ray.functions.sketch import CountMin
+    from shacl_validator_ray.pipelines.relational import heavy_hitters
+
+    rng = np.random.RandomState(7)
+    # zipf-ish: a few heavy keys + a long tail
+    vals = np.concatenate([
+        np.repeat([f"hub{i}" for i in range(5)], [500, 300, 120, 60, 30]),
+        np.array([f"tail{i}" for i in rng.randint(0, 2000, size=3000)])])
+    rng.shuffle(vals)
+
+    cm = CountMin(width=1024, depth=4)
+    cm.add_array(vals)
+    true = pd.Series(vals).value_counts()
+    est = cm.estimate_array(true.index.to_numpy())
+    assert (est >= true.to_numpy()).all()
+
+    ds = rd.from_arrow(pa.table({"k": pa.array(vals, pa.string())}))
+    got = {r["k"]: r["n"] for r in heavy_hitters(ds, "k", 50)
+           .to_pandas().to_dict("records")}
+    expect = {k: int(v) for k, v in true[true >= 50].items()}
+    assert got == expect
