@@ -67,6 +67,12 @@ def q_sequence_pack(sf_dir: str):
     return text.sequence_pack(_docs(sf_dir), seq_len=2048)
 
 
+def q_split_assign(sf_dir: str):
+    """Deterministic md5-based train/val/test split assignment."""
+    from ..stages import text
+    return text.split_assign(_docs(sf_dir))
+
+
 def q_contamination(sf_dir: str):
     """Train/eval decontamination: 8-gram overlap vs the eval split."""
     from ..stages import text
@@ -518,6 +524,7 @@ QUERIES = {
     "fingerprints": q_fingerprints,
     "sequence_pack": q_sequence_pack,
     "contamination": q_contamination,
+    "split_assign": q_split_assign,
     "lang_id": q_lang_id,
     # dedup family
     "exact_dedup": q_exact_dedup,
@@ -659,6 +666,17 @@ ORACLE_SQL = {
         FROM q""",
     "fingerprints":
         "SELECT doc_id, md5(lower(trim(text))) AS fp FROM documents",
+    # md5-modulo split assignment (same arithmetic as the Ray stage)
+    "split_assign": """
+        WITH h AS (SELECT doc_id,
+                          ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::UBIGINT
+                          % 100 AS bucket
+                   FROM documents)
+        SELECT doc_id, bucket::BIGINT AS bucket,
+               CASE WHEN bucket < 10 THEN 'test'
+                    WHEN bucket < 20 THEN 'val'
+                    ELSE 'train' END AS split
+        FROM h""",
     # 8-gram overlap vs the eval split (doc_id % 10 == 0); distinct
     # grams per doc, counted per training doc
     "contamination": """

@@ -186,3 +186,25 @@ def contamination(docs: rd.Dataset, eval_mod: int = 50, n: int = 8,
 
     return docs.map_batches(scan, batch_format="pyarrow",
                             zero_copy_batch=True)
+
+
+def split_assign(docs: rd.Dataset, id_col: str = "doc_id",
+                 val_pct: int = 10, test_pct: int = 10) -> rd.Dataset:
+    """Deterministic train/val/test assignment: md5 of the id modulo 100
+    (content-independent, language-portable — the oracle reproduces the
+    same arithmetic in SQL). A document keeps its split forever, across
+    corpus growth and re-shards; no shuffle, one vectorized map."""
+    import hashlib
+
+    def fn(b: pa.Table) -> pa.Table:
+        ids = b.column(id_col).to_pylist()
+        h = [int(hashlib.md5(str(d).encode()).hexdigest()[:8], 16) % 100
+             for d in ids]
+        split = ["test" if x < test_pct
+                 else "val" if x < test_pct + val_pct
+                 else "train" for x in h]
+        return pa.table({id_col: b.column(id_col),
+                         "bucket": pa.array(h, pa.int64()),
+                         "split": pa.array(split, pa.string())})
+
+    return docs.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
