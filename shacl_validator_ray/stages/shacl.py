@@ -1376,7 +1376,10 @@ def validate(triples: rd.Dataset, shapes_ttl: str, *, deduped: bool = False,
     # takes over — the driver ORs fixed-size partial-Bloom bitmaps and
     # never holds an exact member set (VERDICT r2 #2).
     if distributed_members is None:
-        distributed_members = triples.count() > DISTRIBUTED_MEMBERS_THRESHOLD
+        # SVR_FORCE_DISTRIBUTED=1 forces the 100 TB routing at any scale
+        # (CI/oracle runs exercise the mergeable-sketch paths end-to-end)
+        distributed_members = bool(_os.environ.get("SVR_FORCE_DISTRIBUTED")) \
+            or triples.count() > DISTRIBUTED_MEMBERS_THRESHOLD
     members = (collect_members_distributed(eval_triples, compiled)
                if distributed_members
                else collect_members(eval_triples, compiled,
