@@ -108,11 +108,16 @@ def pagerank(edges: rd.Dataset, iters: int = 5, damping: float = 0.85,
         return pd.DataFrame({"dst_": m[dst],
                              "c": m["rank"] / m["outdeg"]})
 
-    def apply_merge(g: pd.DataFrame) -> pd.DataFrame:
-        """node universe ⨝ summed contributions → new ranks."""
+    def sum_apply_merge(g: pd.DataFrame) -> pd.DataFrame:
+        """Fused reduce+apply (both keyed by the destination node): sum
+        the bucket's contributions per node, then produce the new rank
+        for every universe node in the bucket — one shuffle instead of
+        two per iteration."""
         ns = g.loc[g["c"].isna(), ["node"]]
         cs = g.loc[~g["c"].isna(), ["node", "c"]]
-        m = ns.merge(cs, on="node", how="left")
+        sums = cs.groupby("node", sort=False)["c"].sum() if len(cs) else None
+        m = ns.merge(sums.reset_index(), on="node", how="left") \
+            if sums is not None else ns.assign(c=0.0)
         return pd.DataFrame({
             "node": m["node"],
             "rank": base + damping * m["c"].fillna(0.0)})
@@ -135,26 +140,19 @@ def pagerank(edges: rd.Dataset, iters: int = 5, damping: float = 0.85,
         contrib = bucketed_block_apply(
             _coalesce(tagged_r.union(tagged_e), k), "node", contrib_merge,
             n_buckets=n_buckets)
-
-        def sum_bucket(g: pd.DataFrame) -> pd.DataFrame:
-            out = g.groupby("dst_", sort=False)["c"].sum().reset_index()
-            return out.rename(columns={"dst_": "node"})
-
-        sums = bucketed_block_apply(_coalesce(contrib, k), "dst_",
-                                    sum_bucket, n_buckets=n_buckets)
         tagged_n = nodes.map_batches(
             lambda b: pa.table({"node": b["node"].cast(pa.string()),
                                 "c": pa.nulls(b.num_rows, pa.float64())}),
             batch_format="pyarrow")
-        tagged_s = sums.map_batches(
-            lambda b: pa.table({"node": b["node"].cast(pa.string()),
+        tagged_c = contrib.map_batches(
+            lambda b: pa.table({"node": b["dst_"].cast(pa.string()),
                                 "c": b["c"].cast(pa.float64())})
             if b.num_rows else pa.table(
                 {"node": pa.array([], pa.string()),
                  "c": pa.array([], pa.float64())}),
             batch_format="pyarrow")
         ranks = bucketed_block_apply(
-            _coalesce(tagged_n.union(tagged_s), k), "node", apply_merge,
+            _coalesce(tagged_n.union(tagged_c), k), "node", sum_apply_merge,
             n_buckets=n_buckets)
         # iterative: each round's vector is the next round's input —
         # pin it (at 100 TB this is the per-iteration checkpoint)
