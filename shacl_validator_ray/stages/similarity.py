@@ -157,16 +157,16 @@ def knn_lsh(emb: rd.Dataset, query_ids: list[int], k: int = 5, n_planes: int = 6
     """Approximate top-k via random-hyperplane LSH with MULTIPROBE.
 
     Each query probes its own sign bucket plus every bucket within
-    hamming distance ``multiprobe`` of it (flip one plane sign). The scan
-    is map-side: each batch keeps only rows whose bucket is probed by
-    some query, emits LOCAL per-query top-2k partials, and a tiny final
-    groupby merges — no bucket is ever materialized whole in one worker
-    (the previous whole-bucket groupby held n/2^planes vectors per task,
-    a scale ceiling). Probed fraction ≈ (1 + n_planes·[multiprobe≥1])
+    hamming distance ``multiprobe`` of it (all plane-sign flip
+    combinations up to that order). The scan is map-side: each batch
+    keeps only rows whose bucket is probed by some query, emits LOCAL
+    per-query top-2k partials, and a tiny final groupby merges — no
+    bucket is ever materialized whole in one worker (the previous
+    whole-bucket groupby held n/2^planes vectors per task, a scale
+    ceiling). Probed fraction ≈ Σ_{r≤multiprobe} C(n_planes, r)
     / 2^n_planes of the corpus per query.
     """
-    if multiprobe > 1:
-        raise NotImplementedError("multiprobe > 1 not implemented (flip-1 only)")
+    from itertools import combinations
 
     qrows = (emb.map_batches(
         lambda b: b.filter(pa.compute.is_in(b[id_col], value_set=pa.array(query_ids))),
@@ -178,11 +178,15 @@ def knn_lsh(emb: rd.Dataset, query_ids: list[int], k: int = 5, n_planes: int = 6
     planes = rng.normal(size=(qm.shape[1], n_planes))
     weights = (1 << np.arange(n_planes)).astype(np.int64)
     qbuckets = (((qm @ planes) > 0) @ weights).astype(np.int64)
-    probes = []  # per query: own bucket + flip-1 neighbors
+    probes = []  # per query: every bucket within hamming ≤ multiprobe
     for qb in qbuckets:
         ps = {int(qb)}
-        if multiprobe >= 1:
-            ps |= {int(qb ^ (1 << i)) for i in range(n_planes)}
+        for r in range(1, min(multiprobe, n_planes) + 1):
+            for combo in combinations(range(n_planes), r):
+                mask = 0
+                for i in combo:
+                    mask |= 1 << i
+                ps.add(int(qb ^ mask))
         probes.append(np.array(sorted(ps), dtype=np.int64))
     all_probed = np.unique(np.concatenate(probes))
     ref = ray.put((qids, qm, planes, weights, probes, all_probed))

@@ -97,3 +97,25 @@ def test_embedding_dup_pairs_ivf_recall():
     assert approx_pairs <= exact_pairs  # no false pairs (sim is exact)
     assert len(exact_pairs) > 0
     assert len(approx_pairs & exact_pairs) / len(exact_pairs) >= 0.6
+
+
+def test_knn_lsh_multiprobe_order_2_improves_or_matches_recall():
+    """Hamming-≤2 probing must recall at least as much of the exact
+    top-k as flip-1, and at multiprobe == n_planes the probe set covers
+    every bucket → recall is exactly 1."""
+    emb = _emb()
+    exact = similarity.knn_bruteforce(emb, query_ids=[0, 1], k=5).to_pandas()
+
+    def recall(mp):
+        got = similarity.knn_lsh(emb, query_ids=[0, 1], k=5, n_planes=4,
+                                 multiprobe=mp).to_pandas()
+        hits = 0
+        for q in (0, 1):
+            e = set(exact.loc[exact["qid"] == q, "nid"])
+            g = set(got.loc[got["qid"] == q, "nid"])
+            hits += len(e & g)
+        return hits / (2 * 5)
+
+    r1, r2, r_all = recall(1), recall(2), recall(4)
+    assert r2 >= r1
+    assert r_all == 1.0
