@@ -871,8 +871,14 @@ def test_distributed_members_path_equivalence():
                            concurrency=1)
     dist = shacl.validate(_ds_from_ttl_text(data_ttl), shapes_ttl,
                           concurrency=1, distributed_members=True)
-    ke, kd = keys(exact), keys(dist)
+    # bloom_threshold=0 additionally forces every membership broadcast
+    # (incl. nodeval) through Bloom filters — the full sketch path
+    dist0 = shacl.validate(_ds_from_ttl_text(data_ttl), shapes_ttl,
+                           concurrency=1, distributed_members=True,
+                           bloom_threshold=0)
+    ke, kd, k0 = keys(exact), keys(dist), keys(dist0)
     assert ke == kd, (ke, kd)
+    assert ke == k0, (ke, k0)
     # sanity: the fixture exercises nested failure (d2 missing url →
     # nested MinCount + parent NodeConstraint on b) and datatype
     comps = {k[4].rsplit("#", 1)[-1] for k in ke}
