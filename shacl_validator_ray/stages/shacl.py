@@ -1270,33 +1270,65 @@ def pair_constraint_violations(eval_triples: rd.Dataset,
     sref = ray.put(specs)
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        """equals/disjoint vectorize as pandas set-merges across ALL
+        subjects at once; the lessThan family keeps a per-subject loop
+        (its SPARQL-ish mixed numeric/string ordering has no stable
+        vectorized form)."""
+        import numpy as np
+
         specs_ = ray.get(sref)
-        focus, path, value, comp, pidx = [], [], [], [], []
-        for subj, sub in g.groupby("subj", sort=False):
-            by_pred: dict[str, list[str]] = {}
-            for pr, v in zip(sub["pred"], sub["obj_value"]):
-                by_pred.setdefault(pr, []).append(v)
-            for fsets, p, idx, comp_local, other in specs_:
-                if not any(subj in s for s in fsets):
-                    continue
-                a = by_pred.get(p.path, [])
-                bset = set(by_pred.get(other, []))
-                bad: list[str] = []
-                if comp_local == "EqualsConstraintComponent":
-                    bad = sorted((set(a) - bset) | (bset - set(a)))
-                elif comp_local == "DisjointConstraintComponent":
-                    bad = sorted(set(a) & bset)
-                elif comp_local == "LessThanConstraintComponent":
-                    bad = sorted({v for v in a
-                                  if any(not _pair_lt(v, w) for w in bset)})
-                else:  # LessThanOrEquals
-                    bad = sorted({v for v in a
-                                  if any(_pair_lt(w, v) for w in bset)})
-                for v in bad:
-                    focus.append(subj); path.append(p.path); value.append(v)
-                    comp.append(comp_local); pidx.append(idx)
-        return pd.DataFrame({"focus_node": focus, "path": path, "value": value,
-                             "comp": comp, "pidx": pd.array(pidx, dtype="int32")})
+        frames: list[pd.DataFrame] = []
+
+        def emit(df: pd.DataFrame, p, idx: int, comp_local: str) -> None:
+            if len(df):
+                frames.append(pd.DataFrame({
+                    "focus_node": df["subj"].to_numpy(),
+                    "path": p.path, "value": df["obj_value"].to_numpy(),
+                    "comp": comp_local,
+                    "pidx": pd.array([idx] * len(df), dtype="int32")}))
+
+        for fsets, p, idx, comp_local, other in specs_:
+            a = g.loc[g["pred"] == p.path,
+                      ["subj", "obj_value"]].drop_duplicates()
+            bb = g.loc[g["pred"] == other,
+                       ["subj", "obj_value"]].drop_duplicates()
+            subs = pd.unique(pd.concat([a["subj"], bb["subj"]],
+                                       ignore_index=True))
+            if not len(subs):
+                continue
+            keep = _members_mask(list(fsets),
+                                 np.asarray(subs, dtype=object))
+            focus_set = set(subs[keep])
+            a = a[a["subj"].isin(focus_set)]
+            bb = bb[bb["subj"].isin(focus_set)]
+            if comp_local == "EqualsConstraintComponent":
+                m = a.merge(bb, on=["subj", "obj_value"], how="outer",
+                            indicator=True)
+                emit(m.loc[m["_merge"] != "both", ["subj", "obj_value"]],
+                     p, idx, comp_local)
+            elif comp_local == "DisjointConstraintComponent":
+                emit(a.merge(bb, on=["subj", "obj_value"]), p, idx,
+                     comp_local)
+            else:
+                by_b = {s: list(v) for s, v in bb.groupby("subj")["obj_value"]}
+                rows = []
+                for s, v in zip(a["subj"], a["obj_value"]):
+                    ws = by_b.get(s, ())
+                    if comp_local == "LessThanConstraintComponent":
+                        bad = any(not _pair_lt(v, w) for w in ws)
+                    else:  # LessThanOrEquals
+                        bad = any(_pair_lt(w, v) for w in ws)
+                    if bad:
+                        rows.append((s, v))
+                emit(pd.DataFrame(rows, columns=["subj", "obj_value"]),
+                     p, idx, comp_local)
+        if frames:
+            return pd.concat(frames, ignore_index=True)
+        return pd.DataFrame({"focus_node": pd.Series(dtype=object),
+                             "path": pd.Series(dtype=object),
+                             "value": pd.Series(dtype=object),
+                             "comp": pd.Series(dtype=object),
+                             "pidx": pd.array([], dtype="int32")})
 
     found = bucketed_block_apply(rows, "subj", per_bucket)
     pshapes = {idx: p for _, p, idx in compiled.property_shapes()}
