@@ -517,6 +517,8 @@ QUERIES = {
     "snapshot_counts": R.snapshot_counts,
     "salted_group_count": R.salted_group_count,
     "heavy_users": R.heavy_users,
+    "bigram_counts": R.bigram_counts,
+    "group_quantiles": R.group_quantiles,
     "filter_search_limit": R.filter_search_limit,
     # text analysis
     "token_counts": q_token_counts,
@@ -642,6 +644,23 @@ ORACLE_SQL = {
     "heavy_users":
         "SELECT user_id::VARCHAR AS user_id, count(*) AS n FROM events "
         "GROUP BY user_id HAVING count(*) >= 80",
+    # bigrams: \s+ split leaves '' only at the edges, and any pair
+    # containing '' is filtered — identical to Python str.split pairs
+    "bigram_counts": r"""
+        WITH toks AS (SELECT regexp_split_to_array(coalesce(text, ''),
+                                                   '\s+') AS ws
+                      FROM documents),
+        g AS (SELECT ws[i] || ' ' || ws[i + 1] AS gram
+              FROM toks CROSS JOIN range(1, 3000) t(i)
+              WHERE i + 1 <= len(ws) AND ws[i] != '' AND ws[i + 1] != '')
+        SELECT gram, count(*) AS n FROM g
+        GROUP BY gram ORDER BY n DESC, gram LIMIT 50""",
+    "group_quantiles": """
+        SELECT event_type,
+               round(quantile_disc(value, 0.25), 2) AS q25,
+               round(quantile_disc(value, 0.5), 2) AS q50,
+               round(quantile_disc(value, 0.75), 2) AS q75
+        FROM events GROUP BY event_type""",
     "filter_search_limit":
         "SELECT doc_id, source FROM documents WHERE contains(text, 'merge') "
         "ORDER BY doc_id LIMIT 50",

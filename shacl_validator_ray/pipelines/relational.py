@@ -157,7 +157,8 @@ def distinct_counts(sf_dir: str):
 #     histograms (4096 uniform buckets, driver sums 4096-int partials);
 #     pass 3 = collect ONLY the rank-containing buckets (~n/4096 rows)
 #     and select exactly. 3 scans of one numeric column vs an
-#     all-to-all sort; matches DuckDB quantile_disc (rank floor(q(n-1))). ---
+#     all-to-all sort; matches DuckDB quantile_disc (rank ceil(q·n)−1,
+#     verified empirically across n where candidate rules diverge). ---
 def quantiles_qty(sf_dir: str, qs: tuple = (0.25, 0.5, 0.75),
                   n_buckets: int = 4096):
     import math
@@ -184,7 +185,7 @@ def quantiles_qty(sf_dir: str, qs: tuple = (0.25, 0.5, 0.75),
                                 batch_format="pyarrow"):
         counts[np.asarray(b["bucket"])] += np.asarray(b["c"])
     cum = np.cumsum(counts)
-    ranks = [math.floor(q * (n - 1)) for q in qs]
+    ranks = [math.ceil(q * n) - 1 for q in qs]
     buckets = {int(np.searchsorted(cum, r + 1)) for r in ranks}
     barr = pa.array(sorted(buckets), pa.int64())
 
@@ -491,3 +492,51 @@ def heavy_users(sf_dir: str, threshold: int = 80):
     """Query registration: users with ≥ threshold events."""
     return heavy_hitters(t(sf_dir, "events", ["user_id"]), "user_id",
                          threshold)
+
+
+# --- corpus statistics: top-k n-grams + grouped exact quantiles ---
+def bigram_counts(sf_dir: str, k: int = 50):
+    """Top-k corpus bigrams: per-batch Counter partials (map-side
+    pre-aggregation — the all-to-all only carries distinct grams), one
+    groupby sum, deterministic (count desc, gram asc) top-k."""
+    from collections import Counter
+
+    def partial(b: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for t_ in b["text"].to_pylist():
+            toks = (t_ or "").split()
+            c.update(zip(toks, toks[1:]))
+        return pa.table({
+            "gram": pa.array([f"{a} {b_}" for a, b_ in c], pa.string()),
+            "n": pa.array(list(c.values()), pa.int64())})
+
+    return (t(sf_dir, "documents", ["text"])
+            .map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .groupby("gram").aggregate(Sum("n", alias_name="n"))
+            .sort([("n"), ("gram")], descending=[True, False])
+            .limit(k))
+
+
+def group_quantiles(sf_dir: str):
+    """Per-group exact quantiles (rank = ceil(q·n)−1, the
+    quantile_disc rule): one bucketed shuffle on the group key, per-group
+    numpy selection. Groups are assumed worker-sized; the global
+    histogram-guided selection (quantiles_qty) is the per-group scale
+    path when they are not."""
+    import math
+
+    from ..stages.discovery import bucketed_groupby_apply
+
+    def per_group(g: pd.DataFrame) -> pd.DataFrame:
+        v = np.sort(g["value"].to_numpy(dtype=float))
+        n = len(v)
+        row = {"event_type": g["event_type"].iloc[0]}
+        for q in (0.25, 0.5, 0.75):
+            row[f"q{int(q * 100)}"] = round(float(v[math.ceil(q * n) - 1]),
+                                            2)
+        return pd.DataFrame([row])
+
+    return bucketed_groupby_apply(
+        t(sf_dir, "events", ["event_type", "value"]), "event_type",
+        per_group)
