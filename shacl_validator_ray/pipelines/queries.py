@@ -303,6 +303,20 @@ def q_kg_validate_qualified(sf_dir: str):
          "source_constraint_component"])
 
 
+def q_kg_validate_pairs(sf_dir: str):
+    """Property-pair components (pairs_demo profile): sh:equals /
+    sh:disjoint / sh:lessThan / sh:lessThanOrEquals over the planted
+    timeline (issued/modified) and size (byteSize/quota/recheck) pairs."""
+    from ..stages import shacl
+    from ..state import shapes as shapes_mod
+    from . import kg
+    return shacl.validate(
+        kg.triples_dataset(sf_dir),
+        shapes_mod.load_profile_ttl("pairs_demo")).select_columns(
+        ["severity", "focus_node", "path", "value",
+         "source_constraint_component"])
+
+
 def q_kg_validate_full(sf_dir: str):
     """Integration: EVERY feature family in one validate() run (the five
     demo profiles' shapes concatenated into a single shapes graph)."""
@@ -479,6 +493,7 @@ QUERIES = {
     "kg_validate_logic": q_kg_validate_logic,
     "kg_validate_node": q_kg_validate_node,
     "kg_validate_qualified": q_kg_validate_qualified,
+    "kg_validate_pairs": q_kg_validate_pairs,
     "kg_validate_full": q_kg_validate_full,
     "kg_paths_constraint_counts": q_kg_paths_constraint_counts,
     "kg_severity_counts": q_kg_severity_counts,
@@ -1108,7 +1123,67 @@ WHERE d.subj NOT IN
        AND regexp_matches(obj_value, 'theme/T[0-3]$'))
 """
 
+    # pairs_demo profile: SPARQL-ish ordering (numeric when BOTH values
+    # cast, else binary string compare — same rule as shacl._pair_lt)
+    ex = ns.EX
+
+    def lt(v: str, w: str) -> str:
+        return (f"(CASE WHEN try_cast({v} AS DOUBLE) IS NOT NULL "
+                f"AND try_cast({w} AS DOUBLE) IS NOT NULL "
+                f"THEN try_cast({v} AS DOUBLE) < try_cast({w} AS DOUBLE) "
+                f"ELSE {v} < {w} END)")
+
+    pairs_viol = f"""
+WITH gt AS (SELECT DISTINCT subj, pred, obj_value FROM {gt}),
+datasets AS (SELECT DISTINCT subj FROM gt
+             WHERE pred = '{ns.RDF_TYPE}' AND obj_value = '{dcat}Dataset'),
+iss AS (SELECT DISTINCT subj, obj_value FROM gt WHERE pred = '{dct}issued'
+        AND subj IN (SELECT subj FROM datasets)),
+mo AS (SELECT DISTINCT subj, obj_value FROM gt WHERE pred = '{dct}modified'
+       AND subj IN (SELECT subj FROM datasets)),
+bs AS (SELECT DISTINCT subj, obj_value FROM gt
+       WHERE pred = '{dcat}byteSize'),
+qt AS (SELECT DISTINCT subj, obj_value FROM gt WHERE pred = '{ex}quotaBytes'
+       AND subj IN (SELECT subj FROM bs)),
+rc AS (SELECT DISTINCT subj, obj_value FROM gt WHERE pred = '{ex}sizeRecheck'
+       AND subj IN (SELECT subj FROM bs)),
+viol AS (
+  SELECT 'Violation' AS severity, a.subj AS focus_node,
+         '{dct}issued' AS path, a.obj_value AS value,
+         '{sh}LessThanOrEqualsConstraintComponent'
+             AS source_constraint_component
+  FROM iss a WHERE EXISTS (SELECT 1 FROM mo b WHERE b.subj = a.subj
+      AND {lt('b.obj_value', 'a.obj_value')})
+  UNION ALL
+  SELECT 'Info', a.subj, '{dct}issued', a.obj_value,
+         '{sh}LessThanConstraintComponent'
+  FROM iss a WHERE EXISTS (SELECT 1 FROM mo b WHERE b.subj = a.subj
+      AND NOT {lt('a.obj_value', 'b.obj_value')})
+  UNION ALL
+  SELECT 'Violation', a.subj, '{dcat}byteSize', a.obj_value,
+         '{sh}LessThanOrEqualsConstraintComponent'
+  FROM bs a WHERE EXISTS (SELECT 1 FROM qt b WHERE b.subj = a.subj
+      AND {lt('b.obj_value', 'a.obj_value')})
+  UNION ALL
+  SELECT 'Warning', a.subj, '{dcat}byteSize', a.obj_value,
+         '{sh}EqualsConstraintComponent'
+  FROM bs a WHERE NOT EXISTS (SELECT 1 FROM rc b
+      WHERE b.subj = a.subj AND b.obj_value = a.obj_value)
+  UNION ALL
+  SELECT 'Warning', b.subj, '{dcat}byteSize', b.obj_value,
+         '{sh}EqualsConstraintComponent'
+  FROM rc b WHERE NOT EXISTS (SELECT 1 FROM bs a
+      WHERE a.subj = b.subj AND a.obj_value = b.obj_value)
+  UNION ALL
+  SELECT 'Info', a.subj, '{ex}quotaBytes', a.obj_value,
+         '{sh}DisjointConstraintComponent'
+  FROM qt a JOIN rc b ON a.subj = b.subj AND a.obj_value = b.obj_value
+)
+SELECT severity, focus_node, path, value, source_constraint_component
+FROM viol"""
+
     out = {
+        "kg_validate_pairs": pairs_viol,
         "kg_validate_qualified": qualified_sql,
         "kg_validate_node": node_viol +
             "SELECT severity, focus_node, path, value, "
@@ -1294,7 +1369,8 @@ FROM read_parquet('{corpus}/gt_media/part-*.parquet')""",
     out["kg_validate_full"] = " UNION ALL ".join(
         f"SELECT * FROM ({out[k]})"
         for k in ("kg_validate", "kg_validate_paths", "kg_validate_logic",
-                  "kg_validate_node", "kg_validate_qualified"))
+                  "kg_validate_node", "kg_validate_qualified",
+                  "kg_validate_pairs"))
     return out
 
 

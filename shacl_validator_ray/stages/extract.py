@@ -36,10 +36,15 @@ SENTENCES: list[tuple[re.Pattern, str]] = [
     (re.compile(_DS + r'is described as "([^"]*)"\.'), "desc"),
     (re.compile(_DS + r"was published by ([^.]+?)\."), "publisher"),
     (re.compile(_DS + r"was issued on ([^.]+?)\."), "issued"),
+    (re.compile(_DS + r"was last modified on ([^.]+?)\."), "modified"),
     (re.compile(_DS + r"covers theme Theme (T\d+)\."), "theme"),
     (re.compile(_DS + r"offers distribution Distribution (D\d+x\d+)\."), "dist"),
     (re.compile(_DI + r'is available as "([^"]*)"\.'), "format"),
     (re.compile(_DI + r"is a distribution resource\."), "dist_type"),
+    (re.compile(_DI + r"occupies (\d+) bytes\."), "byte_size"),
+    (re.compile(_DI + r"is allowed (\d+) bytes\."), "quota"),
+    (re.compile(r"A recheck recorded (\d+) bytes for distribution "
+                r"Distribution (D\d+x\d+)\."), "recheck"),
 ]
 
 ORG_CANON = re.compile(r"^Organization (\d+)$")
@@ -127,6 +132,22 @@ def extract_triples_batch(batch: pa.Table) -> pa.Table:
                         dt = ns.XSD + "dateTime" if ISO_DT.match(g[1]) else ""
                         emit(f"{ns.EX}dataset/{g[0]}", ns.DCT + "issued",
                              "literal", g[1], dt, doc_id, si)
+                    elif tag == "modified":
+                        dt = ns.XSD + "dateTime" if ISO_DT.match(g[1]) else ""
+                        emit(f"{ns.EX}dataset/{g[0]}", ns.DCT + "modified",
+                             "literal", g[1], dt, doc_id, si)
+                    elif tag == "byte_size":
+                        emit(f"{ns.EX}distribution/{g[0]}",
+                             ns.DCAT + "byteSize", "literal", g[1], "",
+                             doc_id, si)
+                    elif tag == "quota":
+                        emit(f"{ns.EX}distribution/{g[0]}",
+                             ns.EX + "quotaBytes", "literal", g[1], "",
+                             doc_id, si)
+                    elif tag == "recheck":
+                        emit(f"{ns.EX}distribution/{g[1]}",
+                             ns.EX + "sizeRecheck", "literal", g[0], "",
+                             doc_id, si)
                     elif tag == "theme":
                         emit(f"{ns.EX}dataset/{g[0]}", ns.DCAT + "theme", "iri",
                              f"{ns.EX}theme/{g[1]}", "", doc_id, si)

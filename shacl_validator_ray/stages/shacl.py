@@ -1235,6 +1235,16 @@ def _pair_lt(v: str, w: str) -> bool:
         return v < w
 
 
+def _never_float_mask(s):
+    """Per-value mask: True where ``float()`` provably raises — no digit
+    and no inf/nan token anywhere. Sufficient condition only — a False
+    just routes that subject to the exact per-row loop."""
+    import pandas as pd
+
+    low = pd.Series(s, dtype=object).astype(str).str.lower()
+    return (~low.str.contains(r"[0-9]|inf|nan", regex=True)).to_numpy()
+
+
 def pair_constraint_violations(eval_triples: rd.Dataset,
                                compiled: "shapes_mod.CompiledShapes",
                                members: dict) -> rd.Dataset | None:
@@ -1310,18 +1320,66 @@ def pair_constraint_violations(eval_triples: rd.Dataset,
                 emit(a.merge(bb, on=["subj", "obj_value"]), p, idx,
                      comp_local)
             else:
-                by_b = {s: list(v) for s, v in bb.groupby("subj")["obj_value"]}
-                rows = []
-                for s, v in zip(a["subj"], a["obj_value"]):
-                    ws = by_b.get(s, ())
-                    if comp_local == "LessThanConstraintComponent":
-                        bad = any(not _pair_lt(v, w) for w in ws)
-                    else:  # LessThanOrEquals
-                        bad = any(_pair_lt(w, v) for w in ws)
-                    if bad:
-                        rows.append((s, v))
-                emit(pd.DataFrame(rows, columns=["subj", "obj_value"]),
-                     p, idx, comp_local)
+                if not len(a) or not len(bb):
+                    continue
+                lt = comp_local == "LessThanConstraintComponent"
+                # typed fast path, PER SUBJECT: under a total order,
+                # "any w fails" collapses to one reduction — lessThan is
+                # violated iff v >= min(B), lessThanOrEquals iff
+                # min(B) < v. A subject is numeric-typed when every A
+                # and B value float-parses (matches _pair_lt's
+                # both-parse branch) and string-typed when float()
+                # provably raises for all of them; only subjects with
+                # genuinely mixed values hit the per-row loop, so a few
+                # dirty rows don't de-vectorize the bucket.
+                a_ = a.assign(_num=pd.to_numeric(a["obj_value"],
+                                                 errors="coerce"),
+                              _nf=_never_float_mask(a["obj_value"]))
+                b_ = bb.assign(_num=pd.to_numeric(bb["obj_value"],
+                                                  errors="coerce"),
+                               _nf=_never_float_mask(bb["obj_value"]))
+                cls = pd.concat([
+                    pd.DataFrame({"subj": f["subj"].to_numpy(),
+                                  "is_num": f["_num"].notna().to_numpy(),
+                                  "is_str": f["_nf"].to_numpy()})
+                    for f in (a_, b_)], ignore_index=True).groupby("subj").all()
+                num_subjs = cls.index[cls["is_num"]]
+                str_subjs = cls.index[cls["is_str"]]
+                for subjs, col in ((num_subjs, "_num"),
+                                   (str_subjs, "obj_value")):
+                    if not len(subjs):
+                        continue
+                    af = a_[a_["subj"].isin(subjs)]
+                    bf = b_[b_["subj"].isin(subjs)]
+                    if not len(af) or not len(bf):
+                        continue
+                    bmin = bf.groupby("subj")[col].min().rename("_w")
+                    m = (af.rename(columns={col: "_v"})
+                         if col != "obj_value" else
+                         af.assign(_v=af["obj_value"])).merge(
+                             bmin, left_on="subj", right_index=True)
+                    bad = m[~(m["_v"] < m["_w"])] if lt \
+                        else m[m["_w"] < m["_v"]]
+                    emit(bad[["subj", "obj_value"]], p, idx, comp_local)
+                # mixed numeric/string subjects: SPARQL-ish ordering is
+                # not total there, so run the exact per-row loop
+                fast = set(num_subjs) | set(str_subjs)
+                ar = a_[~a_["subj"].isin(fast)]
+                if len(ar):
+                    br = b_[~b_["subj"].isin(fast)]
+                    by_b = {s: list(v)
+                            for s, v in br.groupby("subj")["obj_value"]}
+                    rows = []
+                    for s, v in zip(ar["subj"], ar["obj_value"]):
+                        ws = by_b.get(s, ())
+                        if lt:
+                            bad = any(not _pair_lt(v, w) for w in ws)
+                        else:  # LessThanOrEquals
+                            bad = any(_pair_lt(w, v) for w in ws)
+                        if bad:
+                            rows.append((s, v))
+                    emit(pd.DataFrame(rows, columns=["subj", "obj_value"]),
+                         p, idx, comp_local)
         if frames:
             return pd.concat(frames, ignore_index=True)
         return pd.DataFrame({"focus_node": pd.Series(dtype=object),

@@ -31,7 +31,7 @@ SEED = 42
 N_ORGS = 50
 N_THEMES = 8
 HUB_ORG = 0            # hub publisher: draws ~30% of all publisher edges (skew fixture)
-CACHE_ROOT = "/tmp/svr_corpus_v5"  # bump suffix when corpus semantics change
+CACHE_ROOT = "/tmp/svr_corpus_v6"  # bump suffix when corpus semantics change
 
 # violation seeding probabilities (deterministic per doc)
 P_MISSING_TITLE = 0.10   # sh:minCount violation
@@ -50,6 +50,12 @@ _DISTRACTORS = [
 ]
 
 ISO_DT = re.compile(r"^\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}Z$")
+
+
+def _rand_dt(rng: random.Random) -> str:
+    """Fixed-width ISO dateTime: lexicographic order == chronological."""
+    return (f"20{10 + rng.randrange(15):02d}-{1 + rng.randrange(12):02d}-"
+            f"{1 + rng.randrange(28):02d}T{rng.randrange(24):02d}:00:00Z")
 
 
 def org_name(k: int) -> str:
@@ -147,12 +153,22 @@ def gen_doc(i: int, seed: int = SEED) -> tuple[dict, list[dict], dict]:
     if rng.random() < 0.9:
         if flags["bad_issued"]:
             issued = "sometime in spring"
+            modified = _rand_dt(rng)
             t(ds, ns.DCT + "issued", "literal", issued)
         else:
-            issued = (f"20{10 + rng.randrange(15):02d}-{1 + rng.randrange(12):02d}-"
-                      f"{1 + rng.randrange(28):02d}T{rng.randrange(24):02d}:00:00Z")
+            d1, d2 = _rand_dt(rng), _rand_dt(rng)
+            issued, modified = min(d1, d2), max(d1, d2)
+            if rng.random() < 0.15:
+                # timeline violation: modified strictly before issued
+                # (sh:lessThan / sh:lessThanOrEquals pairs fixture)
+                issued, modified = modified, issued
             t(ds, ns.DCT + "issued", "literal", issued, dt=ns.XSD + "dateTime")
         sentences.append(f"The dataset {ds_name} was issued on {issued}.")
+        if rng.random() < 0.85:
+            t(ds, ns.DCT + "modified", "literal", modified,
+              dt=ns.XSD + "dateTime")
+            sentences.append(
+                f"The dataset {ds_name} was last modified on {modified}.")
 
     for m in range(rng.randrange(3)):
         th = rng.randrange(N_THEMES)
@@ -170,6 +186,29 @@ def gen_doc(i: int, seed: int = SEED) -> tuple[dict, list[dict], dict]:
         fmt = rng.choice(["text/csv", "application/json", "text/turtle", "application/pdf"])
         sentences.append(f'The distribution {z_name} is available as "{fmt}".')
         t(z, ns.DCT + "format", "literal", fmt)
+        # numeric pair fixtures (sh:lessThanOrEquals / equals / disjoint):
+        # actual size, allowed quota (sometimes exceeded / exactly met),
+        # and an audit recheck (sometimes diverging)
+        size = rng.randrange(2_000, 5_000_000)
+        t(z, ns.DCAT + "byteSize", "literal", str(size))
+        sentences.append(f"The distribution {z_name} occupies {size} bytes.")
+        if rng.random() < 0.7:
+            r2 = rng.random()
+            if r2 < 0.12:
+                quota = rng.randrange(1_000, size)      # quota exceeded
+            elif r2 < 0.20:
+                quota = size                            # exactly met
+            else:
+                quota = size + rng.randrange(1, 1_000_000)
+            t(z, ns.EX + "quotaBytes", "literal", str(quota))
+            sentences.append(
+                f"The distribution {z_name} is allowed {quota} bytes.")
+        if rng.random() < 0.8:
+            recheck = size if rng.random() < 0.85 \
+                else size + rng.randrange(1, 500)
+            t(z, ns.EX + "sizeRecheck", "literal", str(recheck))
+            sentences.append(
+                f"A recheck recorded {recheck} bytes for distribution {z_name}.")
         is_untyped = rng.random() < P_UNTYPED_DIST
         untyped.append(is_untyped)
         if not is_untyped:

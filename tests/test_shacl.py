@@ -390,6 +390,56 @@ def test_closed_shape():
     assert got == {("b", "sneaky", "ClosedConstraintComponent")}, got
 
 
+def test_less_than_fast_paths_match_loop_semantics():
+    """The numeric / string vectorized lessThan* fast paths must agree
+    with the exact per-row _pair_lt reference on randomized value sets;
+    a mixed bucket exercises the fallback loop itself."""
+    import random
+
+    rng = random.Random(7)
+    shapes_ttl = """
+    @prefix sh: <http://www.w3.org/ns/shacl#> .
+    @prefix ex: <http://example.org/> .
+    ex:S a sh:NodeShape ; sh:targetClass ex:T ;
+         sh:property [ sh:path ex:lo ; sh:lessThan ex:hi ] ;
+         sh:property [ sh:path ex:le ; sh:lessThanOrEquals ex:hi ] .
+    """
+    pools = {"num": lambda: str(rng.choice([1, 2.5, 30, -4, 1e2])),
+             "str": lambda: rng.choice(["apple", "pear", "zed", "kiwi"]),
+             "mix": lambda: rng.choice(["apple", "7", "pear", "2.5"])}
+    lines = []
+    entities = []
+    for i in range(60):
+        kind = ("num", "str", "mix")[i % 3]
+        los = [pools[kind]() for _ in range(rng.randint(0, 3))]
+        les = [pools[kind]() for _ in range(rng.randint(0, 3))]
+        his = [pools[kind]() for _ in range(rng.randint(0, 3))]
+        ent = f"e{kind}{i}"
+        entities.append((ent, los, les, his))
+        parts = [f"ex:{ent} a ex:T"]
+        parts += [f'ex:lo "{v}"' for v in los]
+        parts += [f'ex:le "{v}"' for v in les]
+        parts += [f'ex:hi "{v}"' for v in his]
+        lines.append(" ; ".join(parts) + " .")
+    data_ttl = "@prefix ex: <http://example.org/> .\n" + "\n".join(lines)
+
+    expected = set()
+    for ent, los, les, his in entities:
+        for v in set(los):
+            if any(not shacl._pair_lt(v, w) for w in set(his)):
+                expected.add((ent, "LessThanConstraintComponent", v))
+        for v in set(les):
+            if any(shacl._pair_lt(w, v) for w in set(his)):
+                expected.add((ent, "LessThanOrEqualsConstraintComponent", v))
+
+    viols = shacl.validate(_ds_from_ttl_text(data_ttl), shapes_ttl,
+                           concurrency=1)
+    got = {(r["focus_node"].rsplit("/")[-1],
+            r["source_constraint_component"].rsplit("#", 1)[-1], r["value"])
+           for r in viols.to_pandas().to_dict("records")}
+    assert got == expected, got.symmetric_difference(expected)
+
+
 def test_property_pair_constraints():
     """sh:equals / sh:disjoint / sh:lessThan / sh:lessThanOrEquals."""
     shapes_ttl = """
@@ -885,3 +935,26 @@ def test_distributed_members_path_equivalence():
     assert {"MinCountConstraintComponent", "NodeConstraintComponent",
             "DatatypeConstraintComponent",
             "MaxCountConstraintComponent"} <= comps
+
+
+def test_pairs_profile_on_synthetic_corpus():
+    """pairs_demo over the planted corpus: every pair component fires,
+    and the numeric byteSize subjects ride the vectorized fast path while
+    bad_issued datasets exercise the mixed-type per-row fallback."""
+    docs, _gt, _mgt = synth.make_corpus_tables(300)
+    triples = rd.from_arrow(extract.extract_triples_batch(docs))
+    viols = shacl.validate(triples, shapes_mod.load_profile_ttl("pairs_demo"),
+                           concurrency=2)
+    recs = viols.to_pandas().to_dict("records")
+    comps = {}
+    for r in recs:
+        comps.setdefault(
+            r["source_constraint_component"].rsplit("#", 1)[-1], 0)
+        comps[r["source_constraint_component"].rsplit("#", 1)[-1]] += 1
+    assert set(comps) == {"LessThanConstraintComponent",
+                          "LessThanOrEqualsConstraintComponent",
+                          "EqualsConstraintComponent",
+                          "DisjointConstraintComponent"}, comps
+    # timeline violations report the issued value; size violations the size
+    paths = {re.split(r"[#/]", r["path"])[-1] for r in recs}
+    assert paths == {"issued", "byteSize", "quotaBytes"}, paths
