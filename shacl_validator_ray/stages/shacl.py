@@ -295,32 +295,38 @@ _SEQ_EDGE_SCHEMA = pa.schema([pa.field("src", pa.string()),
                               pa.field("mid", pa.string())])
 
 
-def _seq_rows(triples: rd.Dataset, path_str: str, preds: tuple[str, ...],
-              num_partitions: int) -> rd.Dataset:
-    """Derived rows for a sequence path: fold a distributed join over the
-    predicate chain; output rows are TRIPLES-schema with the virtual
-    predicate ``path_str`` (lineage columns from the FINAL step). Joins
-    use the engine's union-tag + bucketed-merge formulation (discovery
-    J1) — one shuffle per step on the single join key, no native
-    JoinOperator spin-up (which also mis-resolves key fields when a side
-    is itself a join output). IRIs/blank labels are non-empty, so "" is
-    a safe side sentinel."""
+def _seq_prefix_pairs(triples: rd.Dataset, preds: tuple[str, ...],
+                      num_partitions: int,
+                      cache: dict) -> rd.Dataset | None:
+    """Materialized ``(src, mid)`` reach-pair table for the predicate
+    chain ``preds`` (common-prefix planner): recursive with memoization,
+    so any number of sequence paths sharing a prefix — ``a/b/c`` and
+    ``a/b/d``, or ``a/b`` inside ``a/b/c`` — compute the shared joins
+    ONCE per validate() call instead of once per path. Returns None for
+    an empty chain result (short-circuits every extension of it)."""
     import pandas as pd
 
     from .discovery import bucketed_block_apply
 
-    def empty_triples() -> rd.Dataset:
-        return rd.from_arrow(S.TRIPLES.empty_table())
+    if preds in cache:
+        return cache[preds]
+    if len(preds) == 1:
+        first_pred = preds[0]
+        cur = triples.map_batches(
+            lambda b, p0=first_pred: pa.table({
+                "src": (f := b.filter(pc.equal(b["pred"], p0)))["subj"].cast(
+                    pa.string()),
+                "mid": f["obj_value"].cast(pa.string())},
+                schema=_SEQ_EDGE_SCHEMA),
+            batch_format="pyarrow", zero_copy_batch=True).materialize()
+        cur = cur if cur.count() else None
+        cache[preds] = cur
+        return cur
 
-    first_pred = preds[0]
-    cur = triples.map_batches(
-        lambda b, p0=first_pred: pa.table({
-            "src": (f := b.filter(pc.equal(b["pred"], p0)))["subj"].cast(
-                pa.string()),
-            "mid": f["obj_value"].cast(pa.string())}, schema=_SEQ_EDGE_SCHEMA),
-        batch_format="pyarrow", zero_copy_batch=True).materialize()
-    if cur.count() == 0:
-        return empty_triples()
+    prev = _seq_prefix_pairs(triples, preds[:-1], num_partitions, cache)
+    if prev is None:
+        cache[preds] = None
+        return None
 
     def hop_merge(g: pd.DataFrame) -> pd.DataFrame:
         ls = g.loc[g["src"] != "", ["mid", "src"]]
@@ -331,29 +337,56 @@ def _seq_rows(triples: rd.Dataset, path_str: str, preds: tuple[str, ...],
                                  "mid": pd.Series(dtype=object)})
         return pd.DataFrame({"src": m["src"], "mid": m["nxt"]})
 
-    for step in preds[1:-1]:
-        nxt = triples.map_batches(
-            lambda b, p0=step: pa.table({
-                "mid": (f := b.filter(pc.equal(b["pred"], p0)))["subj"].cast(
-                    pa.string()),
-                "src": pa.nulls(f.num_rows, pa.string()).fill_null(""),
-                "nxt": f["obj_value"].cast(pa.string())}),
-            batch_format="pyarrow", zero_copy_batch=True)
-        cur_tagged = cur.map_batches(
-            lambda b: pa.table({
-                "mid": b["mid"], "src": b["src"],
-                "nxt": pa.nulls(b.num_rows, pa.string()).fill_null("")}),
-            batch_format="pyarrow")
-        cur = (bucketed_block_apply(cur_tagged.union(nxt), "mid", hop_merge,
-                                    n_buckets=num_partitions)
-               .map_batches(lambda b: pa.table({
-                   "src": b["src"].cast(pa.string()),
-                   "mid": b["mid"].cast(pa.string())},
-                   schema=_SEQ_EDGE_SCHEMA)
-                   if b.num_rows else _SEQ_EDGE_SCHEMA.empty_table(),
-                   batch_format="pyarrow").materialize())
-        if cur.count() == 0:
-            return empty_triples()
+    step = preds[-1]
+    nxt = triples.map_batches(
+        lambda b, p0=step: pa.table({
+            "mid": (f := b.filter(pc.equal(b["pred"], p0)))["subj"].cast(
+                pa.string()),
+            "src": pa.nulls(f.num_rows, pa.string()).fill_null(""),
+            "nxt": f["obj_value"].cast(pa.string())}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    cur_tagged = prev.map_batches(
+        lambda b: pa.table({
+            "mid": b["mid"], "src": b["src"],
+            "nxt": pa.nulls(b.num_rows, pa.string()).fill_null("")}),
+        batch_format="pyarrow")
+    cur = (bucketed_block_apply(cur_tagged.union(nxt), "mid", hop_merge,
+                                n_buckets=num_partitions)
+           .map_batches(lambda b: pa.table({
+               "src": b["src"].cast(pa.string()),
+               "mid": b["mid"].cast(pa.string())},
+               schema=_SEQ_EDGE_SCHEMA)
+               if b.num_rows else _SEQ_EDGE_SCHEMA.empty_table(),
+               batch_format="pyarrow").materialize())
+    cur = cur if cur.count() else None
+    cache[preds] = cur
+    return cur
+
+
+def _seq_rows(triples: rd.Dataset, path_str: str, preds: tuple[str, ...],
+              num_partitions: int,
+              prefix_cache: dict | None = None) -> rd.Dataset:
+    """Derived rows for a sequence path: fold a distributed join over the
+    predicate chain; output rows are TRIPLES-schema with the virtual
+    predicate ``path_str`` (lineage columns from the FINAL step). Joins
+    use the engine's union-tag + bucketed-merge formulation (discovery
+    J1) — one shuffle per step on the single join key, no native
+    JoinOperator spin-up (which also mis-resolves key fields when a side
+    is itself a join output). IRIs/blank labels are non-empty, so "" is
+    a safe side sentinel. ``prefix_cache`` (shared across the paths of
+    one validate() call) lets chains with common prefixes reuse the
+    intermediate reach-pair tables."""
+    import pandas as pd
+
+    from .discovery import bucketed_block_apply
+
+    def empty_triples() -> rd.Dataset:
+        return rd.from_arrow(S.TRIPLES.empty_table())
+
+    cur = _seq_prefix_pairs(triples, preds[:-1], num_partitions,
+                            prefix_cache if prefix_cache is not None else {})
+    if cur is None:
+        return empty_triples()
 
     obj_cols = ["obj_kind", "obj_value", "obj_datatype", "obj_lang",
                 "doc_id", "span_idx"]
@@ -632,9 +665,14 @@ def augment_paths(triples: rd.Dataset,
 
         derived.append(triples.map_batches(alt_rows, batch_format="pyarrow",
                                            zero_copy_batch=True))
+    # shared across all sequence paths: chains with a common predicate
+    # prefix (a/b/c, a/b/d, a/b) reuse the materialized reach-pair table
+    # for the shared joins instead of recomputing them per path
+    prefix_cache: dict = {}
     for path_str, preds in seqs:
         derived.append(
-            _seq_rows(triples, path_str, preds, num_partitions).materialize())
+            _seq_rows(triples, path_str, preds, num_partitions,
+                      prefix_cache).materialize())
     for path_str, pred, include_zero in closures:
         derived.append(
             _closure_rows(triples, path_str, pred, include_zero,

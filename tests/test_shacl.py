@@ -208,6 +208,44 @@ def test_sequence_path_validation():
                for r in recs)
 
 
+def test_seq_common_prefix_planner():
+    """Sequence chains sharing a predicate prefix (a/b/c, a/b/d, a/b)
+    reuse the memoized reach-pair intermediates — each distinct prefix
+    is computed exactly once — and derived value sets are unchanged."""
+    a, b, c, d = (f"http://example.org/{p}" for p in "abcd")
+    data_ttl = """
+    @prefix ex: <http://example.org/> .
+    ex:x ex:a ex:m1 , ex:m2 .
+    ex:m1 ex:b ex:n1 .
+    ex:m2 ex:b ex:n2 .
+    ex:n1 ex:c "via-c" .
+    ex:n2 ex:d "via-d" .
+    """
+    triples = _ds_from_ttl_text(data_ttl)
+
+    class CountingCache(dict):
+        def __init__(self):
+            super().__init__()
+            self.computed = []
+
+        def __setitem__(self, k, v):
+            self.computed.append(k)
+            super().__setitem__(k, v)
+
+    cache = CountingCache()
+    got = {}
+    for path, preds in ((f"{a}/{b}/{c}", (a, b, c)),
+                        (f"{a}/{b}/{d}", (a, b, d)),
+                        (f"{a}/{b}", (a, b))):
+        rows = shacl._seq_rows(triples, path, preds, 4, cache).to_pandas()
+        got[path] = set(zip(rows["subj"], rows["obj_value"]))
+    assert sorted(cache.computed) == [(a,), (a, b)], cache.computed
+    ex = "http://example.org/"
+    assert got[f"{a}/{b}/{c}"] == {(ex + "x", "via-c")}
+    assert got[f"{a}/{b}/{d}"] == {(ex + "x", "via-d")}
+    assert got[f"{a}/{b}"] == {(ex + "x", ex + "n1"), (ex + "x", ex + "n2")}
+
+
 def test_alternative_path_validation():
     """sh:alternativePath ( a b ): value set is the union over predicates."""
     shapes_ttl = """
