@@ -459,6 +459,26 @@ def q_kg_pagerank(sf_dir: str):
     return pagerank(edges, iters=5)
 
 
+def q_kg_pagerank_dangling(sf_dir: str):
+    """PageRank with dangling-mass teleport: sink-node rank is
+    redistributed uniformly each round so ranks sum to 1 (oracle adds
+    the identical d·D_t/N term per unrolled iteration)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..stages.graph import pagerank
+    from . import kg
+
+    def to_edges(b: pa.Table) -> pa.Table:
+        f = b.filter(pc.equal(b["obj_kind"], "iri"))
+        return pa.table({"src": f["subj"].cast(pa.string()),
+                         "dst": f["obj_value"].cast(pa.string())})
+
+    edges = kg.triples_dataset(sf_dir).map_batches(
+        to_edges, batch_format="pyarrow", zero_copy_batch=True)
+    return pagerank(edges, iters=5, redistribute_dangling=True)
+
+
 def q_kg_property_breakdown(sf_dir: str):
     """A6 (ReportViewer.tsx:166-190): per-path severity pivot, top 8."""
     from ..stages import report
@@ -507,6 +527,7 @@ QUERIES = {
     "kg_bgp_constraint": q_kg_bgp_constraint,
     "kg_bgp_not_exists": q_kg_bgp_not_exists,
     "kg_pagerank": q_kg_pagerank,
+    "kg_pagerank_dangling": q_kg_pagerank_dangling,
     "kg_media_features": q_kg_media_features,
     "kg_image_stats": q_kg_image_stats,
     # relational operator inventory (SURVEY.md §2)
@@ -907,10 +928,12 @@ WHERE n_tokens BETWEEN 20 AND 200
 }
 
 
-def _pagerank_sql(mapped: str, iters: int = 5, d: float = 0.85) -> str:
+def _pagerank_sql(mapped: str, iters: int = 5, d: float = 0.85,
+                  redistribute: bool = False) -> str:
     """Unrolled power-iteration SQL: r0 = 1/N, then ``iters`` chained
     CTE rounds of contribution-sum + damping (same dangling-mass rule
-    as stages/graph.py::pagerank — sinks leak, nothing redistributes)."""
+    as stages/graph.py::pagerank — sinks leak by default; with
+    ``redistribute`` each round adds d·D_t/N, D_t = sink-node mass)."""
     sql = "WITH " + mapped.strip() + f""",
 edges AS (SELECT DISTINCT subj AS src, obj_value AS dst FROM mapped
           WHERE obj_kind = 'iri'),
@@ -920,6 +943,12 @@ nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
 deg AS (SELECT src, count(*)::DOUBLE AS c FROM edges GROUP BY src),
 r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes)"""
     for i in range(1, iters + 1):
+        extra = ""
+        if redistribute:
+            sql += f""",
+dm{i} AS (SELECT coalesce(sum(rank), 0) AS m FROM r{i - 1}
+          WHERE node NOT IN (SELECT src FROM deg))"""
+            extra = f" + {d} * (SELECT m FROM dm{i}) / (SELECT n FROM nn)"
         sql += f""",
 s{i} AS (SELECT e.dst AS node, sum(r.rank / dg.c) AS m
          FROM r{i - 1} r JOIN edges e ON r.node = e.src
@@ -927,7 +956,7 @@ s{i} AS (SELECT e.dst AS node, sum(r.rank / dg.c) AS m
          GROUP BY e.dst),
 r{i} AS (SELECT n.node,
                 (1 - {d}) / (SELECT n FROM nn)
-                + {d} * coalesce(s.m, 0) AS rank
+                + {d} * coalesce(s.m, 0){extra} AS rank
          FROM nodes n LEFT JOIN s{i} s ON n.node = s.node)"""
     sql += f"\nSELECT node, round(rank, 6) AS rank FROM r{iters}"
     return sql
@@ -1349,6 +1378,7 @@ FROM has_dist WHERE subj NOT IN (SELECT subj FROM has_csv)""",
         # kg_pagerank: the same 5 power iterations unrolled as chained
         # CTEs over the mention-mapped resource graph
         "kg_pagerank": _pagerank_sql(mapped),
+        "kg_pagerank_dangling": _pagerank_sql(mapped, redistribute=True),
         # kg_media_features: planted per-dimension feature expectations
         "kg_media_features": f"""
 SELECT doc_id, span_idx, kind, media_ref,

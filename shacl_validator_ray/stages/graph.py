@@ -6,9 +6,11 @@ annotated edge list on the source node (union-tag + bucketed merge, the
 engine's J1 formulation), (2) contributions reduce by destination — plus
 one broadcast-free merge back onto the node universe. The rank vector
 and the edge list live in the (distributed, spillable) object store;
-nothing node- or edge-scale touches the driver. Dangling-node mass is
-NOT redistributed (documented; the oracle applies the same rule), so
-ranks sum to < 1 when sinks exist.
+nothing node- or edge-scale touches the driver. By default dangling-node
+mass is NOT redistributed (the oracle applies the same rule), so ranks
+sum to < 1 when sinks exist; ``redistribute_dangling=True`` teleports
+sink mass uniformly each round (D_t is a one-float streaming aggregate)
+so ranks sum to 1.
 
 Companion to the non-iterative graph ops already in the engine
 (connected components via union-find in stages/canonicalize.py, heavy-
@@ -35,11 +37,19 @@ def _coalesce(ds: rd.Dataset, k: int) -> rd.Dataset:
 
 def pagerank(edges: rd.Dataset, iters: int = 5, damping: float = 0.85,
              src: str = "src", dst: str = "dst",
-             n_buckets: int | None = None) -> rd.Dataset:
+             n_buckets: int | None = None,
+             redistribute_dangling: bool = False) -> rd.Dataset:
     """(src, dst) edge Dataset → (node, rank) after ``iters`` rounds.
 
     rank_0 = 1/N; rank_{t+1}(v) = (1-d)/N + d · Σ_{(u,v)∈E} rank_t(u)/deg(u).
-    """
+
+    With ``redistribute_dangling`` the mass parked on sink nodes is
+    teleported uniformly each round (rank_{t+1} gains d·D_t/N where
+    D_t = Σ rank_t over out-degree-0 nodes), so ranks sum to 1. The
+    dangling flag is computed ONCE (one extra setup shuffle: universe
+    anti-join distinct sources) and rides the rank vector; D_t itself
+    is a single-float streaming aggregate per round — nothing
+    node-scale reaches the driver."""
     from ..sources import io as io_mod
 
     if n_buckets is None:
@@ -91,6 +101,35 @@ def pagerank(edges: rd.Dataset, iters: int = 5, damping: float = 0.85,
     base = (1.0 - damping) / n_nodes
     init = 1.0 / n_nodes
 
+    if redistribute_dangling:
+        # dangling = universe node with no outgoing edge: bucketed
+        # anti-join of the node universe against distinct sources
+        def mark_bucket(g: pd.DataFrame) -> pd.DataFrame:
+            has_src = set(g.loc[g["is_src"], "node"])
+            un = g.loc[~g["is_src"]]
+            return pd.DataFrame({
+                "node": un["node"],
+                "dangling": [n not in has_src for n in un["node"]]})
+
+        srcs = e.map_batches(
+            lambda b: pa.table({
+                "node": b[src].cast(pa.string()),
+                "is_src": pa.nulls(b.num_rows, pa.bool_()).fill_null(True)}),
+            batch_format="pyarrow")
+        univ = nodes.map_batches(
+            lambda b: pa.table({
+                "node": b["node"].cast(pa.string()),
+                "is_src": pa.nulls(b.num_rows, pa.bool_()).fill_null(False)}),
+            batch_format="pyarrow")
+        nodes = _coalesce(bucketed_block_apply(
+            _coalesce(srcs.union(univ), k), "node", mark_bucket,
+            n_buckets=n_buckets), k).materialize()
+    else:
+        nodes = nodes.map_batches(
+            lambda b: b.append_column(
+                "dangling", pa.nulls(b.num_rows, pa.bool_()).fill_null(False)),
+            batch_format="pyarrow").materialize()
+
     ranks = nodes.map_batches(
         lambda b: b.append_column("rank",
                                   pa.nulls(b.num_rows,
@@ -108,21 +147,37 @@ def pagerank(edges: rd.Dataset, iters: int = 5, damping: float = 0.85,
         return pd.DataFrame({"dst_": m[dst],
                              "c": m["rank"] / m["outdeg"]})
 
-    def sum_apply_merge(g: pd.DataFrame) -> pd.DataFrame:
-        """Fused reduce+apply (both keyed by the destination node): sum
-        the bucket's contributions per node, then produce the new rank
-        for every universe node in the bucket — one shuffle instead of
-        two per iteration."""
-        ns = g.loc[g["c"].isna(), ["node"]]
-        cs = g.loc[~g["c"].isna(), ["node", "c"]]
-        sums = cs.groupby("node", sort=False)["c"].sum() if len(cs) else None
-        m = ns.merge(sums.reset_index(), on="node", how="left") \
-            if sums is not None else ns.assign(c=0.0)
-        return pd.DataFrame({
-            "node": m["node"],
-            "rank": base + damping * m["c"].fillna(0.0)})
+    def make_sum_apply(row_base: float):
+        def sum_apply_merge(g: pd.DataFrame) -> pd.DataFrame:
+            """Fused reduce+apply (both keyed by the destination node):
+            sum the bucket's contributions per node, then produce the
+            new rank for every universe node in the bucket — one shuffle
+            instead of two per iteration. ``row_base`` folds in this
+            round's share of redistributed dangling mass."""
+            ns = g.loc[g["c"].isna(), ["node", "dangling"]]
+            cs = g.loc[~g["c"].isna(), ["node", "c"]]
+            sums = (cs.groupby("node", sort=False)["c"].sum()
+                    if len(cs) else None)
+            m = ns.merge(sums.reset_index(), on="node", how="left") \
+                if sums is not None else ns.assign(c=0.0)
+            return pd.DataFrame({
+                "node": m["node"], "dangling": m["dangling"],
+                "rank": row_base + damping * m["c"].fillna(0.0)})
+        return sum_apply_merge
 
     for _ in range(iters):
+        row_base = base
+        if redistribute_dangling:
+            # D_t: one float off a streaming aggregate over the pinned
+            # rank vector (the vector itself never leaves the cluster)
+            d_mass = ranks.map_batches(
+                lambda b: pa.table({"s": pa.array(
+                    [pc.sum(pc.if_else(b["dangling"],
+                                       b["rank"].cast(pa.float64()),
+                                       0.0)).as_py() or 0.0],
+                    pa.float64())}),
+                batch_format="pyarrow").sum("s") or 0.0
+            row_base = base + damping * d_mass / n_nodes
         tagged_r = ranks.map_batches(
             lambda b: pa.table({
                 "node": b["node"].cast(pa.string()),
@@ -142,18 +197,22 @@ def pagerank(edges: rd.Dataset, iters: int = 5, damping: float = 0.85,
             n_buckets=n_buckets)
         tagged_n = nodes.map_batches(
             lambda b: pa.table({"node": b["node"].cast(pa.string()),
+                                "dangling": b["dangling"].cast(pa.bool_()),
                                 "c": pa.nulls(b.num_rows, pa.float64())}),
             batch_format="pyarrow")
         tagged_c = contrib.map_batches(
             lambda b: pa.table({"node": b["dst_"].cast(pa.string()),
+                                "dangling": pa.nulls(
+                                    b.num_rows, pa.bool_()).fill_null(False),
                                 "c": b["c"].cast(pa.float64())})
             if b.num_rows else pa.table(
                 {"node": pa.array([], pa.string()),
+                 "dangling": pa.array([], pa.bool_()),
                  "c": pa.array([], pa.float64())}),
             batch_format="pyarrow")
         ranks = bucketed_block_apply(
-            _coalesce(tagged_n.union(tagged_c), k), "node", sum_apply_merge,
-            n_buckets=n_buckets)
+            _coalesce(tagged_n.union(tagged_c), k), "node",
+            make_sum_apply(row_base), n_buckets=n_buckets)
         # iterative: each round's vector is the next round's input —
         # pin it (at 100 TB this is the per-iteration checkpoint)
         ranks = _coalesce(ranks, k).materialize()

@@ -8,16 +8,19 @@ import ray.data as rd
 from shacl_validator_ray.stages.graph import pagerank
 
 
-def _reference(E, iters=5, d=0.85):
+def _reference(E, iters=5, d=0.85, redistribute=False):
     nodes = sorted({x for e in E for x in e})
     N = len(nodes)
     deg = collections.Counter(s for s, _ in E)
     r = {n: 1 / N for n in nodes}
     for _ in range(iters):
+        dangling = sum(r[n] for n in nodes if n not in deg) \
+            if redistribute else 0.0
         s = collections.defaultdict(float)
         for u, v in E:
             s[v] += r[u] / deg[u]
-        r = {n: (1 - d) / N + d * s.get(n, 0.0) for n in nodes}
+        r = {n: (1 - d) / N + d * (s.get(n, 0.0) + dangling / N)
+             for n in nodes}
     return {n: round(v, 6) for n, v in r.items()}
 
 
@@ -39,6 +42,30 @@ def test_pagerank_dedups_edges_and_handles_sinks():
     got = {r["node"]: r["rank"]
            for r in pagerank(ds, iters=3).to_pandas().to_dict("records")}
     assert got == _reference([("a", "b")], iters=3)
+
+
+def test_pagerank_dangling_redistribution():
+    """With redistribute_dangling, sink mass teleports uniformly each
+    round (matches the single-threaded reference) and ranks sum to 1;
+    on a sink-free graph the option is a no-op."""
+    E = [("a", "b"), ("b", "c"), ("a", "c"), ("d", "a")]  # c, and then
+    # d-as-pure-source: c is the only sink
+    ds = rd.from_arrow(pa.table({"src": [e[0] for e in E],
+                                 "dst": [e[1] for e in E]}))
+    got = {r["node"]: r["rank"]
+           for r in pagerank(ds, iters=4,
+                             redistribute_dangling=True).to_pandas()
+           .to_dict("records")}
+    assert got == _reference(E, iters=4, redistribute=True)
+    assert abs(sum(got.values()) - 1.0) < 1e-4, got
+
+    E2 = [("a", "b"), ("b", "a")]
+    ds2 = rd.from_arrow(pa.table({"src": [e[0] for e in E2],
+                                  "dst": [e[1] for e in E2]}))
+    plain = pagerank(ds2, iters=3).to_pandas()
+    redis = pagerank(ds2, iters=3, redistribute_dangling=True).to_pandas()
+    assert sorted(map(tuple, plain.to_numpy())) == \
+        sorted(map(tuple, redis.to_numpy()))
 
 
 def test_pagerank_empty():
