@@ -28,6 +28,13 @@ def q_token_counts(sf_dir: str):
     return text.token_counts(_docs(sf_dir))
 
 
+def q_tfidf_top_terms(sf_dir: str):
+    """Top-5 TF-IDF terms per document (tf·ln(N/df); two bucketed
+    shuffles — df folds into the term-bucketed weight pass)."""
+    from ..stages import text
+    return text.tfidf_top_terms(_docs(sf_dir), k=5)
+
+
 def q_quality_counts(sf_dir: str):
     import pyarrow as pa
 
@@ -558,6 +565,7 @@ QUERIES = {
     "filter_search_limit": R.filter_search_limit,
     # text analysis
     "token_counts": q_token_counts,
+    "tfidf_top_terms": q_tfidf_top_terms,
     "quality_counts": q_quality_counts,
     "fingerprints": q_fingerprints,
     "sequence_pack": q_sequence_pack,
@@ -700,6 +708,26 @@ ORACLE_SQL = {
     "filter_search_limit":
         "SELECT doc_id, source FROM documents WHERE contains(text, 'merge') "
         "ORDER BY doc_id LIMIT 50",
+    # tf·ln(N/df) with the identical double-precision expression order;
+    # ties (equal weight in one doc) break on term asc in both engines
+    "tfidf_top_terms": r"""
+        WITH toks AS (SELECT doc_id,
+                             unnest(regexp_extract_all(coalesce(text, ''),
+                                                       '\S+')) AS term
+                      FROM documents),
+        tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf
+               FROM toks GROUP BY doc_id, term),
+        nn AS (SELECT count(*)::DOUBLE AS n FROM documents),
+        df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+        w AS (SELECT t.doc_id, t.term,
+                     t.tf * ln((SELECT n FROM nn) / d.df) AS wt
+              FROM tf t JOIN df d USING (term)),
+        r AS (SELECT doc_id, term, wt,
+                     row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY wt DESC, term) AS rk
+              FROM w)
+        SELECT doc_id, term, round(wt, 6) AS tfidf, rk AS rank
+        FROM r WHERE rk <= 5""",
     "token_counts": r"""
         SELECT doc_id,
                length(regexp_extract_all(text, '\S+')) AS n_tokens,

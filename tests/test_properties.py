@@ -323,3 +323,37 @@ def test_countmin_never_undercounts_and_heavy_hitters_exact():
            .to_pandas().to_dict("records")}
     expect = {k: int(v) for k, v in true[true >= 50].items()}
     assert got == expect
+
+
+def test_tfidf_top_terms_matches_naive():
+    """tfidf_top_terms == a single-threaded tf·ln(N/df) computation with
+    the same (weight desc, term asc) tie-break, including a doc with
+    fewer than k distinct terms and an empty doc (absent from output)."""
+    import math
+    from collections import Counter
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from shacl_validator_ray.stages.text import tfidf_top_terms
+
+    texts = ["red blue blue green", "blue green green gold", "red red",
+             "", "gold gold gold silver red"]
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string())}))
+
+    n = len(texts)
+    tfs = {i: Counter(t.split()) for i, t in enumerate(texts)}
+    df = Counter(term for c in tfs.values() for term in c)
+    expect = set()
+    for i, c in tfs.items():
+        w = sorted(((t, cnt * math.log(n / df[t])) for t, cnt in c.items()),
+                   key=lambda kv: (-kv[1], kv[0]))
+        for rk, (t, wt) in enumerate(w[:5], 1):
+            expect.add((i, t, round(wt, 6), rk))
+
+    got = {(r["doc_id"], r["term"], r["tfidf"], r["rank"])
+           for r in tfidf_top_terms(docs, k=5, n_buckets=3)
+           .to_pandas().to_dict("records")}
+    assert got == expect, got.symmetric_difference(expect)
