@@ -486,6 +486,26 @@ def q_kg_pagerank_dangling(sf_dir: str):
     return pagerank(edges, iters=5, redistribute_dangling=True)
 
 
+def q_kg_triangles(sf_dir: str):
+    """Exact triangle count of the undirected resource graph
+    (degree-ordered orientation; oracle counts wedges through each
+    triangle's minimum node)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..stages.graph import triangle_count
+    from . import kg
+
+    def to_edges(b: pa.Table) -> pa.Table:
+        f = b.filter(pc.equal(b["obj_kind"], "iri"))
+        return pa.table({"src": f["subj"].cast(pa.string()),
+                         "dst": f["obj_value"].cast(pa.string())})
+
+    edges = kg.triples_dataset(sf_dir).map_batches(
+        to_edges, batch_format="pyarrow", zero_copy_batch=True)
+    return triangle_count(edges)
+
+
 def q_kg_property_breakdown(sf_dir: str):
     """A6 (ReportViewer.tsx:166-190): per-path severity pivot, top 8."""
     from ..stages import report
@@ -535,6 +555,7 @@ QUERIES = {
     "kg_bgp_not_exists": q_kg_bgp_not_exists,
     "kg_pagerank": q_kg_pagerank,
     "kg_pagerank_dangling": q_kg_pagerank_dangling,
+    "kg_triangles": q_kg_triangles,
     "kg_media_features": q_kg_media_features,
     "kg_image_stats": q_kg_image_stats,
     # relational operator inventory (SURVEY.md §2)
@@ -1407,6 +1428,16 @@ FROM has_dist WHERE subj NOT IN (SELECT subj FROM has_csv)""",
         # CTEs over the mention-mapped resource graph
         "kg_pagerank": _pagerank_sql(mapped),
         "kg_pagerank_dangling": _pagerank_sql(mapped, redistribute=True),
+        # each triangle {x<y<z} is exactly one wedge through its minimum
+        # node x (pairs of canonical edges sharing a) closed by (y,z)
+        "kg_triangles": "WITH " + mapped.strip() + """,
+e0 AS (SELECT DISTINCT least(subj, obj_value) AS a,
+              greatest(subj, obj_value) AS b
+       FROM mapped WHERE obj_kind = 'iri' AND subj != obj_value),
+w AS (SELECT e1.b AS x, e2.b AS y
+      FROM e0 e1 JOIN e0 e2 ON e1.a = e2.a AND e1.b < e2.b)
+SELECT count(*)::BIGINT AS n_triangles
+FROM w JOIN e0 e ON e.a = w.x AND e.b = w.y""",
         # kg_media_features: planted per-dimension feature expectations
         "kg_media_features": f"""
 SELECT doc_id, span_idx, kind, media_ref,

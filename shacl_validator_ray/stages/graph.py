@@ -222,3 +222,146 @@ def pagerank(edges: rd.Dataset, iters: int = 5, damping: float = 0.85,
                             "rank": pc.round(b["rank"].cast(pa.float64()),
                                              6)}),
         batch_format="pyarrow")
+
+
+def triangle_count(edges: rd.Dataset, src: str = "src", dst: str = "dst",
+                   n_buckets: int | None = None) -> rd.Dataset:
+    """Exact global triangle count over the undirected simple graph of
+    ``edges`` — one row ``{n_triangles}``.
+
+    Degree-ordered orientation (the standard skew bound): each
+    undirected edge {a,b} is directed from the (degree, node)-smaller
+    endpoint, so every out-neighborhood is O(√m) and the wedge
+    self-join never explodes on hubs — a million-degree hub oriented by
+    node id alone would emit ~10^12 wedges; ordered by degree it emits
+    none. Stages (all bucketed shuffles, nothing graph-scale on the
+    driver): canonical distinct edges → degree count → orient →
+    per-source wedge self-join → close wedges against the canonical
+    edge set → scalar sum."""
+    from ..sources import io as io_mod
+
+    if n_buckets is None:
+        n_buckets = max(8, io_mod.shuffle_buckets() // 4)
+    k = n_buckets
+
+    one_row = lambda n: rd.from_arrow(  # noqa: E731
+        pa.table({"n_triangles": pa.array([n], pa.int64())}))
+
+    # canonical distinct undirected pairs (a < b), self-loops dropped
+    def canon(b: pa.Table) -> pa.Table:
+        a = b[src].cast(pa.string())
+        d = b[dst].cast(pa.string())
+        lo = pc.min_element_wise(a, d)
+        hi = pc.max_element_wise(a, d)
+        t = pa.table({"a": lo, "b": hi})
+        return t.filter(pc.not_equal(t["a"], t["b"]))
+
+    def dedup_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(["a", "b"])
+
+    e = _coalesce(bucketed_block_apply(
+        edges.map_batches(canon, batch_format="pyarrow",
+                          zero_copy_batch=True),
+        "a", dedup_bucket, n_buckets=n_buckets), k).materialize()
+    if e.count() == 0:
+        return one_row(0)
+
+    # degree per node (each canonical pair hits both endpoints)
+    def endpoints(b: pa.Table) -> pa.Table:
+        return pa.table({"node": pa.concat_arrays(
+            [b["a"].cast(pa.string()).combine_chunks(),
+             b["b"].cast(pa.string()).combine_chunks()])})
+
+    def count_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("node", sort=False).size().rename("deg") \
+            .reset_index()
+
+    deg = _coalesce(bucketed_block_apply(
+        e.map_batches(endpoints, batch_format="pyarrow",
+                      zero_copy_batch=True),
+        "node", count_bucket, n_buckets=n_buckets), k).materialize()
+
+    # orient by (deg, node): two union-tag bucketed merges, one per
+    # endpoint (deg rows carry a=0-sentinel "" side markers)
+    def attach(e_ds: rd.Dataset, cols: list[str], key_col: str,
+               out_col: str) -> rd.Dataset:
+        tagged_e = e_ds.map_batches(
+            lambda b: pa.table({
+                "node": b[key_col].cast(pa.string()),
+                **{c: b[c].cast(pa.string()) for c in cols},
+                "deg": pa.nulls(b.num_rows, pa.int64())}),
+            batch_format="pyarrow")
+        tagged_d = deg.map_batches(
+            lambda b: pa.table({
+                "node": b["node"].cast(pa.string()),
+                **{c: pa.nulls(b.num_rows, pa.string()).fill_null("")
+                   for c in cols},
+                "deg": b["deg"].cast(pa.int64())}),
+            batch_format="pyarrow")
+
+        def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
+            es = g.loc[g["deg"].isna()].drop(columns=["deg"])
+            ds_ = g.loc[~g["deg"].isna(), ["node", "deg"]]
+            m = es.merge(ds_, on="node")
+            return m.drop(columns=["node"]).rename(columns={"deg": out_col})
+
+        return _coalesce(bucketed_block_apply(
+            _coalesce(tagged_e.union(tagged_d), k), "node", merge_bucket,
+            n_buckets=n_buckets), k)
+
+    e2 = attach(e, ["a", "b"], "a", "deg_a")
+    e2 = attach(e2, ["a", "b", "deg_a"], "b", "deg_b").materialize()
+
+    def orient(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        da = df["deg_a"].astype("int64")
+        db = df["deg_b"].astype("int64")
+        fwd = (da < db) | ((da == db) & (df["a"] < df["b"]))
+        return pa.table({
+            "u": pa.array(df["a"].where(fwd, df["b"]), pa.string()),
+            "v": pa.array(df["b"].where(fwd, df["a"]), pa.string())})
+
+    o = e2.map_batches(orient, batch_format="pyarrow").materialize()
+
+    # wedges: per-source cross pairs of out-neighbors, canonicalized
+    def wedge_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.merge(g, on="u")
+        m = m[m["v_x"] < m["v_y"]]
+        if not len(m):
+            return pd.DataFrame({"a": pd.Series(dtype=object),
+                                 "b": pd.Series(dtype=object),
+                                 "w": pd.Series(dtype="int64")})
+        return (m.groupby(["v_x", "v_y"], sort=False).size()
+                .rename("w").reset_index()
+                .rename(columns={"v_x": "a", "v_y": "b"}))
+
+    wedges = bucketed_block_apply(o, "u", wedge_bucket,
+                                  n_buckets=n_buckets)
+
+    # close: wedge (a,b) is already canonical (a<b) — membership
+    # semi-join against the canonical edge set, keyed on a
+    tagged_w = wedges.map_batches(
+        lambda b: pa.table({"a": b["a"].cast(pa.string()),
+                            "b": b["b"].cast(pa.string()),
+                            "w": b["w"].cast(pa.int64())})
+        if b.num_rows else pa.table({"a": pa.array([], pa.string()),
+                                     "b": pa.array([], pa.string()),
+                                     "w": pa.array([], pa.int64())}),
+        batch_format="pyarrow")
+    tagged_e = e.map_batches(
+        lambda b: pa.table({"a": b["a"].cast(pa.string()),
+                            "b": b["b"].cast(pa.string()),
+                            "w": pa.nulls(b.num_rows, pa.int64())}),
+        batch_format="pyarrow")
+
+    def close_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        ws = g.loc[~g["w"].isna()]
+        es = g.loc[g["w"].isna(), ["a", "b"]]
+        m = ws.merge(es, on=["a", "b"])
+        return pd.DataFrame({"n": [int(m["w"].sum())]})
+
+    parts = bucketed_block_apply(
+        _coalesce(tagged_w.union(tagged_e), k), "a", close_bucket,
+        n_buckets=n_buckets)
+    total = parts.sum("n")
+    return one_row(int(total or 0))

@@ -72,3 +72,35 @@ def test_pagerank_empty():
     ds = rd.from_arrow(pa.table({"src": pa.array([], pa.string()),
                                  "dst": pa.array([], pa.string())}))
     assert pagerank(ds).count() == 0
+
+
+def test_triangle_count_matches_naive():
+    """Degree-ordered distributed triangle count == brute-force
+    enumeration on a random graph (dups, reversed edges, self-loops)."""
+    import itertools
+    import random
+
+    from shacl_validator_ray.stages.graph import triangle_count
+
+    rng = random.Random(11)
+    nodes = [f"n{i}" for i in range(30)]
+    E = [(rng.choice(nodes), rng.choice(nodes)) for _ in range(160)]
+    und = {tuple(sorted(e)) for e in E if e[0] != e[1]}
+    expect = sum(1 for x, y, z in itertools.combinations(sorted(nodes), 3)
+                 if (x, y) in und and (x, z) in und and (y, z) in und)
+
+    ds = rd.from_arrow(pa.table({"src": [e[0] for e in E],
+                                 "dst": [e[1] for e in E]}))
+    got = triangle_count(ds, n_buckets=5).to_pandas().to_dict("records")
+    assert got == [{"n_triangles": expect}], (got, expect)
+
+
+def test_triangle_count_empty_and_triangle_free():
+    from shacl_validator_ray.stages.graph import triangle_count
+
+    empty = rd.from_arrow(pa.table({"src": pa.array([], pa.string()),
+                                    "dst": pa.array([], pa.string())}))
+    assert triangle_count(empty).to_pandas()["n_triangles"].tolist() == [0]
+    star = rd.from_arrow(pa.table({"src": ["c", "c", "c"],
+                                   "dst": ["a", "b", "d"]}))
+    assert triangle_count(star).to_pandas()["n_triangles"].tolist() == [0]
