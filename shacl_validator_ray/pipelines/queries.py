@@ -28,6 +28,20 @@ def q_token_counts(sf_dir: str):
     return text.token_counts(_docs(sf_dir))
 
 
+def q_quota_sample(sf_dir: str):
+    """At most 20 docs per source, selected by md5-of-id order
+    (deterministic pseudorandom quota downsample)."""
+    from ..stages import text
+    return text.quota_sample(
+        R.t(sf_dir, "documents", ["doc_id", "source"]), k=20)
+
+
+def q_repetition_scores(sf_dir: str):
+    """Gopher-style within-doc repetition metrics + flag."""
+    from ..stages import text
+    return text.repetition_scores(_docs(sf_dir))
+
+
 def q_tfidf_top_terms(sf_dir: str):
     """Top-5 TF-IDF terms per document (tf·ln(N/df); two bucketed
     shuffles — df folds into the term-bucketed weight pass)."""
@@ -587,6 +601,8 @@ QUERIES = {
     # text analysis
     "token_counts": q_token_counts,
     "tfidf_top_terms": q_tfidf_top_terms,
+    "quota_sample": q_quota_sample,
+    "repetition_scores": q_repetition_scores,
     "quality_counts": q_quality_counts,
     "fingerprints": q_fingerprints,
     "sequence_pack": q_sequence_pack,
@@ -729,6 +745,39 @@ ORACLE_SQL = {
     "filter_search_limit":
         "SELECT doc_id, source FROM documents WHERE contains(text, 'merge') "
         "ORDER BY doc_id LIMIT 50",
+    "quota_sample": """
+        SELECT doc_id, source FROM
+          (SELECT doc_id, source,
+                  row_number() OVER (PARTITION BY source
+                                     ORDER BY md5(doc_id::VARCHAR), doc_id)
+                    AS rk
+           FROM documents)
+        WHERE rk <= 20""",
+    # same token/bigram expressions as the Python Counter-based metrics
+    "repetition_scores": r"""
+        WITH q AS (SELECT doc_id,
+                          regexp_extract_all(coalesce(text, ''), '\S+')
+                            AS toks
+                   FROM documents),
+        g AS (SELECT doc_id, toks, len(toks) AS n,
+                     CASE WHEN len(toks) >= 2 THEN
+                       [toks[i] || ' ' || toks[i + 1]
+                        FOR i IN range(1, len(toks))]
+                     ELSE [] END AS grams
+              FROM q),
+        m AS (SELECT doc_id, n,
+                     CASE WHEN n = 0 THEN 0.0 ELSE round(
+                       (SELECT max(c)::DOUBLE FROM (
+                          SELECT count(*) AS c FROM unnest(toks) AS u(t)
+                          GROUP BY t)) / n, 6) END AS topf,
+                     CASE WHEN len(grams) = 0 THEN 0.0 ELSE round(
+                       1.0 - len(list_distinct(grams))::DOUBLE
+                           / len(grams), 6) END AS dupf
+              FROM g)
+        SELECT doc_id, n AS n_tokens, topf AS top_unigram_frac,
+               dupf AS dup_bigram_frac,
+               (topf > 0.2 OR dupf > 0.4) AS flagged
+        FROM m""",
     # tf·ln(N/df) with the identical double-precision expression order;
     # ties (equal weight in one doc) break on term asc in both engines
     "tfidf_top_terms": r"""

@@ -284,3 +284,64 @@ def tfidf_top_terms(docs: rd.Dataset, k: int = 5, id_col: str = "doc_id",
 
     return bucketed_block_apply(weighted, id_col, topk_bucket,
                                 n_buckets=n_buckets)
+
+
+def quota_sample(docs: rd.Dataset, group_col: str = "source", k: int = 20,
+                 id_col: str = "doc_id") -> rd.Dataset:
+    """Per-group quota downsample: keep at most ``k`` rows per group,
+    chosen by md5-of-id order — pseudorandom (unbiased w.r.t. corpus
+    order) yet fully deterministic/reproducible, the curation analog of
+    split_assign. One bucketed shuffle on the group key; groups larger
+    than a worker never materialize beyond the bucket (per-group work is
+    a sort + head)."""
+    import hashlib
+
+    import pandas as pd
+
+    from .discovery import bucketed_groupby_apply
+
+    def head_k(g: pd.DataFrame) -> pd.DataFrame:
+        h = g[id_col].map(lambda d: hashlib.md5(str(d).encode()).hexdigest())
+        return (g.assign(_h=h).sort_values(["_h", id_col])
+                .head(k).drop(columns=["_h"]))
+
+    return bucketed_groupby_apply(docs, group_col, head_k)
+
+
+def repetition_scores(docs: rd.Dataset, id_col: str = "doc_id",
+                      text_col: str = "text",
+                      top_frac: float = 0.2,
+                      dup_frac: float = 0.4) -> rd.Dataset:
+    """Within-document repetition metrics (the Gopher-rule family):
+    fraction of total token mass held by the single most frequent token,
+    and the fraction of word-bigram occurrences that are duplicates
+    (1 − distinct/total). ``flagged`` marks docs exceeding either
+    threshold. Stateless per-row map — no shuffle."""
+    from collections import Counter
+
+    def fn(b: pa.Table) -> pa.Table:
+        tops, dups, flags, toks_n = [], [], [], []
+        for t_ in b.column(text_col).to_pylist():
+            toks = (t_ or "").split()
+            n = len(toks)
+            toks_n.append(n)
+            if n == 0:
+                tops.append(0.0)
+                dups.append(0.0)
+                flags.append(False)
+                continue
+            top = round(max(Counter(toks).values()) / n, 6)
+            grams = list(zip(toks, toks[1:]))
+            dup = round(1.0 - len(set(grams)) / len(grams), 6) \
+                if grams else 0.0
+            tops.append(top)
+            dups.append(dup)
+            flags.append(top > top_frac or dup > dup_frac)
+        return pa.table({
+            id_col: b.column(id_col),
+            "n_tokens": pa.array(toks_n, pa.int64()),
+            "top_unigram_frac": pa.array(tops, pa.float64()),
+            "dup_bigram_frac": pa.array(dups, pa.float64()),
+            "flagged": pa.array(flags, pa.bool_())})
+
+    return docs.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)

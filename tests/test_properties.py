@@ -357,3 +357,38 @@ def test_tfidf_top_terms_matches_naive():
            for r in tfidf_top_terms(docs, k=5, n_buckets=3)
            .to_pandas().to_dict("records")}
     assert got == expect, got.symmetric_difference(expect)
+
+
+def test_quota_sample_and_repetition_scores():
+    """quota_sample keeps at most k rows per group, deterministically
+    (same selection on rerun and independent of row order);
+    repetition_scores matches hand-computed metrics."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from shacl_validator_ray.stages.text import (quota_sample,
+                                                 repetition_scores)
+
+    docs = pa.table({
+        "doc_id": pa.array(range(40), pa.int64()),
+        "source": pa.array([f"s{i % 3}" for i in range(40)], pa.string())})
+    ds = rd.from_arrow(docs)
+    got = quota_sample(ds, group_col="source", k=5).to_pandas()
+    assert (got.groupby("source").size() <= 5).all()
+    assert len(got) == 15
+    rev = rd.from_arrow(docs.take(list(range(39, -1, -1))))
+    got2 = quota_sample(rev, group_col="source", k=5).to_pandas()
+    assert sorted(got["doc_id"]) == sorted(got2["doc_id"])
+
+    texts = ["a a a a b", "x y x y", "six unique words here today ok", ""]
+    rds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(4), pa.int64()),
+        "text": pa.array(texts, pa.string())}))
+    rows = {r["doc_id"]: r for r in
+            repetition_scores(rds).to_pandas().to_dict("records")}
+    assert rows[0]["top_unigram_frac"] == 0.8 and rows[0]["flagged"]
+    # "x y x y": bigrams (x,y),(y,x),(x,y) -> 1 dup of 3
+    assert rows[1]["dup_bigram_frac"] == round(1 - 2 / 3, 6)
+    assert rows[1]["flagged"]  # top 0.5 > 0.2
+    assert not rows[2]["flagged"]
+    assert rows[3]["n_tokens"] == 0 and not rows[3]["flagged"]
