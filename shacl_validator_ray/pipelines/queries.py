@@ -28,6 +28,13 @@ def q_token_counts(sf_dir: str):
     return text.token_counts(_docs(sf_dir))
 
 
+def q_bm25_top_terms(sf_dir: str):
+    """Top-5 BM25 terms per document (k1=1.5, b=0.75; same two-shuffle
+    plan as TF-IDF with doc length carried on the postings)."""
+    from ..stages import text
+    return text.tfidf_top_terms(_docs(sf_dir), k=5, scheme="bm25")
+
+
 def q_quota_sample(sf_dir: str):
     """At most 20 docs per source, selected by md5-of-id order
     (deterministic pseudorandom quota downsample)."""
@@ -601,6 +608,7 @@ QUERIES = {
     # text analysis
     "token_counts": q_token_counts,
     "tfidf_top_terms": q_tfidf_top_terms,
+    "bm25_top_terms": q_bm25_top_terms,
     "quota_sample": q_quota_sample,
     "repetition_scores": q_repetition_scores,
     "quality_counts": q_quality_counts,
@@ -745,6 +753,34 @@ ORACLE_SQL = {
     "filter_search_limit":
         "SELECT doc_id, source FROM documents WHERE contains(text, 'merge') "
         "ORDER BY doc_id LIMIT 50",
+    # BM25: Robertson idf with +1 smoothing, k1=1.5, b=0.75 — identical
+    # double expression order as stages/text.py::tfidf_top_terms(bm25)
+    "bm25_top_terms": r"""
+        WITH toks AS (SELECT doc_id,
+                             regexp_extract_all(coalesce(text, ''), '\S+')
+                               AS ws
+                      FROM documents),
+        t AS (SELECT doc_id, unnest(ws) AS term, len(ws) AS dl FROM toks),
+        tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf,
+                      any_value(dl)::DOUBLE AS dl
+               FROM t GROUP BY doc_id, term),
+        nn AS (SELECT count(*)::DOUBLE AS n FROM documents),
+        ad AS (SELECT coalesce(sum(tf), 0) / (SELECT n FROM nn) AS avgdl
+               FROM tf),
+        df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+        w AS (SELECT t2.doc_id, t2.term,
+                     ln(((SELECT n FROM nn) - d.df + 0.5) / (d.df + 0.5)
+                        + 1.0)
+                     * (t2.tf * (1.5 + 1.0))
+                     / (t2.tf + 1.5 * (1.0 - 0.75
+                        + 0.75 * t2.dl / (SELECT avgdl FROM ad))) AS wt
+              FROM tf t2 JOIN df d USING (term)),
+        r AS (SELECT doc_id, term, wt,
+                     row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY wt DESC, term) AS rk
+              FROM w)
+        SELECT doc_id, term, round(wt, 6) AS bm25, rk AS rank
+        FROM r WHERE rk <= 5""",
     "quota_sample": """
         SELECT doc_id, source FROM
           (SELECT doc_id, source,

@@ -212,24 +212,28 @@ def split_assign(docs: rd.Dataset, id_col: str = "doc_id",
 
 def tfidf_top_terms(docs: rd.Dataset, k: int = 5, id_col: str = "doc_id",
                     text_col: str = "text",
-                    n_buckets: int | None = None) -> rd.Dataset:
+                    n_buckets: int | None = None,
+                    scheme: str = "tfidf", k1: float = 1.5,
+                    b: float = 0.75) -> rd.Dataset:
     """Per-document top-k terms by TF-IDF (tf · ln(N/df), whitespace
-    tokens), in exactly two shuffles:
+    tokens) or BM25 (``scheme="bm25"``: Robertson idf with +1 smoothing,
+    tf saturation k1, length normalization b), in exactly two shuffles:
 
-    1. term frequency is LOCAL to a row (a document is one row), so the
-       (doc, term, tf) expansion is a stateless map; bucketing that
-       table by TERM co-locates every posting of a term, so the
-       document frequency is just the bucket-local row count per term —
-       df + the idf join collapse into one shuffle instead of a
-       groupby-count plus a separate join.
+    1. term frequency and doc length are LOCAL to a row (a document is
+       one row), so the (doc, term, tf, dl) expansion is a stateless
+       map; bucketing that table by TERM co-locates every posting of a
+       term, so the document frequency is just the bucket-local row
+       count per term — df + the idf join collapse into one shuffle
+       instead of a groupby-count plus a separate join.
     2. a second bucketed shuffle on the document id ranks each doc's
        terms (weight desc, term asc — deterministic under ties) and
        keeps the top k.
 
-    N (corpus doc count) is the only driver-side value. Hot terms skew
-    term buckets at corpus scale; buckets hold many terms each
-    (hash-bucketed, cluster-scaled count) which amortizes stragglers the
-    same way the engine's other bucketed shuffles do."""
+    N (corpus doc count) and, for BM25, the average doc length are the
+    only driver-side values. Hot terms skew term buckets at corpus
+    scale; buckets hold many terms each (hash-bucketed, cluster-scaled
+    count) which amortizes stragglers the same way the engine's other
+    bucketed shuffles do."""
     from collections import Counter
 
     import numpy as np
@@ -239,20 +243,28 @@ def tfidf_top_terms(docs: rd.Dataset, k: int = 5, id_col: str = "doc_id",
 
     n_docs = docs.count()
 
-    def tf_rows(b: pa.Table) -> pa.Table:
-        ids, terms, tfs = [], [], []
-        for i, t_ in zip(b.column(id_col).to_pylist(),
-                         b.column(text_col).to_pylist()):
-            for term, c in Counter((t_ or "").split()).items():
+    def tf_rows(bt: pa.Table) -> pa.Table:
+        ids, terms, tfs, dls = [], [], [], []
+        for i, t_ in zip(bt.column(id_col).to_pylist(),
+                         bt.column(text_col).to_pylist()):
+            toks = (t_ or "").split()
+            for term, c in Counter(toks).items():
                 ids.append(i)
                 terms.append(term)
                 tfs.append(c)
-        return pa.table({id_col: pa.array(ids, b.column(id_col).type),
+                dls.append(len(toks))
+        return pa.table({id_col: pa.array(ids, bt.column(id_col).type),
                          "term": pa.array(terms, pa.string()),
-                         "tf": pa.array(tfs, pa.int64())})
+                         "tf": pa.array(tfs, pa.int64()),
+                         "dl": pa.array(dls, pa.int64())})
 
     postings = docs.map_batches(tf_rows, batch_format="pyarrow",
                                 zero_copy_batch=True)
+    if scheme == "bm25":
+        # avgdl over ALL docs (empty ones included): total tokens is the
+        # posting tf sum — one streaming aggregate, one driver float
+        postings = postings.materialize()
+        avgdl = (postings.sum("tf") or 0) / n_docs
 
     def weight_bucket(g: pd.DataFrame) -> pd.DataFrame:
         if not len(g):
@@ -260,25 +272,33 @@ def tfidf_top_terms(docs: rd.Dataset, k: int = 5, id_col: str = "doc_id",
                                  "term": pd.Series(dtype=object),
                                  "wt": pd.Series(dtype="float64")})
         df = g.groupby("term")["tf"].transform("size").to_numpy(dtype=float)
-        wt = g["tf"].to_numpy(dtype=float) * np.log(n_docs / df)
+        tf = g["tf"].to_numpy(dtype=float)
+        if scheme == "bm25":
+            dl = g["dl"].to_numpy(dtype=float)
+            idf = np.log((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+            wt = idf * (tf * (k1 + 1.0)) \
+                / (tf + k1 * (1.0 - b + b * dl / avgdl))
+        else:
+            wt = tf * np.log(n_docs / df)
         return pd.DataFrame({id_col: g[id_col], "term": g["term"],
                              "wt": wt})
 
     weighted = bucketed_block_apply(postings, "term", weight_bucket,
                                     n_buckets=n_buckets)
+    out_col = scheme
 
     def topk_bucket(g: pd.DataFrame) -> pd.DataFrame:
         if not len(g):
             return pd.DataFrame({id_col: pd.Series(dtype="int64"),
                                  "term": pd.Series(dtype=object),
-                                 "tfidf": pd.Series(dtype="float64"),
+                                 out_col: pd.Series(dtype="float64"),
                                  "rank": pd.Series(dtype="int64")})
         g = g.sort_values(["wt", "term"], ascending=[False, True],
                           kind="mergesort")
         out = g.groupby(id_col, sort=False).head(k)
         return pd.DataFrame({
             id_col: out[id_col], "term": out["term"],
-            "tfidf": out["wt"].round(6),
+            out_col: out["wt"].round(6),
             "rank": (out.groupby(id_col, sort=False).cumcount()
                      + 1).astype("int64")})
 

@@ -392,3 +392,44 @@ def test_quota_sample_and_repetition_scores():
     assert rows[1]["flagged"]  # top 0.5 > 0.2
     assert not rows[2]["flagged"]
     assert rows[3]["n_tokens"] == 0 and not rows[3]["flagged"]
+
+
+def test_bm25_top_terms_matches_naive():
+    """scheme="bm25" == single-threaded Robertson BM25 with the same
+    k1/b, length normalization, and tie-break."""
+    import math
+    from collections import Counter
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from shacl_validator_ray.stages.text import tfidf_top_terms
+
+    texts = ["red blue blue green", "blue green green gold gold gold",
+             "red red", "", "gold silver red blue green copper zinc"]
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string())}))
+
+    n = len(texts)
+    k1, b_ = 1.5, 0.75
+    tfs = {i: Counter(t.split()) for i, t in enumerate(texts)}
+    dls = {i: len(t.split()) for i, t in enumerate(texts)}
+    avgdl = sum(dls.values()) / n
+    df = Counter(term for c in tfs.values() for term in c)
+    expect = set()
+    for i, c in tfs.items():
+        w = []
+        for t, tf in c.items():
+            idf = math.log((n - df[t] + 0.5) / (df[t] + 0.5) + 1.0)
+            wt = idf * (tf * (k1 + 1.0)) \
+                / (tf + k1 * (1.0 - b_ + b_ * dls[i] / avgdl))
+            w.append((t, wt))
+        w.sort(key=lambda kv: (-kv[1], kv[0]))
+        for rk, (t, wt) in enumerate(w[:3], 1):
+            expect.add((i, t, round(wt, 6), rk))
+
+    got = {(r["doc_id"], r["term"], r["bm25"], r["rank"])
+           for r in tfidf_top_terms(docs, k=3, scheme="bm25", n_buckets=3)
+           .to_pandas().to_dict("records")}
+    assert got == expect, got.symmetric_difference(expect)
