@@ -789,7 +789,7 @@ ORACLE_SQL = {
                     AS rk
            FROM documents)
         WHERE rk <= 20""",
-    # same token/bigram expressions as the Python Counter-based metrics
+    # same token/n-gram expressions as the Python Counter-based metrics
     "repetition_scores": r"""
         WITH q AS (SELECT doc_id,
                           regexp_extract_all(coalesce(text, ''), '\S+')
@@ -799,20 +799,36 @@ ORACLE_SQL = {
                      CASE WHEN len(toks) >= 2 THEN
                        [toks[i] || ' ' || toks[i + 1]
                         FOR i IN range(1, len(toks))]
-                     ELSE [] END AS grams
+                     ELSE [] END AS g2,
+                     CASE WHEN len(toks) >= 3 THEN
+                       [toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]
+                        FOR i IN range(1, len(toks) - 1)]
+                     ELSE [] END AS g3,
+                     CASE WHEN len(toks) >= 4 THEN
+                       [toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]
+                        || ' ' || toks[i + 3]
+                        FOR i IN range(1, len(toks) - 2)]
+                     ELSE [] END AS g4
               FROM q),
         m AS (SELECT doc_id, n,
                      CASE WHEN n = 0 THEN 0.0 ELSE round(
                        (SELECT max(c)::DOUBLE FROM (
                           SELECT count(*) AS c FROM unnest(toks) AS u(t)
                           GROUP BY t)) / n, 6) END AS topf,
-                     CASE WHEN len(grams) = 0 THEN 0.0 ELSE round(
-                       1.0 - len(list_distinct(grams))::DOUBLE
-                           / len(grams), 6) END AS dupf
+                     CASE WHEN len(g2) = 0 THEN 0.0 ELSE round(
+                       1.0 - len(list_distinct(g2))::DOUBLE
+                           / len(g2), 6) END AS dupf2,
+                     CASE WHEN len(g3) = 0 THEN 0.0 ELSE round(
+                       1.0 - len(list_distinct(g3))::DOUBLE
+                           / len(g3), 6) END AS dupf3,
+                     CASE WHEN len(g4) = 0 THEN 0.0 ELSE round(
+                       1.0 - len(list_distinct(g4))::DOUBLE
+                           / len(g4), 6) END AS dupf4
               FROM g)
         SELECT doc_id, n AS n_tokens, topf AS top_unigram_frac,
-               dupf AS dup_bigram_frac,
-               (topf > 0.2 OR dupf > 0.4) AS flagged
+               dupf2 AS dup_bigram_frac, dupf3 AS dup_trigram_frac,
+               dupf4 AS dup_fourgram_frac,
+               (topf > 0.2 OR dupf2 > 0.4) AS flagged
         FROM m""",
     # tf·ln(N/df) with the identical double-precision expression order;
     # ties (equal weight in one doc) break on term asc in both engines

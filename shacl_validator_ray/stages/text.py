@@ -334,34 +334,44 @@ def repetition_scores(docs: rd.Dataset, id_col: str = "doc_id",
                       dup_frac: float = 0.4) -> rd.Dataset:
     """Within-document repetition metrics (the Gopher-rule family):
     fraction of total token mass held by the single most frequent token,
-    and the fraction of word-bigram occurrences that are duplicates
-    (1 − distinct/total). ``flagged`` marks docs exceeding either
-    threshold. Stateless per-row map — no shuffle."""
+    and the fraction of word n-gram occurrences (n = 2, 3, 4) that are
+    duplicates (1 − distinct/total). ``flagged`` marks docs exceeding
+    the top-unigram threshold or the bigram-duplicate threshold (the
+    3/4-gram columns are reported for caller-side policies). Stateless
+    per-row map — no shuffle."""
     from collections import Counter
 
+    def dup_frac_of(toks: list, n: int) -> float:
+        grams = list(zip(*(toks[i:] for i in range(n))))
+        if not grams:
+            return 0.0
+        return round(1.0 - len(set(grams)) / len(grams), 6)
+
     def fn(b: pa.Table) -> pa.Table:
-        tops, dups, flags, toks_n = [], [], [], []
+        tops, flags, toks_n = [], [], []
+        dups: dict[int, list] = {2: [], 3: [], 4: []}
         for t_ in b.column(text_col).to_pylist():
             toks = (t_ or "").split()
             n = len(toks)
             toks_n.append(n)
             if n == 0:
                 tops.append(0.0)
-                dups.append(0.0)
                 flags.append(False)
+                for m in dups:
+                    dups[m].append(0.0)
                 continue
             top = round(max(Counter(toks).values()) / n, 6)
-            grams = list(zip(toks, toks[1:]))
-            dup = round(1.0 - len(set(grams)) / len(grams), 6) \
-                if grams else 0.0
+            for m in dups:
+                dups[m].append(dup_frac_of(toks, m))
             tops.append(top)
-            dups.append(dup)
-            flags.append(top > top_frac or dup > dup_frac)
+            flags.append(top > top_frac or dups[2][-1] > dup_frac)
         return pa.table({
             id_col: b.column(id_col),
             "n_tokens": pa.array(toks_n, pa.int64()),
             "top_unigram_frac": pa.array(tops, pa.float64()),
-            "dup_bigram_frac": pa.array(dups, pa.float64()),
+            "dup_bigram_frac": pa.array(dups[2], pa.float64()),
+            "dup_trigram_frac": pa.array(dups[3], pa.float64()),
+            "dup_fourgram_frac": pa.array(dups[4], pa.float64()),
             "flagged": pa.array(flags, pa.bool_())})
 
     return docs.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)

@@ -387,6 +387,10 @@ def test_quota_sample_and_repetition_scores():
     rows = {r["doc_id"]: r for r in
             repetition_scores(rds).to_pandas().to_dict("records")}
     assert rows[0]["top_unigram_frac"] == 0.8 and rows[0]["flagged"]
+    # "a a a a b": trigrams aaa,aaa,aab -> 1 dup of 3; fourgrams
+    # aaaa,aaab -> 0 dups
+    assert rows[0]["dup_trigram_frac"] == round(1 - 2 / 3, 6)
+    assert rows[0]["dup_fourgram_frac"] == 0.0
     # "x y x y": bigrams (x,y),(y,x),(x,y) -> 1 dup of 3
     assert rows[1]["dup_bigram_frac"] == round(1 - 2 / 3, 6)
     assert rows[1]["flagged"]  # top 0.5 > 0.2
