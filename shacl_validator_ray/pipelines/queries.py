@@ -141,6 +141,14 @@ def q_embedding_dups_ivf(sf_dir: str):
     return dedup.embedding_dup_pairs_ivf(_emb(sf_dir), tau=0.4)
 
 
+def q_fuzzy_dedup_keep(sf_dir: str):
+    """Cluster-based near-dup removal: MinHash pairs → connected
+    components → per-cluster survivor (min doc id). Oracle closes the
+    exact all-pairs Jaccard graph with a recursive CTE."""
+    from ..stages import dedup
+    return dedup.fuzzy_dedup_keep(_docs(sf_dir), tau=0.95)
+
+
 def q_curation(sf_dir: str):
     from . import curation
     return curation.curate(_docs(sf_dir))
@@ -624,6 +632,7 @@ QUERIES = {
     "simhash_dups": q_simhash_dups,
     "embedding_dups": q_embedding_dups,
     "embedding_dups_ivf": q_embedding_dups_ivf,
+    "fuzzy_dedup_keep": q_fuzzy_dedup_keep,
     "curation": q_curation,
     # similarity search
     "knn_bruteforce": q_knn_bruteforce,
@@ -914,6 +923,27 @@ ORACLE_SQL = {
         "SELECT doc_id, text, lang, source, n_chars FROM documents",
     "jaccard_dups": _JACCARD_PAIRS_SQL,
     "minhash_lsh_dups": _JACCARD_PAIRS_SQL,
+    # survivor map: exact all-pairs dup graph, closed transitively with a
+    # recursive CTE (dup clusters are tiny, so the closure is cheap at
+    # oracle scale), rep = min doc id reachable
+    "fuzzy_dedup_keep": """
+WITH RECURSIVE t AS (SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS ws FROM documents),
+p AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2
+  FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.ws, b.ws))::DOUBLE
+          / len(list_distinct(list_concat(a.ws, b.ws))) >= 0.95),
+e AS (SELECT d1 AS a, d2 AS b FROM p UNION SELECT d2, d1 FROM p),
+reach(n, m) AS (
+  SELECT a, b FROM e
+  UNION
+  SELECT r.n, e2.b FROM reach r JOIN e e2 ON r.m = e2.a),
+rep AS (SELECT n AS doc_id, least(n, min(m)) AS rep_id FROM reach GROUP BY n)
+SELECT d.doc_id,
+       coalesce(r.rep_id, d.doc_id) AS rep_id,
+       coalesce(r.rep_id, d.doc_id) = d.doc_id AS keep
+FROM documents d LEFT JOIN rep r USING (doc_id)
+""",
     "curation": r"""
 WITH t AS (SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS ws,
                   length(regexp_extract_all(text, '\S+')) AS n_tokens

@@ -342,3 +342,80 @@ def embedding_dup_pairs(emb: rd.Dataset, tau: float = 0.4, block_col: str = "lab
                              "sim": np.round(sims[iu, ju][mask], 6)})
 
     return emb.groupby(block_col).map_groups(pairs, batch_format="pandas")
+
+
+def fuzzy_dedup_keep(docs: rd.Dataset, tau: float = 0.95,
+                     id_col: str = "doc_id", text_col: str = "text",
+                     block_col: str | None = "lang",
+                     components_driver_threshold: int = 200_000,
+                     n_buckets: int | None = None) -> rd.Dataset:
+    """Cluster-based near-dup removal (the SlimPajama / RefinedWeb "keep
+    one per duplicate cluster" step): MinHash+LSH verified pairs →
+    connected components over the dup-pair graph (the engine's
+    distributed union-find) → per-component survivor = min doc id.
+
+    Returns EVERY document as ``(doc_id, rep_id, keep)`` where ``rep_id``
+    is the minimum doc id of its near-dup component (itself when it has
+    no near-dup) and ``keep`` marks the one survivor per component —
+    ``filter keep`` is the deduplicated corpus, the full map is the
+    provenance record.
+
+    Scale shape: pair generation is the banded-LSH shuffle
+    (:func:`minhash_lsh_dup_pairs`), component resolution is iterative
+    groupby-aggregate label propagation (``canonicalize
+    .connected_components`` — dup clusters are shallow, so rounds ≈ 2),
+    and the survivor join back onto the corpus is one bucketed shuffle
+    keyed on the doc id. Nothing corpus-scale touches the driver: the
+    pair graph is orders of magnitude smaller than the corpus, and the
+    driver fast path in ``connected_components`` only engages below
+    ``components_driver_threshold`` edges.
+    """
+    from .canonicalize import connected_components
+    from .discovery import bucketed_block_apply
+
+    pairs = minhash_lsh_dup_pairs(docs, tau=tau, id_col=id_col,
+                                  text_col=text_col, block_col=block_col)
+
+    # Zero-padded decimal ids: union-find roots are lexicographic min
+    # labels, and 20-digit padding makes string order == numeric order
+    # for non-negative int64 ids.
+    def to_edges(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "a": pa.array([f"{x:020d}" for x in b["doc1"].to_pylist()],
+                          pa.string()),
+            "b": pa.array([f"{x:020d}" for x in b["doc2"].to_pylist()],
+                          pa.string())})
+
+    comp = connected_components(
+        pairs.map_batches(to_edges, batch_format="pyarrow",
+                          zero_copy_batch=True),
+        driver_threshold=components_driver_threshold)
+
+    # survivor map back onto the full corpus: tagged union + one bucketed
+    # merge keyed on the doc id (rep rows carry is_rep=True)
+    reps = comp.map_batches(
+        lambda b: pa.table({
+            id_col: pa.array([int(x) for x in b["entity_id"].to_pylist()],
+                             pa.int64()),
+            "rep": pa.array([int(x) for x in b["root_id"].to_pylist()],
+                            pa.int64()),
+            "is_rep": pa.nulls(b.num_rows, pa.bool_()).fill_null(True)}),
+        batch_format="pyarrow")
+    base = docs.select_columns([id_col]).map_batches(
+        lambda b: pa.table({
+            id_col: b[id_col].cast(pa.int64()),
+            "rep": pa.nulls(b.num_rows, pa.int64()),
+            "is_rep": pa.nulls(b.num_rows, pa.bool_()).fill_null(False)}),
+        batch_format="pyarrow")
+
+    def attach(g: pd.DataFrame) -> pd.DataFrame:
+        r = g.loc[g["is_rep"], [id_col, "rep"]]
+        d = g.loc[~g["is_rep"], [id_col]]
+        m = d.merge(r, on=id_col, how="left")
+        rep_id = m["rep"].fillna(m[id_col]).astype("int64")
+        return pd.DataFrame({id_col: m[id_col].astype("int64"),
+                             "rep_id": rep_id,
+                             "keep": m[id_col].astype("int64") == rep_id})
+
+    return bucketed_block_apply(base.union(reps), id_col, attach,
+                                n_buckets=n_buckets)

@@ -437,3 +437,29 @@ def test_bm25_top_terms_matches_naive():
            for r in tfidf_top_terms(docs, k=3, scheme="bm25", n_buckets=3)
            .to_pandas().to_dict("records")}
     assert got == expect, got.symmetric_difference(expect)
+
+
+def test_fuzzy_dedup_keep_distributed_matches_driver():
+    """fuzzy_dedup_keep: the distributed union-find path
+    (components_driver_threshold=0) must match the driver fast path, and
+    exactly one survivor must be kept per near-dup component."""
+    from shacl_validator_ray.stages import dedup
+
+    texts = (["alpha beta gamma delta epsilon zeta"] * 3
+             + ["one two three four five six seven"] * 2
+             + ["unique document number %d words here" % i for i in range(4)])
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array(list(range(len(texts))), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * len(texts), pa.string())}))
+    fast = dedup.fuzzy_dedup_keep(docs, tau=0.95).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    dist = dedup.fuzzy_dedup_keep(docs, tau=0.95,
+                                  components_driver_threshold=0).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert fast.equals(dist)
+    # clusters {0,1,2} and {3,4}: min-id survivor, everyone maps to it
+    assert fast.loc[fast["doc_id"].isin([0, 1, 2]), "rep_id"].tolist() == [0, 0, 0]
+    assert fast.loc[fast["doc_id"].isin([3, 4]), "rep_id"].tolist() == [3, 3]
+    assert fast["keep"].tolist() == [True, False, False, True, False,
+                                     True, True, True, True]
