@@ -535,6 +535,34 @@ def q_kg_triangles(sf_dir: str):
     return triangle_count(edges)
 
 
+def q_kg_components(sf_dir: str):
+    """Weakly connected components over the dataset→distribution edge
+    graph via the engine's distributed union-find (label propagation as
+    iterative groupby-aggregate rounds); ``driver_threshold=0`` forces
+    the distributed path even at oracle scale, so the driver-checked
+    result exercises the 10^12-route. Oracle: recursive-CTE closure,
+    rep = min IRI per component."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..stages.canonicalize import connected_components
+    from ..stages import extract as ex
+    from . import kg
+
+    dist_pred = "http://www.w3.org/ns/dcat#distribution"
+
+    def to_edges(b: pa.Table) -> pa.Table:
+        f = b.filter(pc.and_(pc.equal(b["obj_kind"], "iri"),
+                             pc.equal(b["pred"], dist_pred)))
+        f = f.filter(pc.not_equal(f["subj"], f["obj_value"]))
+        return pa.table({"a": f["subj"].cast(pa.string()),
+                         "b": f["obj_value"].cast(pa.string())})
+
+    edges = kg.triples_dataset(sf_dir).map_batches(
+        to_edges, batch_format="pyarrow", zero_copy_batch=True)
+    return connected_components(edges, driver_threshold=0)
+
+
 def q_kg_property_breakdown(sf_dir: str):
     """A6 (ReportViewer.tsx:166-190): per-path severity pivot, top 8."""
     from ..stages import report
@@ -585,6 +613,7 @@ QUERIES = {
     "kg_pagerank": q_kg_pagerank,
     "kg_pagerank_dangling": q_kg_pagerank_dangling,
     "kg_triangles": q_kg_triangles,
+    "kg_components": q_kg_components,
     "kg_media_features": q_kg_media_features,
     "kg_image_stats": q_kg_image_stats,
     # relational operator inventory (SURVEY.md §2)
@@ -612,6 +641,7 @@ QUERIES = {
     "heavy_users": R.heavy_users,
     "bigram_counts": R.bigram_counts,
     "group_quantiles": R.group_quantiles,
+    "rollup_counts": R.rollup_counts,
     "filter_search_limit": R.filter_search_limit,
     # text analysis
     "token_counts": q_token_counts,
@@ -762,6 +792,11 @@ ORACLE_SQL = {
     "filter_search_limit":
         "SELECT doc_id, source FROM documents WHERE contains(text, 'merge') "
         "ORDER BY doc_id LIMIT 50",
+    "rollup_counts": """
+        SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+               coalesce(l_linestatus, 'ALL') AS l_linestatus,
+               count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+        FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
     # BM25: Robertson idf with +1 smoothing, k1=1.5, b=0.75 — identical
     # double expression order as stages/text.py::tfidf_top_terms(bm25)
     "bm25_top_terms": r"""
@@ -1569,6 +1604,20 @@ w AS (SELECT e1.b AS x, e2.b AS y
       FROM e0 e1 JOIN e0 e2 ON e1.a = e2.a AND e1.b < e2.b)
 SELECT count(*)::BIGINT AS n_triangles
 FROM w JOIN e0 e ON e.a = w.x AND e.b = w.y""",
+        # kg_components: undirected closure over dcat:distribution edges
+        # (per-dataset star components keep the oracle closure cheap);
+        # rep = lexicographic min IRI in the component, matching the
+        # engine's ranked-min union-find root (no mention IRIs here)
+        "kg_components": "WITH RECURSIVE " + mapped.strip() + f""",
+de AS (SELECT DISTINCT subj AS a, obj_value AS b FROM mapped
+       WHERE obj_kind = 'iri' AND pred = '{dcat}distribution'
+         AND subj != obj_value),
+e AS (SELECT a, b FROM de UNION SELECT b, a FROM de),
+reach(n, m) AS (SELECT a, b FROM e
+                UNION
+                SELECT r.n, e2.b FROM reach r JOIN e e2 ON r.m = e2.a)
+SELECT n AS entity_id, least(n, min(m)) AS root_id
+FROM reach GROUP BY n""",
         # kg_media_features: planted per-dimension feature expectations
         "kg_media_features": f"""
 SELECT doc_id, span_idx, kind, media_ref,

@@ -540,3 +540,47 @@ def group_quantiles(sf_dir: str):
     return bucketed_groupby_apply(
         t(sf_dir, "events", ["event_type", "value"]), "event_type",
         per_group)
+
+
+# --- ROLLUP aggregate: all grouping levels from ONE base-table pass ---
+def rollup_counts(sf_dir: str):
+    """GROUP BY ROLLUP (l_returnflag, l_linestatus) — count + sum per
+    (flag, status), per flag, and grand total, with 'ALL' sentinels.
+
+    Scale shape: the base table is scanned ONCE into the finest-level
+    aggregate (group-cardinality-sized — tiny relative to the fact
+    table); the coarser levels re-aggregate those partials, so adding a
+    rollup level costs a shuffle of the aggregate, never a rescan of
+    the 100 TB input. Sums round only at the end so every level is
+    float-exact against the oracle."""
+    fine = (t(sf_dir, "lineitem",
+              ["l_returnflag", "l_linestatus", "l_quantity"])
+            .groupby(["l_returnflag", "l_linestatus"])
+            .aggregate(Sum("l_quantity", alias_name="s"),
+                       Count(alias_name="n"))
+            .materialize())  # partials feed all coarser levels
+
+    def finish(b: pa.Table) -> pa.Table:
+        flag = (b["l_returnflag"] if "l_returnflag" in b.column_names
+                else pa.nulls(b.num_rows, pa.string()).fill_null("ALL"))
+        status = (b["l_linestatus"] if "l_linestatus" in b.column_names
+                  else pa.nulls(b.num_rows, pa.string()).fill_null("ALL"))
+        return pa.table({
+            "l_returnflag": flag.cast(pa.string()),
+            "l_linestatus": status.cast(pa.string()),
+            "n": b["n"].cast(pa.int64()),
+            "sum_qty": pc.round(b["s"].cast(pa.float64()), 2)})
+
+    level1 = (fine.groupby("l_returnflag")
+              .aggregate(Sum("s", alias_name="s"), Sum("n", alias_name="n"))
+              .map_batches(finish, batch_format="pyarrow"))
+    # grand total: two scalar streaming aggregates — one row, driver-safe
+    # at any input size
+    total = rd.from_arrow(pa.table({"s": pa.array([fine.sum("s") or 0.0],
+                                                  pa.float64()),
+                                    "n": pa.array([fine.sum("n") or 0],
+                                                  pa.int64())})) \
+        .map_batches(finish, batch_format="pyarrow")
+
+    return fine.map_batches(finish, batch_format="pyarrow") \
+        .union(level1, total)
