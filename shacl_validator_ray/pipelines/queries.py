@@ -196,6 +196,22 @@ def q_stratified_sample(sf_dir: str):
         "event_type", "event_id", n_per_stratum=5)
 
 
+def q_funnel_counts(sf_dir: str):
+    """Ordered view→click→purchase funnel reach counts (strict-after
+    step semantics); one user-keyed shuffle + scalar merges."""
+    from ..stages import windows
+    return windows.funnel_counts(
+        R.t(sf_dir, "events", ["user_id", "event_type", "ts"]))
+
+
+def q_zscore_outliers(sf_dir: str):
+    """Per-user z-score anomalies (|z| > 2.5, sample std): two
+    user-keyed shuffles, stats merged back without driver state."""
+    from ..stages import windows
+    return windows.zscore_outliers(
+        R.t(sf_dir, "events", ["user_id", "event_id", "value"]))
+
+
 def q_watermark_filter(sf_dir: str):
     """Allowed-lateness gate over the bounded events log (§2.9)."""
     from ..stages import windows
@@ -676,6 +692,8 @@ QUERIES = {
     "asof_join": q_asof_join,
     "interval_join": q_interval_join,
     "watermark_filter": q_watermark_filter,
+    "funnel_counts": q_funnel_counts,
+    "zscore_outliers": q_zscore_outliers,
     "stratified_sample": q_stratified_sample,
     "systematic_sample": q_systematic_sample,
     # RDF projection
@@ -1069,6 +1087,29 @@ WHERE n_tokens BETWEEN 20 AND 200
         SELECT event_id, user_id FROM events
         WHERE epoch_us(ts) >= (SELECT max(epoch_us(ts)) FROM events)
                               - 86400000000::BIGINT""",
+    # ordered funnel: each step's clock = earliest qualifying time of
+    # the previous step; later steps require STRICTLY greater ts
+    "funnel_counts": """
+        WITH v AS (SELECT user_id, min(ts) AS t FROM events
+                   WHERE event_type = 'view' GROUP BY user_id),
+        c AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+              JOIN v ON e.user_id = v.user_id AND e.ts > v.t
+              WHERE e.event_type = 'click' GROUP BY e.user_id),
+        p AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+              JOIN c ON e.user_id = c.user_id AND e.ts > c.t
+              WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+        SELECT (SELECT count(*) FROM v)::BIGINT AS step_1,
+               (SELECT count(*) FROM c)::BIGINT AS step_2,
+               (SELECT count(*) FROM p)::BIGINT AS step_3""",
+    "zscore_outliers": """
+        WITH s AS (SELECT user_id, avg(value) AS mu,
+                          stddev_samp(value) AS sd, count(*) AS n
+                   FROM events GROUP BY user_id)
+        SELECT e.event_id, e.user_id,
+               round((e.value - s.mu) / s.sd, 6) AS z
+        FROM events e JOIN s ON e.user_id = s.user_id
+        WHERE s.n >= 2 AND s.sd > 0
+          AND abs((e.value - s.mu) / s.sd) > 2.5""",
     # every event lands in all k = size/slide windows covering it
     # (generate_series fan-out mirrors the map_batches explode)
     "sliding_window": """

@@ -258,3 +258,77 @@ def interval_join(points: rd.Dataset, intervals: rd.Dataset,
     from .discovery import bucketed_block_apply
 
     return bucketed_block_apply(both, key, per_bucket)
+
+
+def funnel_counts(events: rd.Dataset,
+                  steps: tuple[str, ...] = ("view", "click", "purchase"),
+                  key: str = "user_id") -> rd.Dataset:
+    """Ordered funnel: per user, step i+1 counts only with an event
+    STRICTLY after the earliest qualifying time of step i (the standard
+    product-analytics funnel). Returns one row of per-step reach counts
+    ``step_1..step_k``.
+
+    Scale shape: one column-pruned filter to funnel event types, ONE
+    shuffle keyed on the user, then a vectorized per-group scan (numpy
+    min over each step's timestamps) — counts merge as scalar sums, so
+    nothing user-scale reaches the driver."""
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        ts = g["ts"].astype("int64")
+        reached = np.zeros(len(steps), dtype=np.int64)
+        prev = None  # earliest qualifying time of the previous step
+        for i, s in enumerate(steps):
+            m = g["event_type"] == s
+            if prev is not None:
+                m &= ts > prev
+            if not m.any():
+                break
+            reached[i] = 1
+            prev = ts[m].min()
+        return pd.DataFrame({f"step_{i + 1}": [int(reached[i])]
+                             for i in range(len(steps))})
+
+    step_set = list(steps)
+
+    def keep_steps(b: pa.Table) -> pa.Table:
+        return b.filter(pc.is_in(b["event_type"],
+                                 value_set=pa.array(step_set, pa.string())))
+
+    typed = events.select_columns([key, "event_type", "ts"]).map_batches(
+        keep_steps, batch_format="pyarrow", zero_copy_batch=True)
+    per = bucketed_groupby_apply(typed, key, per_user)
+    agg = per.aggregate(*[Sum(f"step_{i + 1}", alias_name=f"step_{i + 1}")
+                          for i in range(len(steps))])
+    return rd.from_arrow(pa.table(
+        {f"step_{i + 1}": pa.array([int(agg.get(f"step_{i + 1}") or 0)],
+                                   pa.int64())
+         for i in range(len(steps))}))
+
+
+def zscore_outliers(events: rd.Dataset, threshold: float = 2.5,
+                    key: str = "user_id") -> rd.Dataset:
+    """Per-user z-score anomalies: events whose value deviates more than
+    ``threshold`` sample standard deviations from that user's mean.
+    Two shuffles, both keyed on the user: (1) per-user mean/std partials,
+    (2) the events bucketed back against their user's stats (tagged
+    union + one bucketed merge — no corpus-scale driver state)."""
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        v = g["value"].astype("float64")
+        if len(v) < 2:
+            return pd.DataFrame({"event_id": pd.Series(dtype="int64"),
+                                 "user_id": pd.Series(dtype="int64"),
+                                 "z": pd.Series(dtype="float64")})
+        mu, sd = v.mean(), v.std(ddof=1)
+        if sd == 0.0:
+            return pd.DataFrame({"event_id": pd.Series(dtype="int64"),
+                                 "user_id": pd.Series(dtype="int64"),
+                                 "z": pd.Series(dtype="float64")})
+        z = (v - mu) / sd
+        m = z.abs() > threshold
+        return pd.DataFrame({"event_id": g.loc[m, "event_id"].astype("int64"),
+                             "user_id": g.loc[m, key].astype("int64"),
+                             "z": np.round(z[m], 6)})
+
+    cols = events.select_columns([key, "event_id", "value"])
+    return bucketed_groupby_apply(cols, key, per_user)
