@@ -35,6 +35,14 @@ def q_bm25_top_terms(sf_dir: str):
     return text.tfidf_top_terms(_docs(sf_dir), k=5, scheme="bm25")
 
 
+def q_unigram_nll(sf_dir: str):
+    """Unigram-LM document scoring (avg negative log-likelihood under
+    the corpus's own unigram distribution) — the perplexity-bucket
+    curation axis, two bucketed shuffles."""
+    from ..stages import text
+    return text.unigram_doc_nll(_docs(sf_dir))
+
+
 def q_quota_sample(sf_dir: str):
     """At most 20 docs per source, selected by md5-of-id order
     (deterministic pseudorandom quota downsample)."""
@@ -664,6 +672,7 @@ QUERIES = {
     "tfidf_top_terms": q_tfidf_top_terms,
     "bm25_top_terms": q_bm25_top_terms,
     "quota_sample": q_quota_sample,
+    "unigram_nll": q_unigram_nll,
     "repetition_scores": q_repetition_scores,
     "quality_counts": q_quality_counts,
     "fingerprints": q_fingerprints,
@@ -851,6 +860,23 @@ ORACLE_SQL = {
                     AS rk
            FROM documents)
         WHERE rk <= 20""",
+    # unigram LM trained on the corpus itself; ln() sum order differs
+    # from the engine's per-bucket accumulation only below the 1e-6
+    # rounding grain
+    "unigram_nll": r"""
+        WITH toks AS (SELECT doc_id,
+                             regexp_extract_all(coalesce(text, ''), '\S+')
+                               AS ws
+                      FROM documents),
+        t AS (SELECT doc_id, unnest(ws) AS term, len(ws) AS dl FROM toks),
+        tc AS (SELECT doc_id, term, max(dl) AS dl, count(*) AS tf
+               FROM t GROUP BY doc_id, term),
+        cf AS (SELECT term, sum(tf) AS cf FROM tc GROUP BY term),
+        n AS (SELECT sum(tf)::DOUBLE AS nt FROM tc)
+        SELECT tc.doc_id, max(tc.dl)::BIGINT AS dl,
+               round(-sum(tc.tf * ln(cf.cf / n.nt)) / max(tc.dl), 6) AS nll
+        FROM tc JOIN cf USING (term), n
+        GROUP BY tc.doc_id""",
     # same token/n-gram expressions as the Python Counter-based metrics
     "repetition_scores": r"""
         WITH q AS (SELECT doc_id,

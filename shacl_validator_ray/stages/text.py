@@ -210,6 +210,29 @@ def split_assign(docs: rd.Dataset, id_col: str = "doc_id",
     return docs.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _tf_rows_fn(id_col: str, text_col: str):
+    """Batch fn: one (doc, term, tf, dl) posting row per distinct term
+    per document — tf and dl are row-local, so this is a stateless map."""
+    from collections import Counter
+
+    def tf_rows(bt: pa.Table) -> pa.Table:
+        ids, terms, tfs, dls = [], [], [], []
+        for i, t_ in zip(bt.column(id_col).to_pylist(),
+                         bt.column(text_col).to_pylist()):
+            toks = (t_ or "").split()
+            for term, c in Counter(toks).items():
+                ids.append(i)
+                terms.append(term)
+                tfs.append(c)
+                dls.append(len(toks))
+        return pa.table({id_col: pa.array(ids, bt.column(id_col).type),
+                         "term": pa.array(terms, pa.string()),
+                         "tf": pa.array(tfs, pa.int64()),
+                         "dl": pa.array(dls, pa.int64())})
+
+    return tf_rows
+
+
 def tfidf_top_terms(docs: rd.Dataset, k: int = 5, id_col: str = "doc_id",
                     text_col: str = "text",
                     n_buckets: int | None = None,
@@ -234,8 +257,6 @@ def tfidf_top_terms(docs: rd.Dataset, k: int = 5, id_col: str = "doc_id",
     scale; buckets hold many terms each (hash-bucketed, cluster-scaled
     count) which amortizes stragglers the same way the engine's other
     bucketed shuffles do."""
-    from collections import Counter
-
     import numpy as np
     import pandas as pd
 
@@ -243,22 +264,8 @@ def tfidf_top_terms(docs: rd.Dataset, k: int = 5, id_col: str = "doc_id",
 
     n_docs = docs.count()
 
-    def tf_rows(bt: pa.Table) -> pa.Table:
-        ids, terms, tfs, dls = [], [], [], []
-        for i, t_ in zip(bt.column(id_col).to_pylist(),
-                         bt.column(text_col).to_pylist()):
-            toks = (t_ or "").split()
-            for term, c in Counter(toks).items():
-                ids.append(i)
-                terms.append(term)
-                tfs.append(c)
-                dls.append(len(toks))
-        return pa.table({id_col: pa.array(ids, bt.column(id_col).type),
-                         "term": pa.array(terms, pa.string()),
-                         "tf": pa.array(tfs, pa.int64()),
-                         "dl": pa.array(dls, pa.int64())})
-
-    postings = docs.map_batches(tf_rows, batch_format="pyarrow",
+    postings = docs.map_batches(_tf_rows_fn(id_col, text_col),
+                                batch_format="pyarrow",
                                 zero_copy_batch=True)
     if scheme == "bm25":
         # avgdl over ALL docs (empty ones included): total tokens is the
@@ -375,3 +382,60 @@ def repetition_scores(docs: rd.Dataset, id_col: str = "doc_id",
             "flagged": pa.array(flags, pa.bool_())})
 
     return docs.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def unigram_doc_nll(docs: rd.Dataset, id_col: str = "doc_id",
+                    text_col: str = "text",
+                    n_buckets: int | None = None) -> rd.Dataset:
+    """Corpus-trained unigram-LM document scoring (the CCNet-style LM
+    quality signal, with the corpus itself as the LM): per document the
+    average negative log-likelihood ``-(1/dl) Σ_t tf_t · ln(cf_t / N)``
+    where cf is the corpus frequency of the term and N the total corpus
+    token count. Low nll ≈ stereotypical text, high nll ≈ rare-token
+    text — the standard perplexity-bucket curation axis.
+
+    Same two-shuffle plan as :func:`tfidf_top_terms`: the (doc, term,
+    tf, dl) expansion is stateless; bucketing by TERM makes the corpus
+    frequency a bucket-local sum (training the LM and scoring the
+    postings collapse into one shuffle); re-bucketing by DOC sums the
+    per-term contributions. N is the only driver-side value. No
+    smoothing is needed: every scored token occurs in the corpus."""
+    import numpy as np
+    import pandas as pd
+
+    from .discovery import bucketed_block_apply
+
+    postings = docs.map_batches(
+        _tf_rows_fn(id_col, text_col), batch_format="pyarrow",
+        zero_copy_batch=True).materialize()
+    n_tokens = float(postings.sum("tf") or 0)
+    if n_tokens == 0:
+        return rd.from_arrow(pa.table({id_col: pa.array([], pa.int64()),
+                                       "dl": pa.array([], pa.int64()),
+                                       "nll": pa.array([], pa.float64())}))
+
+    def contrib_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame({id_col: pd.Series(dtype="int64"),
+                                 "dl": pd.Series(dtype="int64"),
+                                 "c": pd.Series(dtype="float64")})
+        cf = g.groupby("term")["tf"].transform("sum").to_numpy(dtype=float)
+        tf = g["tf"].to_numpy(dtype=float)
+        return pd.DataFrame({id_col: g[id_col], "dl": g["dl"],
+                             "c": tf * np.log(cf / n_tokens)})
+
+    contrib = bucketed_block_apply(postings, "term", contrib_bucket,
+                                   n_buckets=n_buckets)
+
+    def doc_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame({id_col: pd.Series(dtype="int64"),
+                                 "dl": pd.Series(dtype="int64"),
+                                 "nll": pd.Series(dtype="float64")})
+        a = g.groupby(id_col, sort=False).agg(
+            dl=("dl", "max"), s=("c", "sum")).reset_index()
+        return pd.DataFrame({id_col: a[id_col], "dl": a["dl"].astype("int64"),
+                             "nll": np.round(-a["s"] / a["dl"], 6)})
+
+    return bucketed_block_apply(contrib, id_col, doc_bucket,
+                                n_buckets=n_buckets)
