@@ -339,29 +339,34 @@ def triangle_count(edges: rd.Dataset, src: str = "src", dst: str = "dst",
                                   n_buckets=n_buckets)
 
     # close: wedge (a,b) is already canonical (a<b) — membership
-    # semi-join against the canonical edge set, keyed on a
+    # semi-join against the canonical edge set, keyed on the FULL pair
+    # "a|b" rather than a alone: wedge counts concentrate on the
+    # (degree, node)-minimal endpoints (every wedge's a is a canonical
+    # min), so an a-keyed shuffle skews; the pair key hashes uniformly
+    # and still co-locates each wedge with its closing edge exactly
+    def pair_key(b: pa.Table, a_col: str = "a", b_col: str = "b"):
+        return pc.binary_join_element_wise(
+            b[a_col].cast(pa.string()), b[b_col].cast(pa.string()), "|")
+
     tagged_w = wedges.map_batches(
-        lambda b: pa.table({"a": b["a"].cast(pa.string()),
-                            "b": b["b"].cast(pa.string()),
+        lambda b: pa.table({"ab": pair_key(b),
                             "w": b["w"].cast(pa.int64())})
-        if b.num_rows else pa.table({"a": pa.array([], pa.string()),
-                                     "b": pa.array([], pa.string()),
+        if b.num_rows else pa.table({"ab": pa.array([], pa.string()),
                                      "w": pa.array([], pa.int64())}),
         batch_format="pyarrow")
     tagged_e = e.map_batches(
-        lambda b: pa.table({"a": b["a"].cast(pa.string()),
-                            "b": b["b"].cast(pa.string()),
+        lambda b: pa.table({"ab": pair_key(b),
                             "w": pa.nulls(b.num_rows, pa.int64())}),
         batch_format="pyarrow")
 
     def close_bucket(g: pd.DataFrame) -> pd.DataFrame:
         ws = g.loc[~g["w"].isna()]
-        es = g.loc[g["w"].isna(), ["a", "b"]]
-        m = ws.merge(es, on=["a", "b"])
+        es = g.loc[g["w"].isna(), ["ab"]]
+        m = ws.merge(es, on="ab")
         return pd.DataFrame({"n": [int(m["w"].sum())]})
 
     parts = bucketed_block_apply(
-        _coalesce(tagged_w.union(tagged_e), k), "a", close_bucket,
+        _coalesce(tagged_w.union(tagged_e), k), "ab", close_bucket,
         n_buckets=n_buckets)
     total = parts.sum("n")
     return one_row(int(total or 0))
