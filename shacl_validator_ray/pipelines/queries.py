@@ -655,6 +655,8 @@ QUERIES = {
     "two_hop_join": R.two_hop_join,
     "anti_join_customers": R.anti_join_customers,
     "anti_join_native": R.anti_join_native,
+    "left_join_native": R.left_join_native,
+    "full_outer_native": R.full_outer_native,
     "cardinality_bounds": R.cardinality_bounds,
     "union_distinct": R.union_distinct,
     "top_orders": R.top_orders,
@@ -824,6 +826,22 @@ ORACLE_SQL = {
                coalesce(l_linestatus, 'ALL') AS l_linestatus,
                count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+    "left_join_native": """
+        SELECT c.c_custkey, c.c_mktsegment,
+               coalesce(o.n_orders, 0)::BIGINT AS n_orders
+        FROM customer c
+        LEFT JOIN (SELECT o_custkey, count(*) AS n_orders
+                   FROM orders GROUP BY o_custkey) o
+          ON c.c_custkey = o.o_custkey""",
+    "full_outer_native": """
+        SELECT coalesce(c.nationkey, s.nationkey) AS nationkey,
+               coalesce(c.n_cust, 0)::BIGINT AS n_cust,
+               coalesce(s.n_supp, 0)::BIGINT AS n_supp
+        FROM (SELECT c_nationkey AS nationkey, count(*) AS n_cust
+              FROM customer GROUP BY c_nationkey) c
+        FULL OUTER JOIN (SELECT s_nationkey AS nationkey, count(*) AS n_supp
+                         FROM supplier GROUP BY s_nationkey) s
+          ON c.nationkey = s.nationkey""",
     # BM25: Robertson idf with +1 smoothing, k1=1.5, b=0.75 — identical
     # double expression order as stages/text.py::tfidf_top_terms(bm25)
     "bm25_top_terms": r"""

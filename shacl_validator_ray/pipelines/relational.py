@@ -584,3 +584,50 @@ def rollup_counts(sf_dir: str):
 
     return fine.map_batches(finish, batch_format="pyarrow") \
         .union(level1, total)
+
+
+# --- native outer joins (Acero hash join operator family) ---
+def left_join_native(sf_dir: str):
+    """Customers LEFT OUTER their order counts: customers with no
+    orders survive with n_orders = 0. The aggregate side is built
+    BEFORE the join (group-cardinality-sized), so the outer join
+    shuffles the small side, not the fact table."""
+    counts = (t(sf_dir, "orders", ["o_custkey"])
+              .groupby("o_custkey").aggregate(Count(alias_name="n_orders"))
+              .map_batches(
+                  lambda b: b.rename_columns(["c_custkey", "n_orders"]),
+                  batch_format="pyarrow"))
+    cust = t(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    joined = cust.join(counts, "left_outer", 8, on=("c_custkey",))
+    return joined.map_batches(
+        lambda b: b.set_column(
+            b.column_names.index("n_orders"), "n_orders",
+            b["n_orders"].cast(pa.int64()).fill_null(0)),
+        batch_format="pyarrow")
+
+
+def full_outer_native(sf_dir: str):
+    """Per-nation customer vs supplier counts via a native FULL OUTER
+    join of two independent aggregates — either side may be absent for
+    a nation; missing counts surface as 0."""
+    cc = (t(sf_dir, "customer", ["c_nationkey"])
+          .groupby("c_nationkey").aggregate(Count(alias_name="n_cust"))
+          .map_batches(lambda b: b.rename_columns(["nationkey", "n_cust"]),
+                       batch_format="pyarrow"))
+    sc = (t(sf_dir, "supplier", ["s_nationkey"])
+          .groupby("s_nationkey").aggregate(Count(alias_name="n_supp"))
+          .map_batches(lambda b: b.rename_columns(["nationkey", "n_supp"]),
+                       batch_format="pyarrow"))
+    joined = cc.join(sc, "full_outer", 4, on=("nationkey",),
+                     right_suffix="_r")
+
+    def finish(b: pa.Table) -> pa.Table:
+        nk = b["nationkey"].cast(pa.int64())
+        if "nationkey_r" in b.column_names:
+            nk = pc.coalesce(nk, b["nationkey_r"].cast(pa.int64()))
+        return pa.table({
+            "nationkey": nk,
+            "n_cust": b["n_cust"].cast(pa.int64()).fill_null(0),
+            "n_supp": b["n_supp"].cast(pa.int64()).fill_null(0)})
+
+    return joined.map_batches(finish, batch_format="pyarrow")
