@@ -43,6 +43,13 @@ def q_unigram_nll(sf_dir: str):
     return text.unigram_doc_nll(_docs(sf_dir))
 
 
+def q_postings_index(sf_dir: str):
+    """Inverted-index build: per-term df/cf + capped champion posting
+    list, one term-bucketed shuffle."""
+    from ..stages import text
+    return text.postings_index(_docs(sf_dir), cap=10)
+
+
 def q_quota_sample(sf_dir: str):
     """At most 20 docs per source, selected by md5-of-id order
     (deterministic pseudorandom quota downsample)."""
@@ -163,6 +170,13 @@ def q_curation(sf_dir: str):
 
 
 # ---- similarity search ----
+
+def q_label_centroids(sf_dir: str):
+    """Per-label embedding centroids as (label, dim, c) rows via
+    fixed-size per-batch partials (labels × dims sums) + one groupby."""
+    from ..stages import similarity
+    return similarity.label_centroids(_emb(sf_dir))
+
 
 def q_knn_bruteforce(sf_dir: str):
     from ..stages import similarity
@@ -675,6 +689,7 @@ QUERIES = {
     "bm25_top_terms": q_bm25_top_terms,
     "quota_sample": q_quota_sample,
     "unigram_nll": q_unigram_nll,
+    "postings_index": q_postings_index,
     "repetition_scores": q_repetition_scores,
     "quality_counts": q_quality_counts,
     "fingerprints": q_fingerprints,
@@ -692,6 +707,7 @@ QUERIES = {
     "fuzzy_dedup_keep": q_fuzzy_dedup_keep,
     "curation": q_curation,
     # similarity search
+    "label_centroids": q_label_centroids,
     "knn_bruteforce": q_knn_bruteforce,
     "knn_lsh": q_knn_lsh,
     "knn_ivf": q_knn_ivf,
@@ -895,6 +911,27 @@ ORACLE_SQL = {
                round(-sum(tc.tf * ln(cf.cf / n.nt)) / max(tc.dl), 6) AS nll
         FROM tc JOIN cf USING (term), n
         GROUP BY tc.doc_id""",
+    # parallel unnest zips value and index positionally
+    "label_centroids": """
+        WITH e AS (SELECT label, unnest(embedding) AS x,
+                          unnest(range(0, len(embedding))) AS dim
+                   FROM embeddings)
+        SELECT label::BIGINT AS label, dim::BIGINT AS dim,
+               round(avg(x), 6) AS c
+        FROM e GROUP BY label, dim""",
+    "postings_index": r"""
+        WITH toks AS (SELECT doc_id,
+                             regexp_extract_all(coalesce(text, ''), '\S+')
+                               AS ws
+                      FROM documents),
+        t AS (SELECT doc_id, unnest(ws) AS term FROM toks),
+        tc AS (SELECT doc_id, term, count(*) AS tf
+               FROM t GROUP BY doc_id, term)
+        SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS cf,
+               array_to_string(
+                   list_slice(list(doc_id ORDER BY doc_id), 1, 10),
+                   ',') AS postings
+        FROM tc GROUP BY term""",
     # same token/n-gram expressions as the Python Counter-based metrics
     "repetition_scores": r"""
         WITH q AS (SELECT doc_id,

@@ -227,3 +227,45 @@ def knn_lsh(emb: rd.Dataset, query_ids: list[int], k: int = 5, n_planes: int = 6
         return g.sort_values(["sim", "nid"], ascending=[False, True]).head(k)
 
     return partials.groupby("qid").map_groups(final_topk, batch_format="pandas")
+
+
+def label_centroids(emb: rd.Dataset, id_col: str = "vec_id",
+                    vec_col: str = "embedding",
+                    label_col: str = "label") -> rd.Dataset:
+    """Per-label embedding centroid as (label, dim, c) rows — the
+    textbook partial-aggregation shape: each batch reduces to one
+    (labels × dims) sum matrix + counts (vectorized ``np.add.at``),
+    those fixed-size partials shuffle through a (label, dim) groupby,
+    and the final map divides. The full embedding table never
+    concentrates anywhere; partial size is independent of batch row
+    count."""
+    from ray.data.aggregate import Sum
+
+    def partials(b: pa.Table) -> pa.Table:
+        labels = np.asarray(b[label_col].to_pandas(), dtype=np.int64)
+        m = np.stack(b[vec_col].to_pandas().to_numpy()).astype(np.float64)
+        uniq, inv = np.unique(labels, return_inverse=True)
+        sums = np.zeros((len(uniq), m.shape[1]), dtype=np.float64)
+        np.add.at(sums, inv, m)
+        counts = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        n_lab, dim = sums.shape
+        return pa.table({
+            label_col: pa.array(np.repeat(uniq, dim), pa.int64()),
+            "dim": pa.array(np.tile(np.arange(dim, dtype=np.int64), n_lab)),
+            "s": pa.array(sums.ravel(), pa.float64()),
+            "n": pa.array(np.repeat(counts, dim), pa.int64())})
+
+    agg = (emb.map_batches(partials, batch_format="pyarrow",
+                           zero_copy_batch=True)
+           .groupby([label_col, "dim"])
+           .aggregate(Sum("s", alias_name="s"), Sum("n", alias_name="n")))
+
+    def finish(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return pa.table({
+            label_col: b[label_col].cast(pa.int64()),
+            "dim": b["dim"].cast(pa.int64()),
+            "c": pc.round(pc.divide(b["s"].cast(pa.float64()),
+                                    b["n"].cast(pa.float64())), 6)})
+
+    return agg.map_batches(finish, batch_format="pyarrow")

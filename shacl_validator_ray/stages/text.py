@@ -439,3 +439,39 @@ def unigram_doc_nll(docs: rd.Dataset, id_col: str = "doc_id",
 
     return bucketed_block_apply(contrib, id_col, doc_bucket,
                                 n_buckets=n_buckets)
+
+
+def postings_index(docs: rd.Dataset, cap: int = 10, id_col: str = "doc_id",
+                   text_col: str = "text",
+                   n_buckets: int | None = None) -> rd.Dataset:
+    """Inverted-index build: per term its document frequency, collection
+    frequency, and a champion posting list (the first ``cap`` doc ids,
+    ascending — the classic search-index layout). ONE term-bucketed
+    shuffle: the (doc, term, tf) expansion is stateless, and df/cf/the
+    posting list are all bucket-local per term. At corpus scale the
+    posting STRING is capped (``cap``) so no term's output row grows
+    with the corpus; full posting lists belong in the partitioned
+    parquet sink, not an aggregate row."""
+    import pandas as pd
+
+    from .discovery import bucketed_block_apply
+
+    postings = docs.map_batches(_tf_rows_fn(id_col, text_col),
+                                batch_format="pyarrow",
+                                zero_copy_batch=True)
+
+    def per_term_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame({"term": pd.Series(dtype=object),
+                                 "df": pd.Series(dtype="int64"),
+                                 "cf": pd.Series(dtype="int64"),
+                                 "postings": pd.Series(dtype=object)})
+        g = g.sort_values([ "term", id_col])
+        agg = g.groupby("term", sort=False).agg(
+            df=(id_col, "size"), cf=("tf", "sum"),
+            postings=(id_col,
+                      lambda s: ",".join(str(x) for x in s.iloc[:cap])))
+        return agg.reset_index()
+
+    return bucketed_block_apply(postings, "term", per_term_bucket,
+                                n_buckets=n_buckets)
