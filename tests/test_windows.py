@@ -168,3 +168,44 @@ def test_new_operators_accept_empty_inputs():
         "session_start": pa.array([], pa.int64()),
         "session_end": pa.array([], pa.int64())}))
     assert windows.interval_join(pts, ivs).count() == 0
+
+
+def test_funnel_strict_after_semantics():
+    """Steps only count with an event STRICTLY after the previous
+    step's earliest qualifying time; out-of-order and same-timestamp
+    events must not advance the funnel."""
+    from shacl_validator_ray.stages import windows
+
+    def us(s):
+        return s * 1_000_000
+
+    rows = [
+        # user 1: full ordered funnel
+        (1, "view", us(10)), (1, "click", us(20)), (1, "purchase", us(30)),
+        # user 2: click BEFORE view only -> reaches step 1 only
+        (2, "click", us(5)), (2, "view", us(10)),
+        # user 3: click at the SAME ts as view -> strict "after" fails
+        (3, "view", us(10)), (3, "click", us(10)),
+        # user 4: no view at all -> contributes nothing
+        (4, "purchase", us(1)),
+    ]
+    ev = rd.from_arrow(pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "event_type": pa.array([r[1] for r in rows], pa.string()),
+        "ts": pa.array([r[2] for r in rows], pa.timestamp("us"))}))
+    out = windows.funnel_counts(ev).to_pandas()
+    assert out.iloc[0].tolist() == [3, 1, 1]
+
+
+def test_zscore_outliers_small_groups_and_constants_excluded():
+    from shacl_validator_ray.stages import windows
+
+    ev = rd.from_arrow(pa.table({
+        "user_id": pa.array([1, 1, 1, 1, 1, 1, 2, 3, 3], pa.int64()),
+        "event_id": pa.array(list(range(9)), pa.int64()),
+        # user 1: one wild outlier; user 2: singleton; user 3: constant
+        "value": pa.array([1.0, 1.0, 1.0, 1.0, 1.0, 100.0,
+                           5.0, 7.0, 7.0], pa.float64())}))
+    out = windows.zscore_outliers(ev, threshold=2.0).to_pandas()
+    assert out["event_id"].tolist() == [5]
+    assert (out["z"] > 2.0).all()
