@@ -496,6 +496,26 @@ def q_kg_bgp_constraint(sf_dir: str):
         ["severity", "focus_node", "value", "source_constraint_component"])
 
 
+def q_kg_bgp_union(sf_dir: str):
+    """sh:sparql UNION analog: a dataset violates when ANY alternative
+    chain matches — here a PDF distribution OR a text/turtle one; each
+    alternative is an independent distributed chain, unioned as
+    distinct focus sets."""
+    from ..functions import ns
+    from ..stages.bgp import BGPConstraint
+    from . import kg
+
+    cc = BGPConstraint(
+        patterns=[("$this", ns.DCAT + "distribution", "?d"),
+                  ("?d", ns.DCT + "format", "application/pdf")],
+        union_patterns=[[("$this", ns.DCAT + "distribution", "?e"),
+                         ("?e", ns.DCT + "format", "text/turtle")]],
+        component="http://example.org/constraints#NoPdfOrTurtle",
+        message="dataset offers a PDF or Turtle distribution")
+    return cc.violations(kg.triples_dataset(sf_dir)).select_columns(
+        ["severity", "focus_node", "value", "source_constraint_component"])
+
+
 def q_kg_bgp_not_exists(sf_dir: str):
     """sh:sparql FILTER NOT EXISTS analog: datasets that offer at least
     one distribution but NONE in text/csv — a distributed anti-join of
@@ -648,6 +668,7 @@ QUERIES = {
     "kg_discovery": q_kg_discovery,
     "kg_bgp_constraint": q_kg_bgp_constraint,
     "kg_bgp_not_exists": q_kg_bgp_not_exists,
+    "kg_bgp_union": q_kg_bgp_union,
     "kg_pagerank": q_kg_pagerank,
     "kg_pagerank_dangling": q_kg_pagerank_dangling,
     "kg_triangles": q_kg_triangles,
@@ -1712,6 +1733,17 @@ SELECT 'Violation' AS severity, subj AS focus_node, subj AS value,
        'http://example.org/constraints#NoCsvDistribution'
            AS source_constraint_component
 FROM has_dist WHERE subj NOT IN (SELECT subj FROM has_csv)""",
+        # kg_bgp_union: SPARQL-UNION analog — either alternative marks
+        # the dataset; SQL mirrors the distinct-focus union
+        "kg_bgp_union": f"""
+WITH g AS (SELECT DISTINCT subj, pred, obj_value FROM {gt}),
+hits AS (SELECT DISTINCT a.subj FROM g a JOIN g b ON a.obj_value = b.subj
+         WHERE a.pred = '{dcat}distribution' AND b.pred = '{dct}format'
+           AND b.obj_value IN ('application/pdf', 'text/turtle'))
+SELECT 'Violation' AS severity, subj AS focus_node, subj AS value,
+       'http://example.org/constraints#NoPdfOrTurtle'
+           AS source_constraint_component
+FROM hits""",
         # kg_pagerank: the same 5 power iterations unrolled as chained
         # CTEs over the mention-mapped resource graph
         "kg_pagerank": _pagerank_sql(mapped),

@@ -65,11 +65,19 @@ class BGPConstraint:
         violation only when NO solution of ``absent_patterns`` binds the
         same ``$this`` (distributed anti-join on the two distinct-focus
         sets).
+    union_patterns : list[list[tuple[str, str, str]]], optional
+        SPARQL ``UNION`` analog: additional alternative pattern chains;
+        a focus node is a violation when ANY chain (the primary
+        ``patterns`` or any alternative) matches it. Each chain is
+        evaluated independently (same join machinery) and the distinct
+        focus sets union through one groupby — alternatives never
+        multiply each other's bindings.
     """
 
     def __init__(self, patterns, component: str, *, message: str = "",
                  severity: str = "Violation", shape_iri: str = "",
-                 target=None, filter_fn=None, absent_patterns=None):
+                 target=None, filter_fn=None, absent_patterns=None,
+                 union_patterns=None):
         if not patterns:
             raise ValueError("BGPConstraint needs at least one pattern")
         for s, p, o in patterns:
@@ -94,6 +102,11 @@ class BGPConstraint:
             self.absent = inner.patterns
         else:
             self.absent = None
+        if union_patterns:
+            self.alts = [BGPConstraint(alt, component).patterns
+                         for alt in union_patterns]
+        else:
+            self.alts = []
         self.patterns = [tuple(p) for p in patterns]
         self.component = component
         self.message = message or f"BGP constraint {component} matched"
@@ -206,7 +219,15 @@ class BGPConstraint:
         from .shacl import _focus_sets, _members_mask, _violation_rows
 
         sol, _ = self.bindings(triples)
-        focus = (sol.map_batches(
+        focus_sol = sol
+        for alt in self.alts:  # UNION: alternatives add focus nodes
+            ab, _ = self._chain(triples, alt)
+            focus_sol = focus_sol.map_batches(
+                lambda b: pa.table({THIS: b[THIS].cast(pa.string())}),
+                batch_format="pyarrow").union(ab.map_batches(
+                    lambda b: pa.table({THIS: b[THIS].cast(pa.string())}),
+                    batch_format="pyarrow"))
+        focus = (focus_sol.map_batches(
             lambda b: pa.table({"focus": b[THIS].cast(pa.string())}),
             batch_format="pyarrow")
             .groupby("focus").aggregate(Count(alias_name="_n")))
