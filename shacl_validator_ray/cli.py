@@ -121,6 +121,62 @@ def cmd_materialize(args) -> int:
     return 0
 
 
+def cmd_dedup(args) -> int:
+    """Corpus curation surface: cluster-based near-dup removal over a
+    documents.parquet table. Writes the surviving documents (one per
+    near-dup cluster) plus the full (doc_id, rep_id, keep) provenance
+    map as partitioned parquet; prints a one-line JSON summary."""
+    from .sources import io as io_mod
+    from .stages import dedup
+
+    import os
+
+    import pyarrow as pa
+
+    from .stages.discovery import bucketed_block_apply
+
+    _init_ray()
+    docs = io_mod.read_table(f"{args.sf_dir}/documents.parquet").materialize()
+    keep_map = dedup.fuzzy_dedup_keep(docs, tau=args.tau).materialize()
+    n_total = keep_map.count()
+    os.makedirs(args.out_dir, exist_ok=True)
+    keep_map.write_parquet(f"{args.out_dir}/dedup_map")
+
+    # survivor semi-join: tagged union + one bucketed merge on doc_id
+    # (the engine's J1 formulation — no extra aggregator-actor pool
+    # competing with the dedup stages on small clusters)
+    doc_schema = docs.schema().base_schema
+    doc_cols = list(doc_schema.names)
+
+    def tag_docs(b: pa.Table) -> pa.Table:
+        return b.append_column("keep", pa.nulls(b.num_rows, pa.bool_()))
+
+    def tag_keep(b: pa.Table) -> pa.Table:
+        cols = {}
+        for f in doc_schema:
+            cols[f.name] = (b["doc_id"].cast(f.type) if f.name == "doc_id"
+                            else pa.nulls(b.num_rows, f.type))
+        cols["keep"] = b["keep"].cast(pa.bool_())
+        return pa.table(cols)
+
+    def semi(g):
+        keep_ids = set(g.loc[g["keep"].notna() & g["keep"].astype(bool),
+                             "doc_id"])
+        rows = g.loc[g["keep"].isna() & g["doc_id"].isin(keep_ids), doc_cols]
+        return rows if len(rows) else g.iloc[0:0][doc_cols]
+
+    both = docs.map_batches(tag_docs, batch_format="pyarrow").union(
+        keep_map.select_columns(["doc_id", "keep"]).map_batches(
+            tag_keep, batch_format="pyarrow"))
+    kept = bucketed_block_apply(both, "doc_id", semi)
+    kept.write_parquet(f"{args.out_dir}/documents_dedup")
+    n_kept = kept.count()
+    print(json.dumps({"docs": n_total, "kept": n_kept,
+                      "removed": n_total - n_kept, "tau": args.tau,
+                      "out": args.out_dir}))
+    return 0
+
+
 def cmd_profiles(args) -> int:
     """Registry listing (ProfileSelector.tsx surface): name, description,
     shape files, and the compiled shape/constraint counts per profile."""
@@ -177,6 +233,12 @@ def main(argv=None) -> int:
     m.add_argument("sf_dir")
     m.add_argument("out_dir")
     m.set_defaults(fn=cmd_materialize)
+
+    dd = sub.add_parser("dedup")
+    dd.add_argument("sf_dir")
+    dd.add_argument("out_dir")
+    dd.add_argument("--tau", type=float, default=0.95)
+    dd.set_defaults(fn=cmd_dedup)
 
     args = p.parse_args(argv)
     rc = args.fn(args)

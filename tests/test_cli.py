@@ -68,3 +68,23 @@ def test_cli_validate_json_output_is_bounded(capsys):
     assert len(out) == 4
     tail = json.loads(out[-1])
     assert tail == {"truncated": True, "shown": 2, "total": 5}
+
+
+def test_cli_dedup_writes_map_and_survivors(capsys, tmp_path):
+    out_dir = str(tmp_path / "dd")
+    rc = cli.cmd_dedup(_Args(sf_dir="/root/testdata/sf0.001",
+                             out_dir=out_dir, tau=0.95))
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["docs"] == 500
+    assert summary["kept"] + summary["removed"] == 500
+    import duckdb
+
+    kept = duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{out_dir}/documents_dedup/*.parquet')"
+    ).fetchone()[0]
+    assert kept == summary["kept"]
+    m = duckdb.sql(
+        f"SELECT count(*), sum(keep::INT) FROM "
+        f"read_parquet('{out_dir}/dedup_map/*.parquet')").fetchone()
+    assert m[0] == 500 and m[1] == summary["kept"]
