@@ -234,6 +234,21 @@ def q_zscore_outliers(sf_dir: str):
         R.t(sf_dir, "events", ["user_id", "event_id", "value"]))
 
 
+def q_weighted_sample(sf_dir: str):
+    """Deterministic A-ES weight-proportional sample (top-100 by
+    u^(1/w), u from md5(doc_id)); per-batch local top-k partials."""
+    from ..stages import windows
+    return windows.weighted_sample(_docs(sf_dir), k=100)
+
+
+def q_event_gaps(sf_dir: str):
+    """Per-user inter-event gaps — the lag() window primitive as one
+    user-keyed shuffle with bounded per-group sorts."""
+    from ..stages import windows
+    return windows.event_gaps(
+        R.t(sf_dir, "events", ["user_id", "event_id", "ts"]))
+
+
 def q_watermark_filter(sf_dir: str):
     """Allowed-lateness gate over the bounded events log (§2.9)."""
     from ..stages import windows
@@ -742,6 +757,8 @@ QUERIES = {
     "watermark_filter": q_watermark_filter,
     "funnel_counts": q_funnel_counts,
     "zscore_outliers": q_zscore_outliers,
+    "weighted_sample": q_weighted_sample,
+    "event_gaps": q_event_gaps,
     "stratified_sample": q_stratified_sample,
     "systematic_sample": q_systematic_sample,
     # RDF projection
@@ -1203,6 +1220,24 @@ WHERE n_tokens BETWEEN 20 AND 200
         SELECT (SELECT count(*) FROM v)::BIGINT AS step_1,
                (SELECT count(*) FROM c)::BIGINT AS step_2,
                (SELECT count(*) FROM p)::BIGINT AS step_3""",
+    # A-ES weighted sampling: identical md5-uniform + pow key expression
+    "weighted_sample": """
+        SELECT doc_id, n_chars, round(key, 6) AS key FROM (
+          SELECT doc_id, n_chars,
+                 pow((('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::UBIGINT)
+                       / 4294967296.0,
+                     1.0 / greatest(n_chars, 1e-12)) AS key
+          FROM documents)
+        ORDER BY key DESC, doc_id LIMIT 100""",
+    "event_gaps": """
+        WITH e AS (SELECT user_id, event_id,
+                          floor(epoch(ts))::BIGINT AS ts_s,
+                          lag(floor(epoch(ts))::BIGINT) OVER
+                            (PARTITION BY user_id ORDER BY ts, event_id)
+                              AS prev
+                   FROM events)
+        SELECT event_id, user_id, (ts_s - prev)::BIGINT AS gap_s
+        FROM e WHERE prev IS NOT NULL""",
     "zscore_outliers": """
         WITH s AS (SELECT user_id, avg(value) AS mu,
                           stddev_samp(value) AS sd, count(*) AS n

@@ -332,3 +332,58 @@ def zscore_outliers(events: rd.Dataset, threshold: float = 2.5,
 
     cols = events.select_columns([key, "event_id", "value"])
     return bucketed_groupby_apply(cols, key, per_user)
+
+
+def weighted_sample(ds: rd.Dataset, k: int = 100, id_col: str = "doc_id",
+                    weight_col: str = "n_chars") -> rd.Dataset:
+    """Deterministic weight-proportional sampling without replacement
+    (Efraimidis–Spirakis A-ES): each row draws u from the md5 of its id
+    (reproducible across runs/engines) and is ranked by u^(1/w); the
+    global top-k is the weighted sample. Per-batch keys are vectorized
+    and each batch emits only its LOCAL top-k (partial combiner), so
+    the final sort sees ≤ k rows per block — never the corpus."""
+    import hashlib
+
+    def keys(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_pylist()
+        u = np.array([int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
+                      for i in ids], dtype=np.float64) / 4294967296.0
+        w = np.asarray(b[weight_col].to_pandas(), dtype=np.float64)
+        w = np.maximum(w, 1e-12)
+        key = u ** (1.0 / w)
+        t = pa.table({id_col: b[id_col], weight_col: b[weight_col],
+                      "key": pa.array(key, pa.float64())})
+        if t.num_rows > k:  # local top-k partial
+            order = pc.sort_indices(
+                t, sort_keys=[("key", "descending"), (id_col, "ascending")])
+            t = t.take(order[:k])
+        return t
+
+    top = (ds.select_columns([id_col, weight_col])
+           .map_batches(keys, batch_format="pyarrow", zero_copy_batch=True)
+           .sort(["key", id_col], descending=[True, False]).limit(k))
+    return top.map_batches(
+        lambda b: pa.table({id_col: b[id_col],
+                            weight_col: b[weight_col],
+                            "key": pc.round(b["key"], 6)}),
+        batch_format="pyarrow")
+
+
+def event_gaps(events: rd.Dataset, key: str = "user_id") -> rd.Dataset:
+    """Per-user inter-event gaps (the lag-window primitive): for every
+    event after a user's first, the seconds since that user's previous
+    event (ties broken by event_id). One user-keyed shuffle; the
+    within-group sort is bounded by the user's own history."""
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        ts = g["ts"].astype("int64") // 1_000_000  # epoch seconds
+        gap = ts.diff()
+        out = g.iloc[1:]
+        return pd.DataFrame({
+            "event_id": out["event_id"].astype("int64"),
+            key: out[key].astype("int64"),
+            "gap_s": gap.iloc[1:].astype("int64")})
+
+    cols = events.select_columns([key, "event_id", "ts"])
+    return bucketed_groupby_apply(cols, key, per_user)
