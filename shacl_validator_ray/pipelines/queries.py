@@ -636,6 +636,26 @@ def q_kg_components(sf_dir: str):
     return connected_components(edges, driver_threshold=0)
 
 
+def q_kg_kcore(sf_dir: str):
+    """k-core decomposition (k=2) of the undirected resource graph by
+    distributed iterative peeling; every round shrinks the edge set and
+    checkpoints it. Oracle unrolls the same peeling rule."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..stages.graph import kcore
+    from . import kg
+
+    def to_edges(b: pa.Table) -> pa.Table:
+        f = b.filter(pc.equal(b["obj_kind"], "iri"))
+        return pa.table({"src": f["subj"].cast(pa.string()),
+                         "dst": f["obj_value"].cast(pa.string())})
+
+    edges = kg.triples_dataset(sf_dir).map_batches(
+        to_edges, batch_format="pyarrow", zero_copy_batch=True)
+    return kcore(edges, k=2)
+
+
 def q_kg_property_breakdown(sf_dir: str):
     """A6 (ReportViewer.tsx:166-190): per-path severity pivot, top 8."""
     from ..stages import report
@@ -688,6 +708,7 @@ QUERIES = {
     "kg_pagerank_dangling": q_kg_pagerank_dangling,
     "kg_triangles": q_kg_triangles,
     "kg_components": q_kg_components,
+    "kg_kcore": q_kg_kcore,
     "kg_media_features": q_kg_media_features,
     "kg_image_stats": q_kg_image_stats,
     # relational operator inventory (SURVEY.md §2)
@@ -1321,6 +1342,36 @@ WHERE n_tokens BETWEEN 20 AND 200
 }
 
 
+def _kcore_sql(mapped: str, k: int = 2, rounds: int = 8) -> str:
+    """Unrolled iterative-peeling SQL: each chained CTE round recomputes
+    degrees and keeps only edges whose BOTH endpoints have deg >= k —
+    identical rule to stages/graph.py::kcore. ``rounds`` must cover the
+    peeling depth at oracle scale (extra rounds are no-ops once the
+    edge set stabilizes, so over-provisioning is safe)."""
+    sql = "WITH " + mapped.strip() + """,
+e0 AS MATERIALIZED (SELECT DISTINCT least(subj, obj_value) AS a,
+              greatest(subj, obj_value) AS b
+       FROM mapped WHERE obj_kind = 'iri' AND subj != obj_value)"""
+    cur = "e0"
+    # MATERIALIZED: each round references its predecessor three times;
+    # inlined CTEs would grow the plan 3^rounds
+    for i in range(1, rounds + 1):
+        sql += f""",
+d{i} AS MATERIALIZED (SELECT node, count(*) AS deg FROM (
+           SELECT a AS node FROM {cur} UNION ALL SELECT b FROM {cur})
+         GROUP BY node),
+e{i} AS MATERIALIZED (SELECT e.a, e.b FROM {cur} e
+         JOIN d{i} da ON da.node = e.a JOIN d{i} db ON db.node = e.b
+         WHERE da.deg >= {k} AND db.deg >= {k})"""
+        cur = f"e{i}"
+    sql += f""",
+df AS (SELECT node, count(*) AS deg FROM (
+         SELECT a AS node FROM {cur} UNION ALL SELECT b FROM {cur})
+       GROUP BY node)
+SELECT node, deg::BIGINT AS deg FROM df"""
+    return sql
+
+
 def _pagerank_sql(mapped: str, iters: int = 5, d: float = 0.85,
                   redistribute: bool = False) -> str:
     """Unrolled power-iteration SQL: r0 = 1/N, then ``iters`` chained
@@ -1783,6 +1834,10 @@ FROM hits""",
         # CTEs over the mention-mapped resource graph
         "kg_pagerank": _pagerank_sql(mapped),
         "kg_pagerank_dangling": _pagerank_sql(mapped, redistribute=True),
+        # kg_kcore: unrolled peeling rounds (fixpoint well inside 8 at
+        # oracle scale; the engine iterates to fixpoint with the same
+        # rule and warns if max_rounds ever binds)
+        "kg_kcore": _kcore_sql(mapped, k=2, rounds=8),
         # each triangle {x<y<z} is exactly one wedge through its minimum
         # node x (pairs of canonical edges sharing a) closed by (y,z)
         "kg_triangles": "WITH " + mapped.strip() + """,

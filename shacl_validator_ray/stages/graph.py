@@ -370,3 +370,121 @@ def triangle_count(edges: rd.Dataset, src: str = "src", dst: str = "dst",
         n_buckets=n_buckets)
     total = parts.sum("n")
     return one_row(int(total or 0))
+
+
+def kcore(edges: rd.Dataset, k: int = 2, max_rounds: int = 8,
+          src: str = "src", dst: str = "dst",
+          n_buckets: int | None = None) -> rd.Dataset:
+    """k-core decomposition by iterative peeling: repeatedly drop every
+    edge with an endpoint of degree < k until fixpoint. Returns the
+    surviving (node, deg) table — every node in the k-core with its
+    degree inside the core.
+
+    Each round is three bucketed shuffles (degree count + one
+    degree-attach per endpoint — the same union-tag merge the triangle
+    counter uses) over a MONOTONICALLY SHRINKING edge set; fixpoint is
+    detected with the free row count of the per-round materialized
+    checkpoint (the per-iteration spill point at 10^12 edges).
+    ``max_rounds`` bounds cost on adversarially deep peeling chains; a
+    loud RuntimeWarning fires if the loop exhausts rounds before
+    fixpoint (matching the path-closure convention in stages/shacl.py).
+    """
+    import warnings
+
+    from ..sources import io as io_mod
+
+    if n_buckets is None:
+        n_buckets = max(8, io_mod.shuffle_buckets() // 4)
+    kb = n_buckets
+
+    def canon(b: pa.Table) -> pa.Table:
+        a = b[src].cast(pa.string())
+        d = b[dst].cast(pa.string())
+        lo = pc.min_element_wise(a, d)
+        hi = pc.max_element_wise(a, d)
+        t = pa.table({"a": lo, "b": hi})
+        return t.filter(pc.not_equal(t["a"], t["b"]))
+
+    def dedup_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(["a", "b"])
+
+    e = _coalesce(bucketed_block_apply(
+        edges.map_batches(canon, batch_format="pyarrow",
+                          zero_copy_batch=True),
+        "a", dedup_bucket, n_buckets=n_buckets), kb).materialize()
+
+    def endpoints(b: pa.Table) -> pa.Table:
+        return pa.table({"node": pa.concat_arrays(
+            [b["a"].cast(pa.string()).combine_chunks(),
+             b["b"].cast(pa.string()).combine_chunks()])})
+
+    def count_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("node", sort=False).size().rename("deg") \
+            .reset_index()
+
+    def degrees(e_ds: rd.Dataset) -> rd.Dataset:
+        return _coalesce(bucketed_block_apply(
+            e_ds.map_batches(endpoints, batch_format="pyarrow",
+                             zero_copy_batch=True),
+            "node", count_bucket, n_buckets=n_buckets), kb).materialize()
+
+    def attach(e_ds: rd.Dataset, deg: rd.Dataset, cols: list[str],
+               key_col: str, out_col: str) -> rd.Dataset:
+        tagged_e = e_ds.map_batches(
+            lambda b: pa.table({
+                "node": b[key_col].cast(pa.string()),
+                **{c: b[c].cast(pa.string()) for c in cols},
+                "deg": pa.nulls(b.num_rows, pa.int64())}),
+            batch_format="pyarrow")
+        tagged_d = deg.map_batches(
+            lambda b: pa.table({
+                "node": b["node"].cast(pa.string()),
+                **{c: pa.nulls(b.num_rows, pa.string()).fill_null("")
+                   for c in cols},
+                "deg": b["deg"].cast(pa.int64())}),
+            batch_format="pyarrow")
+
+        def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
+            es = g.loc[g["deg"].isna()].drop(columns=["deg"])
+            ds_ = g.loc[~g["deg"].isna(), ["node", "deg"]]
+            m = es.merge(ds_, on="node")
+            return m.drop(columns=["node"]).rename(columns={"deg": out_col})
+
+        return _coalesce(bucketed_block_apply(
+            _coalesce(tagged_e.union(tagged_d), kb), "node", merge_bucket,
+            n_buckets=n_buckets), kb)
+
+    n_edges = e.count()
+    deg = degrees(e)
+    converged = n_edges == 0
+    for _ in range(max_rounds):
+        if converged:
+            break
+        e2 = attach(e, deg, ["a", "b"], "a", "deg_a")
+        e2 = attach(e2, deg, ["a", "b", "deg_a"], "b", "deg_b")
+
+        def keep(b: pa.Table) -> pa.Table:
+            m = pc.and_(
+                pc.greater_equal(b["deg_a"].cast(pa.int64()), k),
+                pc.greater_equal(b["deg_b"].cast(pa.int64()), k))
+            f = b.filter(m)
+            return pa.table({"a": f["a"].cast(pa.string()),
+                             "b": f["b"].cast(pa.string())})
+
+        e = _coalesce(e2.map_batches(keep, batch_format="pyarrow"),
+                      kb).materialize()
+        n2 = e.count()
+        if n2 == n_edges or n2 == 0:
+            converged = True
+        n_edges = n2
+        deg = degrees(e)
+    if not converged:
+        warnings.warn(
+            f"kcore: edge set still shrinking after {max_rounds} peeling "
+            f"rounds — result is an over-approximation of the {k}-core; "
+            f"raise max_rounds", RuntimeWarning, stacklevel=2)
+
+    return deg.map_batches(
+        lambda b: pa.table({"node": b["node"].cast(pa.string()),
+                            "deg": b["deg"].cast(pa.int64())}),
+        batch_format="pyarrow")

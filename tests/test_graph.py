@@ -104,3 +104,22 @@ def test_triangle_count_empty_and_triangle_free():
     star = rd.from_arrow(pa.table({"src": ["c", "c", "c"],
                                    "dst": ["a", "b", "d"]}))
     assert triangle_count(star).to_pandas()["n_triangles"].tolist() == [0]
+
+
+def test_kcore_peels_cascading_chains():
+    """A path a-b-c-d hanging off a triangle peels away entirely at k=2
+    (each removal exposes the next — needs multiple rounds); the
+    triangle survives as the 2-core with all degrees 2."""
+    from shacl_validator_ray.stages.graph import kcore
+
+    edges = [("t1", "t2"), ("t2", "t3"), ("t1", "t3"),  # triangle
+             ("t3", "p1"), ("p1", "p2"), ("p2", "p3")]  # chain
+    ds = rd.from_arrow(pa.table({
+        "src": pa.array([a for a, _ in edges], pa.string()),
+        "dst": pa.array([b for _, b in edges], pa.string())}))
+    out = kcore(ds, k=2).to_pandas().sort_values("node")
+    assert out["node"].tolist() == ["t1", "t2", "t3"]
+    assert out["deg"].tolist() == [2, 2, 2]
+
+    # k=3: nothing survives
+    assert kcore(ds, k=3).count() == 0
