@@ -728,6 +728,8 @@ QUERIES = {
     "anti_join_native": R.anti_join_native,
     "left_join_native": R.left_join_native,
     "full_outer_native": R.full_outer_native,
+    "star_join_revenue": R.star_join_revenue,
+    "pivot_counts": R.pivot_counts,
     "cardinality_bounds": R.cardinality_bounds,
     "union_distinct": R.union_distinct,
     "top_orders": R.top_orders,
@@ -908,6 +910,23 @@ ORACLE_SQL = {
         LEFT JOIN (SELECT o_custkey, count(*) AS n_orders
                    FROM orders GROUP BY o_custkey) o
           ON c.c_custkey = o.o_custkey""",
+    "star_join_revenue": """
+        SELECT c.c_mktsegment,
+               round(sum(l.l_extendedprice * (1 - l.l_discount)), 2)
+                   AS revenue,
+               count(*) AS n
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_mktsegment""",
+    "pivot_counts": """
+        SELECT source,
+               count(*) FILTER (WHERE lang = 'en') AS n_en,
+               count(*) FILTER (WHERE lang = 'es') AS n_es,
+               count(*) FILTER (WHERE lang = 'de') AS n_de,
+               count(*) FILTER (WHERE lang = 'fr') AS n_fr,
+               count(*) FILTER (WHERE lang = 'zh') AS n_zh
+        FROM documents GROUP BY source""",
     "full_outer_native": """
         SELECT coalesce(c.nationkey, s.nationkey) AS nationkey,
                coalesce(c.n_cust, 0)::BIGINT AS n_cust,

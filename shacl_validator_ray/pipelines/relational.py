@@ -631,3 +631,75 @@ def full_outer_native(sf_dir: str):
             "n_supp": b["n_supp"].cast(pa.int64()).fill_null(0)})
 
     return joined.map_batches(finish, batch_format="pyarrow")
+
+
+# --- TPC-H Q3-shaped star join: fact table chained through two
+#     dimension joins, aggregated per segment ---
+def star_join_revenue(sf_dir: str):
+    """Revenue per market segment: lineitem ⋈ orders ⋈ customer.
+    The fact table streams once; orders→custkey is a native shuffle
+    join (both sides large), the customer segment lookup is a
+    broadcast dict (dimension-sized) applied map-side — the classic
+    star-join plan: shuffle only between the two large tables."""
+    seg_tbl = _small(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    seg_ref = ray.put(dict(zip(seg_tbl["c_custkey"].to_pylist(),
+                               seg_tbl["c_mktsegment"].to_pylist())))
+
+    li = t(sf_dir, "lineitem",
+           ["l_orderkey", "l_extendedprice", "l_discount"]).map_batches(
+        lambda b: pa.table({
+            "o_orderkey": b["l_orderkey"].cast(pa.int64()),
+            "rev": pc.multiply(b["l_extendedprice"],
+                               pc.subtract(pa.scalar(1.0), b["l_discount"]))}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    orders = t(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    joined = li.join(orders, "inner", 8, on=("o_orderkey",))
+
+    def add_segment(b: pa.Table) -> pa.Table:
+        seg = ray.get(seg_ref)
+        segs = [seg.get(c, "") for c in b["o_custkey"].to_pylist()]
+        return pa.table({"c_mktsegment": pa.array(segs, pa.string()),
+                         "rev": b["rev"].cast(pa.float64())})
+
+    out = (joined.map_batches(add_segment, batch_format="pyarrow")
+           .groupby("c_mktsegment")
+           .aggregate(Sum("rev", alias_name="revenue"),
+                      Count(alias_name="n")))
+    return out.map_batches(
+        lambda b: b.set_column(b.column_names.index("revenue"), "revenue",
+                               pc.round(b["revenue"], 2)),
+        batch_format="pyarrow")
+
+
+# --- conditional-aggregate pivot: per source, one count column per
+#     language (FILTER-aggregate family) ---
+def pivot_counts(sf_dir: str, langs: tuple = ("en", "es", "de", "fr", "zh")):
+    """Docs per source pivoted to fixed per-language columns in ONE
+    scan: the per-batch partial is a (source × langs) count table
+    (vectorized boolean masks), merged by a source-keyed groupby —
+    column count is schema-fixed, so the pivot never widens with data."""
+
+    def partials(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        src_arr = np.asarray(b["source"].to_pandas(), dtype=object)
+        lang_arr = np.asarray(b["lang"].to_pandas(), dtype=object)
+        uniq, inv = np.unique(src_arr, return_inverse=True)
+        cols = {"source": pa.array(uniq, pa.string())}
+        for lg in langs:
+            m = (lang_arr == lg).astype(np.int64)
+            cols[f"n_{lg}"] = pa.array(
+                np.bincount(inv, weights=m, minlength=len(uniq))
+                .astype(np.int64))
+        return pa.table(cols)
+
+    aggs = [Sum(f"n_{lg}", alias_name=f"n_{lg}") for lg in langs]
+    out = (t(sf_dir, "documents", ["source", "lang"])
+           .map_batches(partials, batch_format="pyarrow",
+                        zero_copy_batch=True)
+           .groupby("source").aggregate(*aggs))
+    return out.map_batches(
+        lambda b: pa.table({"source": b["source"].cast(pa.string()),
+                            **{f"n_{lg}": b[f"n_{lg}"].cast(pa.int64())
+                               for lg in langs}}),
+        batch_format="pyarrow")
