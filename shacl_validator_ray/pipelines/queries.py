@@ -249,6 +249,14 @@ def q_event_gaps(sf_dir: str):
         R.t(sf_dir, "events", ["user_id", "event_id", "ts"]))
 
 
+def q_windowed_topk(sf_dir: str):
+    """Per-tumbling-window heavy users (top-3 by count, deterministic
+    tie-break) — windows composed with ranked top-k per group."""
+    from ..stages import windows
+    return windows.windowed_topk_users(
+        R.t(sf_dir, "events", ["ts", "user_id"]), size_s=86400, k=3)
+
+
 def q_watermark_filter(sf_dir: str):
     """Allowed-lateness gate over the bounded events log (§2.9)."""
     from ..stages import windows
@@ -782,6 +790,7 @@ QUERIES = {
     "zscore_outliers": q_zscore_outliers,
     "weighted_sample": q_weighted_sample,
     "event_gaps": q_event_gaps,
+    "windowed_topk": q_windowed_topk,
     "stratified_sample": q_stratified_sample,
     "systematic_sample": q_systematic_sample,
     # RDF projection
@@ -1269,6 +1278,16 @@ WHERE n_tokens BETWEEN 20 AND 200
                      1.0 / greatest(n_chars, 1e-12)) AS key
           FROM documents)
         ORDER BY key DESC, doc_id LIMIT 100""",
+    "windowed_topk": """
+        WITH c AS (SELECT (epoch_us(ts) // 86400000000) * 86400
+                            AS window_start,
+                          user_id, count(*) AS n
+                   FROM events GROUP BY 1, 2),
+        r AS (SELECT *, row_number() OVER (PARTITION BY window_start
+                  ORDER BY n DESC, user_id) AS rk FROM c)
+        SELECT window_start::BIGINT AS window_start, user_id,
+               n::BIGINT AS n
+        FROM r WHERE rk <= 3""",
     "event_gaps": """
         WITH e AS (SELECT user_id, event_id,
                           floor(epoch(ts))::BIGINT AS ts_s,

@@ -387,3 +387,34 @@ def event_gaps(events: rd.Dataset, key: str = "user_id") -> rd.Dataset:
 
     cols = events.select_columns([key, "event_id", "ts"])
     return bucketed_groupby_apply(cols, key, per_user)
+
+
+def windowed_topk_users(events: rd.Dataset, size_s: int = 86400,
+                        k: int = 3) -> rd.Dataset:
+    """Per tumbling window, the top-k users by event count (count desc,
+    user asc — deterministic under ties): the streaming heavy-hitters
+    report. Two shuffles: (window, user) count groupby, then a
+    window-keyed bucketed rank that sees only per-user counts (already
+    group-cardinality-sized), never raw events."""
+
+    def bucketize(b: pa.Table) -> pa.Table:
+        us = b["ts"].cast(pa.int64())
+        win = pc.multiply(pc.divide(us, size_s * US), size_s)
+        return pa.table({"window_start": win.cast(pa.int64()),
+                         "user_id": b["user_id"].cast(pa.int64())})
+
+    counts = (events.select_columns(["ts", "user_id"])
+              .map_batches(bucketize, batch_format="pyarrow",
+                           zero_copy_batch=True)
+              .groupby(["window_start", "user_id"])
+              .aggregate(Count(alias_name="n")))
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["n", "user_id"], ascending=[False, True])
+        out = g.head(k)
+        return pd.DataFrame({
+            "window_start": out["window_start"].astype("int64"),
+            "user_id": out["user_id"].astype("int64"),
+            "n": out["n"].astype("int64")})
+
+    return bucketed_groupby_apply(counts, "window_start", topk)
