@@ -539,6 +539,25 @@ def q_kg_bgp_union(sf_dir: str):
         ["severity", "focus_node", "value", "source_constraint_component"])
 
 
+def q_kg_bgp_optional(sf_dir: str):
+    """sh:sparql OPTIONAL analog: the PDF-distribution violation
+    annotated with the dataset's title when one exists (left-outer
+    bucketed merge; OPTIONAL never filters)."""
+    from ..functions import ns
+    from ..stages.bgp import BGPConstraint
+    from . import kg
+
+    cc = BGPConstraint(
+        patterns=[("$this", ns.DCAT + "distribution", "?d"),
+                  ("?d", ns.DCT + "format", "application/pdf")],
+        optional_pattern=("$this", ns.DCT + "title", "?t"),
+        component="http://example.org/constraints#NoPdfDistributionTitled",
+        message="dataset offers a PDF distribution")
+    return cc.violations(kg.triples_dataset(sf_dir)).select_columns(
+        ["severity", "focus_node", "path", "value",
+         "source_constraint_component"])
+
+
 def q_kg_bgp_not_exists(sf_dir: str):
     """sh:sparql FILTER NOT EXISTS analog: datasets that offer at least
     one distribution but NONE in text/csv — a distributed anti-join of
@@ -712,6 +731,7 @@ QUERIES = {
     "kg_bgp_constraint": q_kg_bgp_constraint,
     "kg_bgp_not_exists": q_kg_bgp_not_exists,
     "kg_bgp_union": q_kg_bgp_union,
+    "kg_bgp_optional": q_kg_bgp_optional,
     "kg_pagerank": q_kg_pagerank,
     "kg_pagerank_dangling": q_kg_pagerank_dangling,
     "kg_triangles": q_kg_triangles,
@@ -1868,6 +1888,23 @@ SELECT 'Violation' AS severity, subj AS focus_node, subj AS value,
        'http://example.org/constraints#NoPdfOrTurtle'
            AS source_constraint_component
 FROM hits""",
+        # kg_bgp_optional: OPTIONAL annotates, never filters — LEFT
+        # JOIN of the hit set with first-title lookups
+        "kg_bgp_optional": f"""
+WITH g AS (SELECT DISTINCT subj, pred, obj_value FROM {gt}),
+hits AS (SELECT DISTINCT a.subj FROM g a JOIN g b ON a.obj_value = b.subj
+         WHERE a.pred = '{dcat}distribution' AND b.pred = '{dct}format'
+           AND b.obj_value = 'application/pdf'),
+tt AS (SELECT subj, min(obj_value) AS t FROM g
+       WHERE pred = '{dct}title' GROUP BY subj)
+SELECT 'Violation' AS severity, h.subj AS focus_node,
+       CASE WHEN tt.t IS NOT NULL AND tt.t != '' THEN '{dct}title'
+            ELSE '' END AS path,
+       CASE WHEN tt.t IS NOT NULL AND tt.t != '' THEN tt.t
+            ELSE h.subj END AS value,
+       'http://example.org/constraints#NoPdfDistributionTitled'
+           AS source_constraint_component
+FROM hits h LEFT JOIN tt ON tt.subj = h.subj""",
         # kg_pagerank: the same 5 power iterations unrolled as chained
         # CTEs over the mention-mapped resource graph
         "kg_pagerank": _pagerank_sql(mapped),

@@ -72,12 +72,19 @@ class BGPConstraint:
         evaluated independently (same join machinery) and the distinct
         focus sets union through one groupby — alternatives never
         multiply each other's bindings.
+    optional_pattern : tuple[str, str, str], optional
+        SPARQL ``OPTIONAL`` analog for reporting: a single extra
+        pattern of the form ``($this, p, ?v)`` evaluated as a
+        LEFT-outer bucketed merge onto the focus set — matched focus
+        nodes carry ``?v`` (first value, ascending, deterministic) in
+        the violation's ``value`` column, unmatched ones keep the focus
+        IRI. Optional never filters, exactly like SPARQL.
     """
 
     def __init__(self, patterns, component: str, *, message: str = "",
                  severity: str = "Violation", shape_iri: str = "",
                  target=None, filter_fn=None, absent_patterns=None,
-                 union_patterns=None):
+                 union_patterns=None, optional_pattern=None):
         if not patterns:
             raise ValueError("BGPConstraint needs at least one pattern")
         for s, p, o in patterns:
@@ -107,6 +114,13 @@ class BGPConstraint:
                          for alt in union_patterns]
         else:
             self.alts = []
+        if optional_pattern is not None:
+            s_, p_, o_ = optional_pattern
+            if s_ != THIS or _is_var(p_) or not _is_var(o_):
+                raise ValueError(
+                    "optional_pattern must be ($this, <const-pred>, ?var)")
+        self.optional_pattern = (tuple(optional_pattern)
+                                 if optional_pattern is not None else None)
         self.patterns = [tuple(p) for p in patterns]
         self.component = component
         self.message = message or f"BGP constraint {component} matched"
@@ -265,23 +279,72 @@ class BGPConstraint:
 
             focus = bucketed_block_apply(both, "focus", anti)
 
+        opt_path = ""
+        if self.optional_pattern is not None:
+            # OPTIONAL: left-outer bucketed merge of the focus set with
+            # the optional pattern's (focus, value) candidates — never
+            # filters, only annotates
+            import pandas as pd
+
+            from .discovery import bucketed_block_apply
+
+            _, opt_path, _ = self.optional_pattern
+            cand = self._candidates(triples, self.optional_pattern)
+            ovar = [c for c in cand.schema().names if c != THIS][0]
+
+            def tag_f(b: pa.Table) -> pa.Table:
+                return pa.table({
+                    "focus": b["focus"].cast(pa.string()),
+                    "v": pa.nulls(b.num_rows, pa.string()),
+                    "_side": pa.array(["f"] * b.num_rows, pa.string())})
+
+            def tag_o(b: pa.Table) -> pa.Table:
+                return pa.table({
+                    "focus": b[THIS].cast(pa.string()),
+                    "v": b[ovar].cast(pa.string()),
+                    "_side": pa.array(["o"] * b.num_rows, pa.string())})
+
+            both = focus.map_batches(tag_f, batch_format="pyarrow").union(
+                cand.map_batches(tag_o, batch_format="pyarrow"))
+
+            def left_merge(g: pd.DataFrame) -> pd.DataFrame:
+                fs = g.loc[g["_side"] == "f", ["focus"]]
+                ov = (g.loc[g["_side"] == "o", ["focus", "v"]]
+                      .sort_values(["focus", "v"])
+                      .groupby("focus", sort=False).first().reset_index())
+                m = fs.merge(ov, on="focus", how="left")
+                m["opt"] = m["v"].fillna("")
+                return m[["focus", "opt"]]
+
+            focus = bucketed_block_apply(both, "focus", left_merge)
+        else:
+            focus = focus.map_batches(
+                lambda b: pa.table({
+                    "focus": b["focus"].cast(pa.string()),
+                    "opt": pa.nulls(b.num_rows, pa.string()).fill_null("")}),
+                batch_format="pyarrow")
+
         fsets = (_focus_sets(members or {}, (self.target,))
                  if self.target is not None else None)
         ref = ray.put((fsets, self.severity, self.component, self.message,
-                       self.shape_iri))
+                       self.shape_iri, opt_path))
 
         def to_viol(b: pa.Table) -> pa.Table:
             import numpy as np
 
-            fsets_, sev, comp, msg, shape = ray.get(ref)
+            fsets_, sev, comp, msg, shape, path_ = ray.get(ref)
             vals = np.asarray(b["focus"].to_pandas(), dtype=object)
+            opts = np.asarray(b["opt"].to_pandas(), dtype=object)
             if fsets_ is not None:
-                vals = vals[_members_mask(fsets_, vals)]
+                m = _members_mask(fsets_, vals)
+                vals, opts = vals[m], opts[m]
             return _violation_rows([
-                {"severity": sev, "focus_node": v, "path": "", "value": v,
+                {"severity": sev, "focus_node": v,
+                 "path": path_ if o else "",
+                 "value": (o or v),
                  "message": [{"text": msg, "lang": "en"}],
                  "source_constraint_component": comp,
                  "source_shape": shape, "foaf_page": ""}
-                for v in vals])
+                for v, o in zip(vals, opts)])
 
         return focus.map_batches(to_viol, batch_format="pyarrow")
