@@ -164,6 +164,14 @@ def q_fuzzy_dedup_keep(sf_dir: str):
     return dedup.fuzzy_dedup_keep(_docs(sf_dir), tau=0.95)
 
 
+def q_curate_full(sf_dir: str):
+    """End-to-end curation flagship: quality gate → cluster fuzzy dedup
+    → decontamination (incl. dropping the eval split) → sequence
+    packing. One bucketed merge applies every gate."""
+    from . import curation
+    return curation.curate_full(_docs(sf_dir))
+
+
 def q_curation(sf_dir: str):
     from . import curation
     return curation.curate(_docs(sf_dir))
@@ -793,6 +801,7 @@ QUERIES = {
     "embedding_dups_ivf": q_embedding_dups_ivf,
     "fuzzy_dedup_keep": q_fuzzy_dedup_keep,
     "curation": q_curation,
+    "curate_full": q_curate_full,
     # similarity search
     "label_centroids": q_label_centroids,
     "knn_bruteforce": q_knn_bruteforce,
@@ -1039,6 +1048,42 @@ ORACLE_SQL = {
                    list_slice(list(doc_id ORDER BY doc_id), 1, 10),
                    ',') AS postings
         FROM tc GROUP BY term""",
+    # the composed curation flagship: every gate is the SQL analog of
+    # its distributed stage, chained exactly as the Ray pipeline chains
+    "curate_full": r"""
+WITH RECURSIVE t AS (SELECT doc_id, lang, text,
+        list_distinct(string_split(text, ' ')) AS ws,
+        length(regexp_extract_all(text, '\S+'))::BIGINT AS n_tokens
+      FROM documents),
+p AS (SELECT a.doc_id AS d1, b.doc_id AS d2
+      FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.ws, b.ws))::DOUBLE
+              / len(list_distinct(list_concat(a.ws, b.ws))) >= 0.95),
+e AS (SELECT d1 AS a, d2 AS b FROM p UNION SELECT d2, d1 FROM p),
+reach(n, m) AS (SELECT a, b FROM e
+                UNION
+                SELECT r.n, e2.b FROM reach r JOIN e e2 ON r.m = e2.a),
+rep AS (SELECT n AS doc_id, least(n, min(m)) AS rep_id FROM reach GROUP BY n),
+tokd AS (SELECT doc_id, string_split(text, ' ') AS wl FROM documents),
+grams AS (SELECT doc_id, array_to_string(wl[i:i+7], ' ') AS g
+          FROM tokd CROSS JOIN range(1, 2000) q(i) WHERE i + 7 <= len(wl)
+          GROUP BY doc_id, g),
+ev AS (SELECT DISTINCT g FROM grams WHERE doc_id % 10 = 0),
+contam AS (SELECT DISTINCT gr.doc_id FROM grams gr JOIN ev ON gr.g = ev.g
+           WHERE gr.doc_id % 10 != 0),
+final AS (SELECT t.doc_id, t.n_tokens
+          FROM t LEFT JOIN rep ON rep.doc_id = t.doc_id
+          WHERE t.n_tokens BETWEEN 20 AND 200
+            AND coalesce(rep.rep_id, t.doc_id) = t.doc_id
+            AND t.doc_id % 10 != 0
+            AND t.doc_id NOT IN (SELECT doc_id FROM contam)),
+c AS (SELECT doc_id, n_tokens,
+        (sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+         - n_tokens)::BIGINT AS token_offset
+      FROM final)
+SELECT doc_id, n_tokens, token_offset,
+       (token_offset // 2048)::BIGINT AS pack_id
+FROM c""",
     # same token/n-gram expressions as the Python Counter-based metrics
     "repetition_scores": r"""
         WITH q AS (SELECT doc_id,
