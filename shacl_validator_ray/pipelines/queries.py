@@ -766,6 +766,8 @@ QUERIES = {
     "full_outer_native": R.full_outer_native,
     "star_join_revenue": R.star_join_revenue,
     "pivot_counts": R.pivot_counts,
+    "customers_above_avg": R.customers_above_avg,
+    "value_histogram": R.value_histogram,
     "cardinality_bounds": R.cardinality_bounds,
     "union_distinct": R.union_distinct,
     "top_orders": R.top_orders,
@@ -948,6 +950,12 @@ ORACLE_SQL = {
         LEFT JOIN (SELECT o_custkey, count(*) AS n_orders
                    FROM orders GROUP BY o_custkey) o
           ON c.c_custkey = o.o_custkey""",
+    "customers_above_avg": """
+        SELECT c_custkey, round(c_acctbal, 2) AS c_acctbal FROM customer
+        WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)""",
+    "value_histogram": """
+        SELECT floor(l_quantity / 5.0) * 5.0 AS bucket, count(*) AS n
+        FROM lineitem GROUP BY 1""",
     "star_join_revenue": """
         SELECT c.c_mktsegment,
                round(sum(l.l_extendedprice * (1 - l.l_discount)), 2)

@@ -703,3 +703,48 @@ def pivot_counts(sf_dir: str, langs: tuple = ("en", "es", "de", "fr", "zh")):
                             **{f"n_{lg}": b[f"n_{lg}"].cast(pa.int64())
                                for lg in langs}}),
         batch_format="pyarrow")
+
+
+# --- scalar-subquery filter: one streaming aggregate broadcast into a
+#     vectorized filter ---
+def customers_above_avg(sf_dir: str):
+    """Customers whose balance exceeds the global average — the scalar
+    subquery plan: ONE streaming aggregate produces a single float, the
+    filter applies it map-side; no shuffle at all."""
+    ds = t(sf_dir, "customer", ["c_custkey", "c_acctbal"]).materialize()
+    from ray.data.aggregate import Mean
+
+    avg = ds.aggregate(Mean("c_acctbal", alias_name="m"))["m"]
+
+    def keep(b: pa.Table) -> pa.Table:
+        return b.filter(pc.greater(b["c_acctbal"], avg))
+
+    return ds.map_batches(keep, batch_format="pyarrow",
+                          zero_copy_batch=True).map_batches(
+        lambda b: pa.table({"c_custkey": b["c_custkey"].cast(pa.int64()),
+                            "c_acctbal": pc.round(b["c_acctbal"], 2)}),
+        batch_format="pyarrow")
+
+
+# --- fixed-width histogram: mergeable per-batch bincounts ---
+def value_histogram(sf_dir: str, width: float = 5.0):
+    """Histogram of lineitem quantity in fixed buckets of ``width``:
+    per-batch vectorized bincount partials merged by one tiny groupby —
+    the same mergeable-partial shape the exact-quantile machinery uses,
+    exposed as a query."""
+    ds = t(sf_dir, "lineitem", ["l_quantity"])
+
+    def partials(b: pa.Table) -> pa.Table:
+        v = np.asarray(b["l_quantity"], dtype=np.float64)
+        idx = np.floor(v / width).astype(np.int64)
+        uniq, counts = np.unique(idx, return_counts=True)
+        return pa.table({"bucket": pa.array(uniq * width, pa.float64()),
+                         "n": pa.array(counts.astype(np.int64))})
+
+    return (ds.map_batches(partials, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby("bucket").aggregate(Sum("n", alias_name="n"))
+            .map_batches(
+                lambda b: pa.table({"bucket": b["bucket"].cast(pa.float64()),
+                                    "n": b["n"].cast(pa.int64())}),
+                batch_format="pyarrow"))
