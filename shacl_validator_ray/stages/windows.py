@@ -298,7 +298,7 @@ def funnel_counts(events: rd.Dataset,
         keep_steps, batch_format="pyarrow", zero_copy_batch=True)
     per = bucketed_groupby_apply(typed, key, per_user)
     agg = per.aggregate(*[Sum(f"step_{i + 1}", alias_name=f"step_{i + 1}")
-                          for i in range(len(steps))])
+                          for i in range(len(steps))]) or {}
     return rd.from_arrow(pa.table(
         {f"step_{i + 1}": pa.array([int(agg.get(f"step_{i + 1}") or 0)],
                                    pa.int64())
