@@ -691,6 +691,26 @@ def q_kg_kcore(sf_dir: str):
     return kcore(edges, k=2)
 
 
+def q_kg_communities(sf_dir: str):
+    """Community detection: 3 rounds of deterministic semi-synchronous
+    label propagation (most frequent neighbor label, ties → min) over
+    the undirected resource graph; oracle unrolls the same rule."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..stages.graph import label_propagation
+    from . import kg
+
+    def to_edges(b: pa.Table) -> pa.Table:
+        f = b.filter(pc.equal(b["obj_kind"], "iri"))
+        return pa.table({"src": f["subj"].cast(pa.string()),
+                         "dst": f["obj_value"].cast(pa.string())})
+
+    edges = kg.triples_dataset(sf_dir).map_batches(
+        to_edges, batch_format="pyarrow", zero_copy_batch=True)
+    return label_propagation(edges, rounds=3)
+
+
 def q_kg_property_breakdown(sf_dir: str):
     """A6 (ReportViewer.tsx:166-190): per-path severity pivot, top 8."""
     from ..stages import report
@@ -745,6 +765,7 @@ QUERIES = {
     "kg_triangles": q_kg_triangles,
     "kg_components": q_kg_components,
     "kg_kcore": q_kg_kcore,
+    "kg_communities": q_kg_communities,
     "kg_media_features": q_kg_media_features,
     "kg_image_stats": q_kg_image_stats,
     # relational operator inventory (SURVEY.md §2)
@@ -1483,6 +1504,33 @@ SELECT node, deg::BIGINT AS deg FROM df"""
     return sql
 
 
+def _lpa_sql(mapped: str, rounds: int = 3) -> str:
+    """Unrolled semi-synchronous label propagation: per round each node
+    adopts the most frequent neighbor label, ties → smallest label —
+    identical rule to stages/graph.py::label_propagation."""
+    sql = "WITH " + mapped.strip() + """,
+e0 AS MATERIALIZED (SELECT DISTINCT least(subj, obj_value) AS a,
+              greatest(subj, obj_value) AS b
+       FROM mapped WHERE obj_kind = 'iri' AND subj != obj_value),
+adj AS MATERIALIZED (SELECT a AS node, b AS nbr FROM e0
+                     UNION ALL SELECT b, a FROM e0),
+l0 AS MATERIALIZED (SELECT DISTINCT node, node AS label FROM adj)"""
+    cur = "l0"
+    for i in range(1, rounds + 1):
+        sql += f""",
+m{i} AS MATERIALIZED (SELECT ad.node, l.label, count(*) AS c
+        FROM adj ad JOIN {cur} l ON l.node = ad.nbr
+        GROUP BY ad.node, l.label),
+l{i} AS MATERIALIZED (SELECT node, label FROM (
+          SELECT *, row_number() OVER (PARTITION BY node
+                        ORDER BY c DESC, label) AS rn FROM m{i})
+        WHERE rn = 1)"""
+        cur = f"l{i}"
+    sql += f"""
+SELECT node, label FROM {cur}"""
+    return sql
+
+
 def _pagerank_sql(mapped: str, iters: int = 5, d: float = 0.85,
                   redistribute: bool = False) -> str:
     """Unrolled power-iteration SQL: r0 = 1/N, then ``iters`` chained
@@ -1966,6 +2014,8 @@ FROM hits h LEFT JOIN tt ON tt.subj = h.subj""",
         # oracle scale; the engine iterates to fixpoint with the same
         # rule and warns if max_rounds ever binds)
         "kg_kcore": _kcore_sql(mapped, k=2, rounds=8),
+        # kg_communities: 3 fixed LPA rounds, deterministic tie-break
+        "kg_communities": _lpa_sql(mapped, rounds=3),
         # each triangle {x<y<z} is exactly one wedge through its minimum
         # node x (pairs of canonical edges sharing a) closed by (y,z)
         "kg_triangles": "WITH " + mapped.strip() + """,

@@ -488,3 +488,103 @@ def kcore(edges: rd.Dataset, k: int = 2, max_rounds: int = 8,
         lambda b: pa.table({"node": b["node"].cast(pa.string()),
                             "deg": b["deg"].cast(pa.int64())}),
         batch_format="pyarrow")
+
+
+def label_propagation(edges: rd.Dataset, rounds: int = 3,
+                      src: str = "src", dst: str = "dst",
+                      n_buckets: int | None = None) -> rd.Dataset:
+    """Community detection by SEMI-SYNCHRONOUS label propagation with a
+    deterministic update rule: every round, each node adopts the most
+    frequent label among its neighbors (ties → smallest label). Fixed
+    ``rounds`` (the oracle unrolls the identical rule), initial label =
+    own id. Returns (node, label).
+
+    Scale shape per round: one bucketed merge keyed on the NEIGHBOR
+    (labels ride to adjacency rows) + one reduce keyed on the node
+    (vectorized pandas mode with the deterministic tie-break) — the
+    label vector is materialized per round as the iteration checkpoint,
+    exactly like the PageRank rank vector."""
+    from ..sources import io as io_mod
+
+    if n_buckets is None:
+        n_buckets = max(8, io_mod.shuffle_buckets() // 4)
+    kb = n_buckets
+
+    def canon(b: pa.Table) -> pa.Table:
+        a = b[src].cast(pa.string())
+        d = b[dst].cast(pa.string())
+        lo = pc.min_element_wise(a, d)
+        hi = pc.max_element_wise(a, d)
+        t = pa.table({"a": lo, "b": hi})
+        return t.filter(pc.not_equal(t["a"], t["b"]))
+
+    def dedup_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(["a", "b"])
+
+    e = _coalesce(bucketed_block_apply(
+        edges.map_batches(canon, batch_format="pyarrow",
+                          zero_copy_batch=True),
+        "a", dedup_bucket, n_buckets=n_buckets), kb).materialize()
+
+    # symmetric adjacency keyed by the NEIGHBOR (labels merge on nbr)
+    def to_adj(b: pa.Table) -> pa.Table:
+        a = b["a"].cast(pa.string()).combine_chunks()
+        d = b["b"].cast(pa.string()).combine_chunks()
+        return pa.table({"node": pa.concat_arrays([a, d]),
+                         "nbr": pa.concat_arrays([d, a])})
+
+    adj = _coalesce(e.map_batches(to_adj, batch_format="pyarrow"),
+                    kb).materialize()
+
+    def distinct_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(["node"])
+
+    labels = _coalesce(bucketed_block_apply(
+        adj.map_batches(lambda b: pa.table({"node": b["node"]}),
+                        batch_format="pyarrow", zero_copy_batch=True),
+        "node", distinct_bucket, n_buckets=n_buckets), kb).map_batches(
+        lambda b: pa.table({"node": b["node"],
+                            "label": b["node"]}),
+        batch_format="pyarrow").materialize()
+
+    for _ in range(rounds):
+        # labels ride to adjacency rows via a bucketed merge on nbr
+        tagged_a = adj.map_batches(
+            lambda b: pa.table({"nbr": b["nbr"].cast(pa.string()),
+                                "node": b["node"].cast(pa.string()),
+                                "label": pa.nulls(b.num_rows, pa.string())}),
+            batch_format="pyarrow")
+        tagged_l = labels.map_batches(
+            lambda b: pa.table({"nbr": b["node"].cast(pa.string()),
+                                "node": pa.nulls(b.num_rows, pa.string()),
+                                "label": b["label"].cast(pa.string())}),
+            batch_format="pyarrow")
+
+        def carry(g: pd.DataFrame) -> pd.DataFrame:
+            ad = g.loc[g["label"].isna(), ["nbr", "node"]]
+            lb = g.loc[~g["label"].isna(), ["nbr", "label"]]
+            m = ad.merge(lb, on="nbr")
+            return m[["node", "label"]] if len(m) else pd.DataFrame(
+                {"node": pd.Series(dtype=object),
+                 "label": pd.Series(dtype=object)})
+
+        msgs = bucketed_block_apply(
+            _coalesce(tagged_a.union(tagged_l), kb), "nbr", carry,
+            n_buckets=n_buckets)
+
+        def adopt(g: pd.DataFrame) -> pd.DataFrame:
+            c = (g.groupby(["node", "label"], sort=False).size()
+                 .rename("c").reset_index()
+                 .sort_values(["node", "c", "label"],
+                              ascending=[True, False, True]))
+            top = c.groupby("node", sort=False).first().reset_index()
+            return top[["node", "label"]]
+
+        labels = _coalesce(bucketed_block_apply(
+            _coalesce(msgs, kb), "node", adopt, n_buckets=n_buckets),
+            kb).materialize()
+
+    return labels.map_batches(
+        lambda b: pa.table({"node": b["node"].cast(pa.string()),
+                            "label": b["label"].cast(pa.string())}),
+        batch_format="pyarrow")

@@ -123,3 +123,24 @@ def test_kcore_peels_cascading_chains():
 
     # k=3: nothing survives
     assert kcore(ds, k=3).count() == 0
+
+
+def test_label_propagation_separates_cliques():
+    """Two 4-cliques joined by one bridge edge: after 3 deterministic
+    LPA rounds each clique converges to its own min label."""
+    from shacl_validator_ray.stages.graph import label_propagation
+
+    def clique(prefix, n):
+        names = [f"{prefix}{i}" for i in range(n)]
+        return [(names[i], names[j]) for i in range(n)
+                for j in range(i + 1, n)]
+
+    edges = clique("a", 4) + clique("b", 4) + [("a0", "b0")]
+    ds = rd.from_arrow(pa.table({
+        "src": pa.array([x for x, _ in edges], pa.string()),
+        "dst": pa.array([y for _, y in edges], pa.string())}))
+    out = label_propagation(ds, rounds=3).to_pandas()
+    lab = dict(zip(out["node"], out["label"]))
+    assert len({lab[f"a{i}"] for i in range(1, 4)}) == 1
+    assert len({lab[f"b{i}"] for i in range(1, 4)}) == 1
+    assert lab["a1"] != lab["b1"]
