@@ -186,6 +186,13 @@ def q_label_centroids(sf_dir: str):
     return similarity.label_centroids(_emb(sf_dir))
 
 
+def q_centroid_confusion(sf_dir: str):
+    """Nearest-centroid classification confusion counts: distributed
+    centroid partials → broadcast → vectorized assign → tiny groupby."""
+    from ..stages import similarity
+    return similarity.centroid_confusion(_emb(sf_dir))
+
+
 def q_knn_bruteforce(sf_dir: str):
     from ..stages import similarity
     return similarity.knn_bruteforce(_emb(sf_dir), query_ids=[0, 1, 2], k=5)
@@ -827,6 +834,7 @@ QUERIES = {
     "curate_full": q_curate_full,
     # similarity search
     "label_centroids": q_label_centroids,
+    "centroid_confusion": q_centroid_confusion,
     "knn_bruteforce": q_knn_bruteforce,
     "knn_lsh": q_knn_lsh,
     "knn_ivf": q_knn_ivf,
@@ -1064,6 +1072,29 @@ ORACLE_SQL = {
         SELECT label::BIGINT AS label, dim::BIGINT AS dim,
                round(avg(x), 6) AS c
         FROM e GROUP BY label, dim""",
+    # nearest-centroid assignment; argmax tie-break = smallest label on
+    # both sides (row_number label asc / numpy first-max over ascending
+    # label order)
+    "centroid_confusion": """
+        WITH cent AS (SELECT label AS clabel,
+                             list(avgv ORDER BY dim) AS cvec
+                      FROM (SELECT label, dim, avg(x) AS avgv FROM
+                              (SELECT label, unnest(embedding) AS x,
+                                      unnest(range(0, len(embedding)))
+                                        AS dim
+                               FROM embeddings)
+                            GROUP BY label, dim)
+                      GROUP BY label),
+        sims AS (SELECT e.vec_id, e.label, c.clabel,
+                        list_cosine_similarity(e.embedding, c.cvec) AS s
+                 FROM embeddings e CROSS JOIN cent c),
+        best AS (SELECT vec_id, label, clabel,
+                        row_number() OVER (PARTITION BY vec_id
+                            ORDER BY s DESC, clabel) AS rn
+                 FROM sims)
+        SELECT label::BIGINT AS label, clabel::BIGINT AS pred_label,
+               count(*) AS n
+        FROM best WHERE rn = 1 GROUP BY 1, 2""",
     "postings_index": r"""
         WITH toks AS (SELECT doc_id,
                              regexp_extract_all(coalesce(text, ''), '\S+')

@@ -269,3 +269,67 @@ def label_centroids(emb: rd.Dataset, id_col: str = "vec_id",
                                     b["n"].cast(pa.float64())), 6)})
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def centroid_confusion(emb: rd.Dataset, id_col: str = "vec_id",
+                       vec_col: str = "embedding",
+                       label_col: str = "label") -> rd.Dataset:
+    """Nearest-centroid classification eval: assign every vector to the
+    label centroid with the highest cosine similarity (ties → smallest
+    label) and report the (true label, predicted label, n) confusion
+    counts. Centroids come from the distributed partial-sum aggregate
+    (fixed labels × dims size), are collected once and broadcast; the
+    assignment is one vectorized matmul per batch; the confusion table
+    is one tiny groupby."""
+    from ray.data.aggregate import Count, Sum
+
+    def partials(b: pa.Table) -> pa.Table:
+        labels = np.asarray(b[label_col].to_pandas(), dtype=np.int64)
+        m = np.stack(b[vec_col].to_pandas().to_numpy()).astype(np.float64)
+        uniq, inv = np.unique(labels, return_inverse=True)
+        sums = np.zeros((len(uniq), m.shape[1]), dtype=np.float64)
+        np.add.at(sums, inv, m)
+        counts = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        n_lab, dim = sums.shape
+        return pa.table({
+            label_col: pa.array(np.repeat(uniq, dim), pa.int64()),
+            "dim": pa.array(np.tile(np.arange(dim, dtype=np.int64), n_lab)),
+            "s": pa.array(sums.ravel(), pa.float64()),
+            "n": pa.array(np.repeat(counts, dim), pa.int64())})
+
+    agg = (emb.map_batches(partials, batch_format="pyarrow",
+                           zero_copy_batch=True)
+           .groupby([label_col, "dim"])
+           .aggregate(Sum("s", alias_name="s"), Sum("n", alias_name="n"))
+           .to_pandas())  # fixed size: labels × dims
+    agg = agg.sort_values([label_col, "dim"])
+    labels_sorted = sorted(agg[label_col].unique())
+    cent = np.stack([
+        (agg.loc[agg[label_col] == lb, "s"].to_numpy()
+         / agg.loc[agg[label_col] == lb, "n"].to_numpy())
+        for lb in labels_sorted])
+    cent_n = cent / np.linalg.norm(cent, axis=1, keepdims=True)
+    ref = ray.put((np.asarray(labels_sorted, dtype=np.int64), cent_n))
+
+    def assign(b: pa.Table) -> pa.Table:
+        lbls, cn = ray.get(ref)
+        m = np.stack(b[vec_col].to_pandas().to_numpy()).astype(np.float64)
+        mn = _norm_rows(m)
+        sims = mn @ cn.T
+        # argmax with min-label tie-break: labels_sorted is ascending,
+        # np.argmax returns the FIRST maximal index
+        pred = lbls[np.argmax(sims, axis=1)]
+        return pa.table({
+            "label": pa.array(np.asarray(b[label_col].to_pandas(),
+                                         dtype=np.int64), pa.int64()),
+            "pred_label": pa.array(pred, pa.int64())})
+
+    out = (emb.map_batches(assign, batch_format="pyarrow",
+                           zero_copy_batch=True)
+           .groupby(["label", "pred_label"])
+           .aggregate(Count(alias_name="n")))
+    return out.map_batches(
+        lambda b: pa.table({"label": b["label"].cast(pa.int64()),
+                            "pred_label": b["pred_label"].cast(pa.int64()),
+                            "n": b["n"].cast(pa.int64())}),
+        batch_format="pyarrow")
