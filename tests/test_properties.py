@@ -463,3 +463,24 @@ def test_fuzzy_dedup_keep_distributed_matches_driver():
     assert fast.loc[fast["doc_id"].isin([3, 4]), "rep_id"].tolist() == [3, 3]
     assert fast["keep"].tolist() == [True, False, False, True, False,
                                      True, True, True, True]
+
+
+def test_fuzzy_dedup_survivors_have_no_remaining_dups():
+    """Idempotence: re-running near-dup detection over the survivors of
+    fuzzy_dedup_keep finds NO pair at the same tau — one pass removes
+    every near-dup cluster, not just pairwise firsts."""
+    from shacl_validator_ray.stages import dedup
+
+    base = ["alpha beta gamma delta epsilon zeta eta theta"] * 4 \
+        + ["one two three four five six seven eight"] * 3 \
+        + ["unique doc %d with different words entirely %d" % (i, i * 7)
+           for i in range(5)]
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array(list(range(len(base))), pa.int64()),
+        "text": pa.array(base, pa.string()),
+        "lang": pa.array(["en"] * len(base), pa.string())}))
+    keep = dedup.fuzzy_dedup_keep(docs, tau=0.95).to_pandas()
+    kept_ids = set(keep.loc[keep["keep"], "doc_id"])
+    survivors = docs.filter(lambda r: r["doc_id"] in kept_ids).materialize()
+    again = dedup.minhash_lsh_dup_pairs(survivors, tau=0.95)
+    assert again.count() == 0
