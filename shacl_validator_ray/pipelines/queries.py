@@ -796,6 +796,7 @@ QUERIES = {
     "pivot_counts": R.pivot_counts,
     "customers_above_avg": R.customers_above_avg,
     "value_histogram": R.value_histogram,
+    "regression_per_type": R.regression_per_type,
     "cardinality_bounds": R.cardinality_bounds,
     "union_distinct": R.union_distinct,
     "top_orders": R.top_orders,
@@ -979,6 +980,24 @@ ORACLE_SQL = {
         LEFT JOIN (SELECT o_custkey, count(*) AS n_orders
                    FROM orders GROUP BY o_custkey) o
           ON c.c_custkey = o.o_custkey""",
+    # explicit sufficient-statistics arithmetic (NOT regr_slope) so the
+    # summation form matches the engine's mergeable partials; x centered
+    # at 2024-01-01 for conditioning, intercept at that origin
+    "regression_per_type": """
+        WITH e AS (SELECT event_type,
+                          epoch_us(ts) / 1e6 - 1704067200.0 AS x,
+                          value AS y
+                   FROM events),
+        s AS (SELECT event_type, count(*)::DOUBLE AS n, sum(x) AS sx,
+                     sum(y) AS sy, sum(x * y) AS sxy, sum(x * x) AS sxx
+              FROM e GROUP BY event_type)
+        SELECT event_type, n::BIGINT AS n,
+               round((sxy / n - (sx / n) * (sy / n))
+                     / (sxx / n - (sx / n) * (sx / n)), 6) AS slope,
+               round(sy / n - ((sxy / n - (sx / n) * (sy / n))
+                               / (sxx / n - (sx / n) * (sx / n)))
+                             * (sx / n), 6) AS intercept
+        FROM s""",
     "customers_above_avg": """
         SELECT c_custkey, round(c_acctbal, 2) AS c_acctbal FROM customer
         WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)""",

