@@ -43,6 +43,13 @@ def q_unigram_nll(sf_dir: str):
     return text.unigram_doc_nll(_docs(sf_dir))
 
 
+def q_bigram_nll(sf_dir: str):
+    """Interpolated bigram-LM document scoring (λ=0.7 bigram +
+    0.3 unigram backoff); counts attach bucket-locally."""
+    from ..stages import text
+    return text.bigram_doc_nll(_docs(sf_dir))
+
+
 def q_postings_index(sf_dir: str):
     """Inverted-index build: per-term df/cf + capped champion posting
     list, one term-bucketed shuffle."""
@@ -815,6 +822,7 @@ QUERIES = {
     "bm25_top_terms": q_bm25_top_terms,
     "quota_sample": q_quota_sample,
     "unigram_nll": q_unigram_nll,
+    "bigram_nll": q_bigram_nll,
     "postings_index": q_postings_index,
     "repetition_scores": q_repetition_scores,
     "quality_counts": q_quality_counts,
@@ -1114,6 +1122,33 @@ ORACLE_SQL = {
         SELECT label::BIGINT AS label, clabel::BIGINT AS pred_label,
                count(*) AS n
         FROM best WHERE rn = 1 GROUP BY 1, 2""",
+    # interpolated bigram LM: identical probability expression order;
+    # doc-initial tokens score by the unigram term alone
+    "bigram_nll": r"""
+        WITH toks AS (SELECT doc_id, string_split(text, ' ') AS wl
+                      FROM documents),
+        t AS (SELECT doc_id, wl[i] AS cur,
+                     CASE WHEN i = 1 THEN '' ELSE wl[i - 1] END AS prev,
+                     len(wl) AS dl
+              FROM toks CROSS JOIN range(1, 2000) q(i)
+              WHERE i <= len(wl)),
+        n AS (SELECT count(*)::DOUBLE AS nt FROM t),
+        uni AS (SELECT cur, count(*)::DOUBLE AS c FROM t GROUP BY cur),
+        big AS (SELECT prev, cur, count(*)::DOUBLE AS c FROM t
+                WHERE prev != '' GROUP BY prev, cur),
+        pref AS (SELECT prev, count(*)::DOUBLE AS c FROM t
+                 WHERE prev != '' GROUP BY prev),
+        terms AS (SELECT t.doc_id, t.dl,
+                    CASE WHEN t.prev = '' THEN ln(u.c / n.nt)
+                         ELSE ln(0.7 * b.c / p.c + 0.3 * u.c / n.nt)
+                    END AS lp
+                  FROM t JOIN uni u ON u.cur = t.cur
+                       LEFT JOIN big b ON b.prev = t.prev
+                                      AND b.cur = t.cur
+                       LEFT JOIN pref p ON p.prev = t.prev, n)
+        SELECT doc_id, max(dl)::BIGINT AS dl,
+               round(-sum(lp) / max(dl), 6) AS nll
+        FROM terms GROUP BY doc_id""",
     "postings_index": r"""
         WITH toks AS (SELECT doc_id,
                              regexp_extract_all(coalesce(text, ''), '\S+')

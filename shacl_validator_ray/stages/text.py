@@ -9,6 +9,7 @@ from __future__ import annotations
 import hashlib
 
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data as rd
 
 from ..functions import textfns as tf
@@ -474,4 +475,106 @@ def postings_index(docs: rd.Dataset, cap: int = 10, id_col: str = "doc_id",
         return agg.reset_index()
 
     return bucketed_block_apply(postings, "term", per_term_bucket,
+                                n_buckets=n_buckets)
+
+
+def bigram_doc_nll(docs: rd.Dataset, lam: float = 0.7,
+                   id_col: str = "doc_id", text_col: str = "text",
+                   n_buckets: int | None = None) -> rd.Dataset:
+    """Interpolated bigram-LM document scoring (the KenLM-style
+    perplexity axis, corpus-as-model): per document the average
+    negative log-likelihood with
+    ``p(w_i|w_{i-1}) = λ·c(w_{i-1}w_i)/c(w_{i-1}·) + (1-λ)·c(w_i)/N``
+    and the document-initial token scored by the unigram term alone.
+
+    Plan: one stateless (doc, prev, cur, dl) transition expansion, then
+    every count attaches BUCKET-LOCALLY (bucketing by the count's own
+    key co-locates all its occurrences — the tfidf df trick): unigram
+    counts on the cur-keyed shuffle, bigram + prefix counts together on
+    the prev-keyed shuffle, and a doc-keyed reduce sums the log terms.
+    Document-INITIAL rows skip the bigram stage entirely (they'd all
+    share the empty prev key — a doc-count hot bucket at corpus
+    scale); N is the only driver scalar."""
+    import numpy as np
+    import pandas as pd
+
+    from .discovery import bucketed_block_apply
+
+    def rows(bt: pa.Table) -> pa.Table:
+        ids, prevs, curs, dls = [], [], [], []
+        for i, t_ in zip(bt.column(id_col).to_pylist(),
+                         bt.column(text_col).to_pylist()):
+            toks = (t_ or "").split()
+            for j, w in enumerate(toks):
+                ids.append(i)
+                prevs.append(toks[j - 1] if j else "")
+                curs.append(w)
+                dls.append(len(toks))
+        return pa.table({id_col: pa.array(ids, bt.column(id_col).type),
+                         "prev": pa.array(prevs, pa.string()),
+                         "cur": pa.array(curs, pa.string()),
+                         "dl": pa.array(dls, pa.int64())})
+
+    tr = docs.map_batches(rows, batch_format="pyarrow",
+                          zero_copy_batch=True).materialize()
+    n_tokens = float(tr.count())
+    if n_tokens == 0:
+        return rd.from_arrow(pa.table({id_col: pa.array([], pa.int64()),
+                                       "dl": pa.array([], pa.int64()),
+                                       "nll": pa.array([], pa.float64())}))
+
+    # unigram count rides every row (first tokens need it too)
+    def uni_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.copy()
+        g["c_uni"] = g.groupby("cur")["cur"].transform("size")
+        return g
+
+    with_uni = bucketed_block_apply(tr, "cur", uni_bucket,
+                                    n_buckets=n_buckets)
+
+    firsts = with_uni.map_batches(
+        lambda b: b.filter(pc.equal(b["prev"], "")),
+        batch_format="pyarrow", zero_copy_batch=True)
+    trans = with_uni.map_batches(
+        lambda b: b.filter(pc.not_equal(b["prev"], "")),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+    # bigram AND prefix counts are both prev-co-located: one shuffle
+    def prev_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.copy()
+        g["c_prefix"] = g.groupby("prev")["prev"].transform("size")
+        g["c_big"] = g.groupby(["prev", "cur"])["cur"].transform("size")
+        return g
+
+    trans = bucketed_block_apply(trans, "prev", prev_bucket,
+                                 n_buckets=n_buckets)
+
+    def first_lp(b: pa.Table) -> pa.Table:
+        lp = np.log(np.asarray(b["c_uni"], dtype=np.float64) / n_tokens)
+        return pa.table({id_col: b[id_col], "dl": b["dl"],
+                         "lp": pa.array(lp, pa.float64())})
+
+    def trans_lp(b: pa.Table) -> pa.Table:
+        cu = np.asarray(b["c_uni"], dtype=np.float64)
+        cb = np.asarray(b["c_big"], dtype=np.float64)
+        cp = np.asarray(b["c_prefix"], dtype=np.float64)
+        lp = np.log(lam * cb / cp + (1.0 - lam) * cu / n_tokens)
+        return pa.table({id_col: b[id_col], "dl": b["dl"],
+                         "lp": pa.array(lp, pa.float64())})
+
+    terms = firsts.map_batches(first_lp, batch_format="pyarrow").union(
+        trans.map_batches(trans_lp, batch_format="pyarrow"))
+
+    def doc_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame({id_col: pd.Series(dtype="int64"),
+                                 "dl": pd.Series(dtype="int64"),
+                                 "nll": pd.Series(dtype="float64")})
+        a = g.groupby(id_col, sort=False).agg(
+            dl=("dl", "max"), s=("lp", "sum")).reset_index()
+        return pd.DataFrame({id_col: a[id_col],
+                             "dl": a["dl"].astype("int64"),
+                             "nll": np.round(-a["s"] / a["dl"], 6)})
+
+    return bucketed_block_apply(terms, id_col, doc_bucket,
                                 n_buckets=n_buckets)
