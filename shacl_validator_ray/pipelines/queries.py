@@ -725,6 +725,18 @@ def q_kg_communities(sf_dir: str):
     return label_propagation(edges, rounds=3)
 
 
+def q_kg_shared_themes(sf_dir: str):
+    """Set-similarity self-join: dataset pairs sharing ≥2 themes via
+    the inverted-index plan (value-keyed pair emission, pair-keyed
+    threshold count); hot values are capped with a warning."""
+    from ..functions import ns
+    from ..stages.graph import shared_attribute_pairs
+    from . import kg
+
+    return shared_attribute_pairs(kg.triples_dataset(sf_dir),
+                                  ns.DCAT + "theme", min_shared=2)
+
+
 def q_kg_property_breakdown(sf_dir: str):
     """A6 (ReportViewer.tsx:166-190): per-path severity pivot, top 8."""
     from ..stages import report
@@ -780,6 +792,7 @@ QUERIES = {
     "kg_components": q_kg_components,
     "kg_kcore": q_kg_kcore,
     "kg_communities": q_kg_communities,
+    "kg_shared_themes": q_kg_shared_themes,
     "kg_media_features": q_kg_media_features,
     "kg_image_stats": q_kg_image_stats,
     # relational operator inventory (SURVEY.md §2)
@@ -2101,6 +2114,14 @@ FROM hits h LEFT JOIN tt ON tt.subj = h.subj""",
         "kg_kcore": _kcore_sql(mapped, k=2, rounds=8),
         # kg_communities: 3 fixed LPA rounds, deterministic tie-break
         "kg_communities": _lpa_sql(mapped, rounds=3),
+        # kg_shared_themes: inverted-index set-similarity self-join
+        "kg_shared_themes": "WITH " + mapped.strip() + f""",
+sv AS (SELECT DISTINCT subj, obj_value AS val FROM mapped
+       WHERE pred = '{dcat}theme'),
+pr AS (SELECT a.subj AS a, b.subj AS b, count(*) AS n_shared
+       FROM sv a JOIN sv b ON a.val = b.val AND a.subj < b.subj
+       GROUP BY a.subj, b.subj)
+SELECT a, b, n_shared::BIGINT AS n_shared FROM pr WHERE n_shared >= 2""",
         # each triangle {x<y<z} is exactly one wedge through its minimum
         # node x (pairs of canonical edges sharing a) closed by (y,z)
         "kg_triangles": "WITH " + mapped.strip() + """,

@@ -19,6 +19,7 @@ hitter hub detection in stages/materialize.py).
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -587,4 +588,100 @@ def label_propagation(edges: rd.Dataset, rounds: int = 3,
     return labels.map_batches(
         lambda b: pa.table({"node": b["node"].cast(pa.string()),
                             "label": b["label"].cast(pa.string())}),
+        batch_format="pyarrow")
+
+
+def shared_attribute_pairs(triples: rd.Dataset, pred: str,
+                           min_shared: int = 2,
+                           hot_cap: int = 10_000,
+                           n_buckets: int | None = None) -> rd.Dataset:
+    """Set-similarity self-join: pairs of subjects sharing at least
+    ``min_shared`` values of ``pred`` (e.g. datasets sharing ≥2
+    themes). Classic inverted-index plan: one shuffle keyed on the
+    VALUE co-locates its subject list, per-value pairs are emitted
+    bucket-locally, and a (a, b) pair-keyed count keeps pairs reaching
+    the threshold.
+
+    Per-value pair emission is quadratic in that value's subject list —
+    the hot-attribute hazard. ``hot_cap`` bounds it: values held by
+    more than ``hot_cap`` subjects are skipped with a loud
+    RuntimeWarning (a value shared by everyone carries no similarity
+    signal anyway — the same reasoning as the hub handling in
+    stages/materialize.py)."""
+    import warnings
+
+    from ..sources import io as io_mod
+
+    if n_buckets is None:
+        n_buckets = max(8, io_mod.shuffle_buckets() // 4)
+    kb = n_buckets
+
+    def project(b: pa.Table) -> pa.Table:
+        f = b.filter(pc.equal(b["pred"], pred))
+        return pa.table({"subj": f["subj"].cast(pa.string()),
+                         "val": f["obj_value"].cast(pa.string())})
+
+    sv = _coalesce(triples.map_batches(project, batch_format="pyarrow",
+                                       zero_copy_batch=True),
+                   kb)
+
+    def dedup_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(["subj", "val"])
+
+    sv = _coalesce(bucketed_block_apply(sv, "val", dedup_bucket,
+                                        n_buckets=n_buckets),
+                   kb).materialize()
+
+    def pairs_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for val, sub in g.groupby("val", sort=False):
+            subs = sub["subj"].sort_values().to_numpy()
+            if len(subs) > hot_cap:  # excluded; counted driver-side below
+                continue
+            if len(subs) < 2:
+                continue
+            iu, ju = np.triu_indices(len(subs), k=1)
+            outs.append(pd.DataFrame({"a": subs[iu], "b": subs[ju]}))
+        if not outs:
+            return pd.DataFrame({"a": pd.Series(dtype=object),
+                                 "b": pd.Series(dtype=object)})
+        return pd.concat(outs, ignore_index=True)
+
+    # driver-side hot check on the small per-value count table
+    vc = sv.groupby("val").count().filter(
+        lambda r: r["count()"] > hot_cap).count()
+    if vc:
+        warnings.warn(
+            f"shared_attribute_pairs: {vc} value(s) of {pred} exceed "
+            f"hot_cap={hot_cap} subjects and are excluded from pair "
+            f"generation", RuntimeWarning, stacklevel=2)
+
+    pairs = bucketed_block_apply(sv, "val", pairs_bucket,
+                                 n_buckets=n_buckets)
+
+    def count_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        c = (g.groupby(["a", "b"], sort=False).size().rename("n_shared")
+             .reset_index())
+        return c[c["n_shared"] >= min_shared]
+
+    def pair_key(b: pa.Table) -> pa.Table:
+        if not b.num_rows:
+            return pa.table({"a": pa.array([], pa.string()),
+                             "b": pa.array([], pa.string()),
+                             "ab": pa.array([], pa.string())})
+        return b.append_column(
+            "ab", pc.binary_join_element_wise(
+                b["a"].cast(pa.string()), b["b"].cast(pa.string()), "|"))
+
+    out = bucketed_block_apply(
+        _coalesce(pairs.map_batches(pair_key, batch_format="pyarrow"), kb),
+        "ab", lambda g: count_bucket(g.drop(columns=["ab"])),
+        n_buckets=n_buckets)
+    return out.map_batches(
+        lambda b: pa.table({"a": b["a"].cast(pa.string()),
+                            "b": b["b"].cast(pa.string()),
+                            "n_shared": b["n_shared"].cast(pa.int64())})
+        if b.num_rows else pa.table({"a": pa.array([], pa.string()),
+                                     "b": pa.array([], pa.string()),
+                                     "n_shared": pa.array([], pa.int64())}),
         batch_format="pyarrow")
