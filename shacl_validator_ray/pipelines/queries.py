@@ -271,6 +271,15 @@ def q_event_gaps(sf_dir: str):
         R.t(sf_dir, "events", ["user_id", "event_id", "ts"]))
 
 
+def q_decayed_user_stats(sf_dir: str):
+    """Recency-weighted per-user engagement: exponentially decayed
+    event count and value sum at the stream horizon (mergeable decayed
+    partials; one streaming max for the horizon)."""
+    from ..stages import windows
+    return windows.decayed_user_stats(
+        R.t(sf_dir, "events", ["user_id", "ts", "value"]))
+
+
 def q_windowed_topk(sf_dir: str):
     """Per-tumbling-window heavy users (top-3 by count, deterministic
     tie-break) — windows composed with ranked top-k per group."""
@@ -873,6 +882,7 @@ QUERIES = {
     "weighted_sample": q_weighted_sample,
     "event_gaps": q_event_gaps,
     "windowed_topk": q_windowed_topk,
+    "decayed_user_stats": q_decayed_user_stats,
     "stratified_sample": q_stratified_sample,
     "systematic_sample": q_systematic_sample,
     # RDF projection
@@ -1470,6 +1480,15 @@ WHERE n_tokens BETWEEN 20 AND 200
                      1.0 / greatest(n_chars, 1e-12)) AS key
           FROM documents)
         ORDER BY key DESC, doc_id LIMIT 100""",
+    "decayed_user_stats": """
+        WITH h AS (SELECT max(epoch_us(ts)) / 1e6 AS t FROM events)
+        SELECT user_id,
+               round(sum(pow(0.5, (h.t - epoch_us(ts) / 1e6)
+                                  / 604800.0)), 6) AS decayed_n,
+               round(sum(value * pow(0.5, (h.t - epoch_us(ts) / 1e6)
+                                          / 604800.0)), 6)
+                   AS decayed_value
+        FROM events, h GROUP BY user_id""",
     "windowed_topk": """
         WITH c AS (SELECT (epoch_us(ts) // 86400000000) * 86400
                             AS window_start,

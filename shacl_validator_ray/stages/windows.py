@@ -418,3 +418,43 @@ def windowed_topk_users(events: rd.Dataset, size_s: int = 86400,
             "n": out["n"].astype("int64")})
 
     return bucketed_groupby_apply(counts, "window_start", topk)
+
+
+def decayed_user_stats(events: rd.Dataset, half_life_s: float = 604800.0,
+                       key: str = "user_id") -> rd.Dataset:
+    """Exponentially time-decayed per-user engagement at the stream
+    horizon (global max event time): decayed event count
+    ``Σ 0.5^((T-ts)/half_life)`` and decayed value sum — the standard
+    recency-weighted feature pair. One streaming max for T, then
+    vectorized per-batch partials merged by a user groupby; decayed
+    sums are mergeable, so no per-user history ever concentrates."""
+    from ray.data.aggregate import Max
+
+    hi = events.aggregate(Max("ts", alias_name="hi"))["hi"]
+    horizon_s = pa.scalar(hi).cast(pa.int64()).as_py() / US
+
+    def partials(b: pa.Table) -> pa.Table:
+        u = np.asarray(b[key].cast(pa.int64()))
+        ts = np.asarray(b["ts"].cast(pa.int64())) / US
+        v = np.asarray(b["value"], dtype=np.float64)
+        w = np.power(0.5, (horizon_s - ts) / half_life_s)
+        uniq, inv = np.unique(u, return_inverse=True)
+        return pa.table({
+            key: pa.array(uniq, pa.int64()),
+            "dc": pa.array(np.bincount(inv, weights=w,
+                                       minlength=len(uniq)), pa.float64()),
+            "dv": pa.array(np.bincount(inv, weights=w * v,
+                                       minlength=len(uniq)), pa.float64())})
+
+    agg = (events.select_columns([key, "ts", "value"])
+           .map_batches(partials, batch_format="pyarrow",
+                        zero_copy_batch=True)
+           .groupby(key).aggregate(Sum("dc", alias_name="dc"),
+                                   Sum("dv", alias_name="dv")))
+    return agg.map_batches(
+        lambda b: pa.table({key: b[key].cast(pa.int64()),
+                            "decayed_n": pc.round(b["dc"].cast(pa.float64()),
+                                                  6),
+                            "decayed_value": pc.round(
+                                b["dv"].cast(pa.float64()), 6)}),
+        batch_format="pyarrow")
