@@ -826,6 +826,7 @@ QUERIES = {
     "customers_above_avg": R.customers_above_avg,
     "value_histogram": R.value_histogram,
     "regression_per_type": R.regression_per_type,
+    "rank_quartiles": R.rank_quartiles,
     "cardinality_bounds": R.cardinality_bounds,
     "union_distinct": R.union_distinct,
     "top_orders": R.top_orders,
@@ -1029,6 +1030,11 @@ ORACLE_SQL = {
                                / (sxx / n - (sx / n) * (sx / n)))
                              * (sx / n), 6) AS intercept
         FROM s""",
+    "rank_quartiles": """
+        SELECT c_custkey,
+               row_number() OVER (ORDER BY c_acctbal, c_custkey) AS rnk,
+               ntile(4) OVER (ORDER BY c_acctbal, c_custkey) AS quartile
+        FROM customer""",
     "customers_above_avg": """
         SELECT c_custkey, round(c_acctbal, 2) AS c_acctbal FROM customer
         WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)""",

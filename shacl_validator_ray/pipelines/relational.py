@@ -803,3 +803,58 @@ def regression_per_type(sf_dir: str):
             "intercept": pa.array(np.round(intercept, 6), pa.float64())})
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+# --- exact distributed global rank + ntile WITHOUT a global sort
+#     bottleneck: range-bucket prefix offsets (the sequence-pack
+#     two-phase scan generalized to an arbitrary sort key) ---
+def rank_quartiles(sf_dir: str, n_tiles: int = 4,
+                   n_range_buckets: int = 64):
+    """Every customer's exact global rank by (acctbal, custkey) and its
+    ntile(4) quartile. Phase 1: rows hash into VALUE-RANGE buckets
+    (uniform width from one min/max aggregate) and a bucket-count table
+    (n_range_buckets rows) is prefix-summed on the driver. Phase 2: a
+    range-bucket-keyed shuffle sorts WITHIN each bucket (bounded work)
+    and adds the broadcast base offset — no all-to-all global sort, and
+    ranks are exact because range buckets are order-contiguous.
+    ntile uses the SQL rule: the first ``n % tiles`` tiles get the
+    extra row."""
+    ds = t(sf_dir, "customer", ["c_custkey", "c_acctbal"]).materialize()
+    from ray.data.aggregate import Max as AMax, Min as AMin
+
+    stats = ds.aggregate(AMin("c_acctbal", alias_name="lo"),
+                         AMax("c_acctbal", alias_name="hi"),
+                         Count(alias_name="n"))
+    lo, hi, n = float(stats["lo"]), float(stats["hi"]), int(stats["n"])
+    width = (hi - lo) / n_range_buckets or 1.0
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        v = np.asarray(b["c_acctbal"], dtype=np.float64)
+        rb = np.clip(((v - lo) / width).astype(np.int64),
+                     0, n_range_buckets - 1)
+        return b.append_column("_rb", pa.array(rb, pa.int64()))
+
+    bucketed = ds.map_batches(add_bucket, batch_format="pyarrow",
+                              zero_copy_batch=True).materialize()
+    counts = bucketed.groupby("_rb").aggregate(
+        Count(alias_name="c")).to_pandas().sort_values("_rb")
+    base = dict(zip(counts["_rb"],
+                    counts["c"].cumsum() - counts["c"]))
+    base_ref = ray.put((base, n, n_tiles))
+
+    def rank_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        base_, n_, tiles = ray.get(base_ref)
+        g = g.sort_values(["c_acctbal", "c_custkey"])
+        rk = np.arange(len(g), dtype=np.int64) + 1 + base_[g["_rb"].iloc[0]]
+        # SQL ntile: first (n % tiles) tiles have ceil(n/tiles) rows
+        big, rem = n_ // tiles + 1, n_ % tiles
+        cut = big * rem
+        tile = np.where(rk <= cut, (rk - 1) // big + 1,
+                        (rk - 1 - cut) // (n_ // tiles) + rem + 1)
+        return pd.DataFrame({"c_custkey": g["c_custkey"].astype("int64"),
+                             "rnk": rk,
+                             "quartile": tile.astype("int64")})
+
+    from ..stages.discovery import bucketed_groupby_apply
+
+    return bucketed_groupby_apply(bucketed, "_rb", rank_bucket)
