@@ -849,8 +849,9 @@ def rank_quartiles(sf_dir: str, n_tiles: int = 4,
         # SQL ntile: first (n % tiles) tiles have ceil(n/tiles) rows
         big, rem = n_ // tiles + 1, n_ % tiles
         cut = big * rem
+        small = max(n_ // tiles, 1)  # guard n < tiles (else branch unused)
         tile = np.where(rk <= cut, (rk - 1) // big + 1,
-                        (rk - 1 - cut) // (n_ // tiles) + rem + 1)
+                        (rk - 1 - cut) // small + rem + 1)
         return pd.DataFrame({"c_custkey": g["c_custkey"].astype("int64"),
                              "rnk": rk,
                              "quartile": tile.astype("int64")})

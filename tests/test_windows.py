@@ -209,3 +209,21 @@ def test_zscore_outliers_small_groups_and_constants_excluded():
     out = windows.zscore_outliers(ev, threshold=2.0).to_pandas()
     assert out["event_id"].tolist() == [5]
     assert (out["z"] > 2.0).all()
+
+
+def test_rank_quartiles_ntile_rule_small_n(tmp_path):
+    """ntile over n=6, tiles=4: SQL gives sizes 2,2,1,1 — the first
+    n % tiles tiles take the extra row."""
+    import duckdb
+    import pyarrow.parquet as pq
+
+    t = pa.table({"c_custkey": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+                  "c_acctbal": pa.array([10.0, 20.0, 30.0, 40.0,
+                                         50.0, 60.0], pa.float64())})
+    pq.write_table(t, str(tmp_path / "customer.parquet"))
+    from shacl_validator_ray.pipelines import relational
+
+    out = relational.rank_quartiles(str(tmp_path)).to_pandas() \
+        .sort_values("rnk").reset_index(drop=True)
+    assert out["rnk"].tolist() == [1, 2, 3, 4, 5, 6]
+    assert out["quartile"].tolist() == [1, 1, 2, 2, 3, 4]
