@@ -814,9 +814,13 @@ def rank_quartiles(sf_dir: str, n_tiles: int = 4,
     ntile(4) quartile. Phase 1: rows hash into VALUE-RANGE buckets
     (uniform width from one min/max aggregate) and a bucket-count table
     (n_range_buckets rows) is prefix-summed on the driver. Phase 2: a
-    range-bucket-keyed shuffle sorts WITHIN each bucket (bounded work)
-    and adds the broadcast base offset — no all-to-all global sort, and
-    ranks are exact because range buckets are order-contiguous.
+    range-bucket-keyed shuffle sorts WITHIN each bucket and adds the
+    broadcast base offset — no all-to-all global sort, and ranks are
+    exact because range buckets are order-contiguous. Per-bucket work
+    is bounded only under roughly uniform values; a skewed distribution
+    concentrates one bucket (the production refinement is
+    quantile-derived cutoffs from the engine's exact-quantile
+    histogram, same phase structure).
     ntile uses the SQL rule: the first ``n % tiles`` tiles get the
     extra row."""
     ds = t(sf_dir, "customer", ["c_custkey", "c_acctbal"]).materialize()
