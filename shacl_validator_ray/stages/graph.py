@@ -36,6 +36,30 @@ def _coalesce(ds: rd.Dataset, k: int) -> rd.Dataset:
                           zero_copy_batch=True).repartition(k)
 
 
+def _canonical_edges(edges: rd.Dataset, src: str, dst: str,
+                     n_buckets: int, k: int) -> rd.Dataset:
+    """Distinct undirected simple edges as canonical (a < b) pairs,
+    self-loops dropped — the shared front door of triangle_count,
+    kcore and label_propagation. One bucketed dedup shuffle; the
+    result is materialized (every caller reads it more than once)."""
+
+    def canon(b: pa.Table) -> pa.Table:
+        a = b[src].cast(pa.string())
+        d = b[dst].cast(pa.string())
+        lo = pc.min_element_wise(a, d)
+        hi = pc.max_element_wise(a, d)
+        t = pa.table({"a": lo, "b": hi})
+        return t.filter(pc.not_equal(t["a"], t["b"]))
+
+    def dedup_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(["a", "b"])
+
+    return _coalesce(bucketed_block_apply(
+        edges.map_batches(canon, batch_format="pyarrow",
+                          zero_copy_batch=True),
+        "a", dedup_bucket, n_buckets=n_buckets), k).materialize()
+
+
 def pagerank(edges: rd.Dataset, iters: int = 5, damping: float = 0.85,
              src: str = "src", dst: str = "dst",
              n_buckets: int | None = None,
@@ -248,22 +272,7 @@ def triangle_count(edges: rd.Dataset, src: str = "src", dst: str = "dst",
     one_row = lambda n: rd.from_arrow(  # noqa: E731
         pa.table({"n_triangles": pa.array([n], pa.int64())}))
 
-    # canonical distinct undirected pairs (a < b), self-loops dropped
-    def canon(b: pa.Table) -> pa.Table:
-        a = b[src].cast(pa.string())
-        d = b[dst].cast(pa.string())
-        lo = pc.min_element_wise(a, d)
-        hi = pc.max_element_wise(a, d)
-        t = pa.table({"a": lo, "b": hi})
-        return t.filter(pc.not_equal(t["a"], t["b"]))
-
-    def dedup_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        return g.drop_duplicates(["a", "b"])
-
-    e = _coalesce(bucketed_block_apply(
-        edges.map_batches(canon, batch_format="pyarrow",
-                          zero_copy_batch=True),
-        "a", dedup_bucket, n_buckets=n_buckets), k).materialize()
+    e = _canonical_edges(edges, src, dst, n_buckets, k)
     if e.count() == 0:
         return one_row(0)
 
@@ -398,21 +407,7 @@ def kcore(edges: rd.Dataset, k: int = 2, max_rounds: int = 8,
         n_buckets = max(8, io_mod.shuffle_buckets() // 4)
     kb = n_buckets
 
-    def canon(b: pa.Table) -> pa.Table:
-        a = b[src].cast(pa.string())
-        d = b[dst].cast(pa.string())
-        lo = pc.min_element_wise(a, d)
-        hi = pc.max_element_wise(a, d)
-        t = pa.table({"a": lo, "b": hi})
-        return t.filter(pc.not_equal(t["a"], t["b"]))
-
-    def dedup_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        return g.drop_duplicates(["a", "b"])
-
-    e = _coalesce(bucketed_block_apply(
-        edges.map_batches(canon, batch_format="pyarrow",
-                          zero_copy_batch=True),
-        "a", dedup_bucket, n_buckets=n_buckets), kb).materialize()
+    e = _canonical_edges(edges, src, dst, n_buckets, kb)
 
     def endpoints(b: pa.Table) -> pa.Table:
         return pa.table({"node": pa.concat_arrays(
@@ -511,21 +506,7 @@ def label_propagation(edges: rd.Dataset, rounds: int = 3,
         n_buckets = max(8, io_mod.shuffle_buckets() // 4)
     kb = n_buckets
 
-    def canon(b: pa.Table) -> pa.Table:
-        a = b[src].cast(pa.string())
-        d = b[dst].cast(pa.string())
-        lo = pc.min_element_wise(a, d)
-        hi = pc.max_element_wise(a, d)
-        t = pa.table({"a": lo, "b": hi})
-        return t.filter(pc.not_equal(t["a"], t["b"]))
-
-    def dedup_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        return g.drop_duplicates(["a", "b"])
-
-    e = _coalesce(bucketed_block_apply(
-        edges.map_batches(canon, batch_format="pyarrow",
-                          zero_copy_batch=True),
-        "a", dedup_bucket, n_buckets=n_buckets), kb).materialize()
+    e = _canonical_edges(edges, src, dst, n_buckets, kb)
 
     # symmetric adjacency keyed by the NEIGHBOR (labels merge on nbr)
     def to_adj(b: pa.Table) -> pa.Table:

@@ -229,17 +229,11 @@ def knn_lsh(emb: rd.Dataset, query_ids: list[int], k: int = 5, n_planes: int = 6
     return partials.groupby("qid").map_groups(final_topk, batch_format="pandas")
 
 
-def label_centroids(emb: rd.Dataset, id_col: str = "vec_id",
-                    vec_col: str = "embedding",
-                    label_col: str = "label") -> rd.Dataset:
-    """Per-label embedding centroid as (label, dim, c) rows — the
-    textbook partial-aggregation shape: each batch reduces to one
-    (labels × dims) sum matrix + counts (vectorized ``np.add.at``),
-    those fixed-size partials shuffle through a (label, dim) groupby,
-    and the final map divides. The full embedding table never
-    concentrates anywhere; partial size is independent of batch row
-    count."""
-    from ray.data.aggregate import Sum
+
+def _label_dim_partials(label_col: str, vec_col: str):
+    """Batch fn: per-batch (labels × dims) sum matrix + counts as rows —
+    the fixed-size centroid partial shared by label_centroids and
+    centroid_confusion."""
 
     def partials(b: pa.Table) -> pa.Table:
         labels = np.asarray(b[label_col].to_pandas(), dtype=np.int64)
@@ -254,6 +248,23 @@ def label_centroids(emb: rd.Dataset, id_col: str = "vec_id",
             "dim": pa.array(np.tile(np.arange(dim, dtype=np.int64), n_lab)),
             "s": pa.array(sums.ravel(), pa.float64()),
             "n": pa.array(np.repeat(counts, dim), pa.int64())})
+
+    return partials
+
+
+def label_centroids(emb: rd.Dataset, id_col: str = "vec_id",
+                    vec_col: str = "embedding",
+                    label_col: str = "label") -> rd.Dataset:
+    """Per-label embedding centroid as (label, dim, c) rows — the
+    textbook partial-aggregation shape: each batch reduces to one
+    (labels × dims) sum matrix + counts (vectorized ``np.add.at``),
+    those fixed-size partials shuffle through a (label, dim) groupby,
+    and the final map divides. The full embedding table never
+    concentrates anywhere; partial size is independent of batch row
+    count."""
+    from ray.data.aggregate import Sum
+
+    partials = _label_dim_partials(label_col, vec_col)
 
     agg = (emb.map_batches(partials, batch_format="pyarrow",
                            zero_copy_batch=True)
@@ -283,19 +294,7 @@ def centroid_confusion(emb: rd.Dataset, id_col: str = "vec_id",
     is one tiny groupby."""
     from ray.data.aggregate import Count, Sum
 
-    def partials(b: pa.Table) -> pa.Table:
-        labels = np.asarray(b[label_col].to_pandas(), dtype=np.int64)
-        m = np.stack(b[vec_col].to_pandas().to_numpy()).astype(np.float64)
-        uniq, inv = np.unique(labels, return_inverse=True)
-        sums = np.zeros((len(uniq), m.shape[1]), dtype=np.float64)
-        np.add.at(sums, inv, m)
-        counts = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
-        n_lab, dim = sums.shape
-        return pa.table({
-            label_col: pa.array(np.repeat(uniq, dim), pa.int64()),
-            "dim": pa.array(np.tile(np.arange(dim, dtype=np.int64), n_lab)),
-            "s": pa.array(sums.ravel(), pa.float64()),
-            "n": pa.array(np.repeat(counts, dim), pa.int64())})
+    partials = _label_dim_partials(label_col, vec_col)
 
     agg = (emb.map_batches(partials, batch_format="pyarrow",
                            zero_copy_batch=True)
