@@ -382,6 +382,30 @@ def q_kg_validate(sf_dir: str):
         ["severity", "focus_node", "path", "value", "source_constraint_component"])
 
 
+def q_kg_incremental(sf_dir: str):
+    """Incremental revalidation end-to-end: full run as prior, then
+    every even-numbered document is 'changed' and revalidated in
+    isolation, splicing into the prior. The result must reproduce the
+    full-run oracle exactly — the doc-local-focus contract in action."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from . import kg
+
+    prior = kg.violations_dataset(sf_dir).materialize()
+    docs = kg.documents_dataset(sf_dir)
+    changed = []
+    for b in docs.select_columns(["doc_id"]).iter_batches(
+            batch_format="pyarrow"):
+        for d in b["doc_id"].to_pylist():
+            if int(str(d).rsplit("-", 1)[-1]) % 2 == 0:
+                changed.append(d)
+    out = kg.incremental_validate(sf_dir, changed, prior)
+    return out.select_columns(
+        ["severity", "focus_node", "path", "value",
+         "source_constraint_component"])
+
+
 def q_kg_validate_paths(sf_dir: str):
     """Round-2 breadth: property paths (sequence/alternative), target
     selectors, and length/in/hasValue components over the same corpus."""
@@ -776,6 +800,7 @@ QUERIES = {
     "kg_canonical": q_kg_canonical,
     "kg_conformant": q_kg_conformant,
     "kg_validate": q_kg_validate,
+    "kg_incremental": q_kg_incremental,
     "kg_validate_paths": q_kg_validate_paths,
     "kg_validate_logic": q_kg_validate_logic,
     "kg_validate_node": q_kg_validate_node,
@@ -1978,6 +2003,10 @@ FROM viol GROUP BY 1 ORDER BY value DESC, name LIMIT 8""",
 SELECT DISTINCT subj, pred, obj_kind, obj_value, obj_datatype, obj_lang FROM gt
 WHERE subj NOT IN (SELECT focus_node FROM viol WHERE severity = 'Violation')""",
         "kg_validate": base +
+            "SELECT severity, focus_node, path, value, source_constraint_component "
+            "FROM viol",
+        # incremental splice must reproduce the full run exactly
+        "kg_incremental": base +
             "SELECT severity, focus_node, path, value, source_constraint_component "
             "FROM viol",
         "kg_severity_counts": base +

@@ -274,3 +274,40 @@ def test_materialize_parallel_writes(tmp_path):
     assert m["complete"] and m["groups_done"] == [0, 1, 2, 3]
     back = materialize.read_graph(out)
     assert back.count() == shacl.dedup_triples(triples).count()
+
+
+def test_incremental_validate_replaces_stale_results():
+    """The incremental splice must both REVALIDATE the changed docs and
+    DROP the prior run's stale results for them: poison the prior with
+    a bogus violation on a changed doc's focus node and check the
+    splice removes it while reproducing the full run exactly."""
+    import pyarrow as pa
+
+    from shacl_validator_ray.pipelines import kg
+
+    sf = "/root/testdata/sf0.001"
+    full = kg.violations_dataset(sf).materialize()
+    docs = kg.documents_dataset(sf)
+    ids = [d for b in docs.select_columns(["doc_id"]).iter_batches(
+               batch_format="pyarrow") for d in b["doc_id"].to_pylist()]
+    changed = [d for d in ids if int(str(d).rsplit("-", 1)[-1]) % 3 == 0]
+
+    # a focus node belonging to a changed doc (subjects embed doc number)
+    tr = kg.triples_dataset(sf)
+    subj = next(s for b in tr.iter_batches(batch_format="pyarrow")
+                for s, d in zip(b["subj"].to_pylist(),
+                                b["doc_id"].to_pylist()) if d in set(changed))
+    bogus = full.map_batches(
+        lambda b: b.slice(0, 1).set_column(
+            b.schema.get_field_index("focus_node"), "focus_node",
+            pa.array([subj] * min(1, b.num_rows), pa.string())),
+        batch_format="pyarrow").limit(1)
+    prior = full.union(bogus).materialize()
+
+    out = kg.incremental_validate(sf, changed, prior).to_pandas()
+    exp = full.to_pandas()
+    cols = ["severity", "focus_node", "path", "value",
+            "source_constraint_component"]
+    left = out[cols].sort_values(cols).reset_index(drop=True)
+    right = exp[cols].sort_values(cols).reset_index(drop=True)
+    assert left.equals(right)
