@@ -271,6 +271,22 @@ def q_event_gaps(sf_dir: str):
         R.t(sf_dir, "events", ["user_id", "event_id", "ts"]))
 
 
+def q_windowed_distinct(sf_dir: str):
+    """Exact distinct users per tumbling day window (local pair dedup
+    shrinks the shuffle; HLL is the at-scale swap)."""
+    from ..stages import windows
+    return windows.windowed_distinct_users(
+        R.t(sf_dir, "events", ["ts", "user_id"]))
+
+
+def q_props_stats(sf_dir: str):
+    """Semi-structured JSON extraction: regex-pull k from props,
+    aggregate per decile."""
+    from ..stages import windows
+    return windows.props_stats(
+        R.t(sf_dir, "events", ["props", "value"]))
+
+
 def q_decayed_user_stats(sf_dir: str):
     """Recency-weighted per-user engagement: exponentially decayed
     event count and value sum at the stream horizon (mergeable decayed
@@ -909,6 +925,8 @@ QUERIES = {
     "event_gaps": q_event_gaps,
     "windowed_topk": q_windowed_topk,
     "decayed_user_stats": q_decayed_user_stats,
+    "windowed_distinct": q_windowed_distinct,
+    "props_stats": q_props_stats,
     "stratified_sample": q_stratified_sample,
     "systematic_sample": q_systematic_sample,
     # RDF projection
@@ -1511,6 +1529,15 @@ WHERE n_tokens BETWEEN 20 AND 200
                      1.0 / greatest(n_chars, 1e-12)) AS key
           FROM documents)
         ORDER BY key DESC, doc_id LIMIT 100""",
+    "windowed_distinct": """
+        SELECT (epoch_us(ts) // 86400000000) * 86400 AS window_start,
+               count(DISTINCT user_id) AS n_users
+        FROM events GROUP BY 1""",
+    "props_stats": r"""
+        SELECT (regexp_extract(props, '"k":\s*(\d+)', 1)::BIGINT // 10)
+                   AS k_decile,
+               count(*) AS n, round(avg(value), 6) AS avg_value
+        FROM events GROUP BY 1""",
     "decayed_user_stats": """
         WITH h AS (SELECT max(epoch_us(ts)) / 1e6 AS t FROM events)
         SELECT user_id,

@@ -458,3 +458,60 @@ def decayed_user_stats(events: rd.Dataset, half_life_s: float = 604800.0,
                             "decayed_value": pc.round(
                                 b["dv"].cast(pa.float64()), 6)}),
         batch_format="pyarrow")
+
+
+def windowed_distinct_users(events: rd.Dataset,
+                            size_s: int = 86400) -> rd.Dataset:
+    """Exact distinct users per tumbling window: per-batch local
+    (window, user) dedup shrinks the shuffle, one distinct groupby,
+    then a window-keyed count — the exact path whose 10^12-scale
+    approximate swap is the mergeable HLL in functions/sketch.py."""
+
+    def project(b: pa.Table) -> pa.Table:
+        us = b["ts"].cast(pa.int64())
+        win = pc.multiply(pc.divide(us, size_s * US), size_s)
+        t = pa.table({"window_start": win.cast(pa.int64()),
+                      "user_id": b["user_id"].cast(pa.int64())})
+        # local dedup: repeated (window, user) pairs never ship
+        return t.group_by(["window_start", "user_id"]).aggregate([])
+
+    return (events.select_columns(["ts", "user_id"])
+            .map_batches(project, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .groupby(["window_start", "user_id"])
+            .aggregate(Count(alias_name="_c"))
+            .groupby("window_start").aggregate(Count(alias_name="n_users"))
+            .map_batches(
+                lambda b: pa.table({
+                    "window_start": b["window_start"].cast(pa.int64()),
+                    "n_users": b["n_users"].cast(pa.int64())}),
+                batch_format="pyarrow"))
+
+
+def props_stats(events: rd.Dataset) -> rd.Dataset:
+    """Semi-structured extraction: pull the integer ``k`` out of the
+    JSON ``props`` column (vectorized regex — no per-row json.loads)
+    and aggregate count + mean value per k-decile. The extraction is a
+    stateless map; the aggregate is one tiny groupby."""
+
+    def extract_k(b: pa.Table) -> pa.Table:
+        ks = pc.extract_regex(b["props"], r'"k":\s*(?P<k>\d+)')
+        kv = pc.struct_field(ks, "k").cast(pa.int64())
+        return pa.table({"k_decile": pc.divide(kv, 10),
+                         "value": b["value"].cast(pa.float64())})
+
+    out = (events.select_columns(["props", "value"])
+           .map_batches(extract_k, batch_format="pyarrow",
+                        zero_copy_batch=True)
+           .groupby("k_decile")
+           .aggregate(Count(alias_name="n"), Sum("value", alias_name="sv")))
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "k_decile": b["k_decile"].cast(pa.int64()),
+            "n": b["n"].cast(pa.int64()),
+            "avg_value": pc.round(
+                pc.divide(b["sv"].cast(pa.float64()),
+                          b["n"].cast(pa.float64())), 6)})
+
+    return out.map_batches(finish, batch_format="pyarrow")
