@@ -868,6 +868,7 @@ QUERIES = {
     "value_histogram": R.value_histogram,
     "regression_per_type": R.regression_per_type,
     "rank_quartiles": R.rank_quartiles,
+    "q6_revenue": R.q6_revenue,
     "cardinality_bounds": R.cardinality_bounds,
     "union_distinct": R.union_distinct,
     "top_orders": R.top_orders,
@@ -1073,6 +1074,14 @@ ORACLE_SQL = {
                                / (sxx / n - (sx / n) * (sx / n)))
                              * (sx / n), 6) AS intercept
         FROM s""",
+    "q6_revenue": """
+        SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+               count(*) AS n
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24""",
     "rank_quartiles": """
         SELECT c_custkey,
                row_number() OVER (ORDER BY c_acctbal, c_custkey) AS rnk,

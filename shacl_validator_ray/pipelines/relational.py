@@ -863,3 +863,41 @@ def rank_quartiles(sf_dir: str, n_tiles: int = 4,
     from ..stages.discovery import bucketed_groupby_apply
 
     return bucketed_groupby_apply(bucketed, "_rb", rank_bucket)
+
+
+# --- TPC-H Q6 shape with REAL predicate pushdown at the parquet read ---
+def q6_revenue(sf_dir: str):
+    """Forecast-revenue aggregate (TPC-H Q6): one-year shipdate window,
+    discount band, quantity cap. The predicates travel INTO the read as
+    a pyarrow dataset filter, so row groups outside the window never
+    leave storage and the surviving rows arrive pre-filtered — the
+    "prune at the read" rule with rows, not just columns. The aggregate
+    is a single streaming sum."""
+    import datetime as _dt
+
+    import pyarrow.dataset as pds
+
+    lo = _dt.datetime(1996, 1, 1)
+    hi = _dt.datetime(1997, 1, 1)
+    flt = ((pds.field("l_shipdate") >= lo) & (pds.field("l_shipdate") < hi)
+           & (pds.field("l_discount") >= 0.05)
+           & (pds.field("l_discount") <= 0.07)
+           & (pds.field("l_quantity") < 24.0))
+    from ..sources import io as io_mod
+
+    ds = io_mod.read_table(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_extendedprice", "l_discount"], filter=flt)
+
+    def rev(b: pa.Table) -> pa.Table:
+        r = pc.sum(pc.multiply(b["l_extendedprice"], b["l_discount"]))
+        return pa.table({"r": pa.array([r.as_py() or 0.0], pa.float64()),
+                         "n": pa.array([b.num_rows], pa.int64())})
+
+    parts = ds.map_batches(rev, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    total = parts.sum("r") or 0.0
+    n = parts.sum("n") or 0
+    return rd.from_arrow(pa.table({
+        "revenue": pa.array([round(total, 2)], pa.float64()),
+        "n": pa.array([int(n)], pa.int64())}))
