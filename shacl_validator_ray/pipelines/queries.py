@@ -786,6 +786,38 @@ def q_kg_shared_themes(sf_dir: str):
                                   ns.DCAT + "theme", min_shared=2)
 
 
+def q_kg_hops(sf_dir: str):
+    """BFS hop distances from the catalog roots over the directed
+    catalog→dataset→distribution containment edges (3 relax rounds;
+    oracle unrolls the identical min-relaxation)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..functions import ns
+    from ..stages.graph import bfs_hops
+    from . import kg
+
+    preds = pa.array([ns.DCAT + "dataset", ns.DCAT + "distribution"])
+
+    def to_edges(b: pa.Table) -> pa.Table:
+        f = b.filter(pc.and_(pc.equal(b["obj_kind"], "iri"),
+                             pc.is_in(b["pred"], value_set=preds)))
+        return pa.table({"src": f["subj"].cast(pa.string()),
+                         "dst": f["obj_value"].cast(pa.string())})
+
+    def to_sources(b: pa.Table) -> pa.Table:
+        f = b.filter(pc.equal(b["pred"], ns.DCAT + "dataset"))
+        return pa.table({"node": pc.unique(f["subj"].cast(pa.string()))})
+
+    tr = kg.triples_dataset(sf_dir).materialize()
+    edges = tr.map_batches(to_edges, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    sources = tr.map_batches(to_sources, batch_format="pyarrow",
+                             zero_copy_batch=True).groupby("node").count() \
+        .select_columns(["node"])
+    return bfs_hops(edges, sources, rounds=3)
+
+
 def q_kg_property_breakdown(sf_dir: str):
     """A6 (ReportViewer.tsx:166-190): per-path severity pivot, top 8."""
     from ..stages import report
@@ -843,6 +875,7 @@ QUERIES = {
     "kg_kcore": q_kg_kcore,
     "kg_communities": q_kg_communities,
     "kg_shared_themes": q_kg_shared_themes,
+    "kg_hops": q_kg_hops,
     "kg_media_features": q_kg_media_features,
     "kg_image_stats": q_kg_image_stats,
     # relational operator inventory (SURVEY.md §2)
@@ -869,6 +902,7 @@ QUERIES = {
     "regression_per_type": R.regression_per_type,
     "rank_quartiles": R.rank_quartiles,
     "q6_revenue": R.q6_revenue,
+    "orders_by_month": R.orders_by_month,
     "cardinality_bounds": R.cardinality_bounds,
     "union_distinct": R.union_distinct,
     "top_orders": R.top_orders,
@@ -1074,6 +1108,11 @@ ORACLE_SQL = {
                                / (sxx / n - (sx / n) * (sx / n)))
                              * (sx / n), 6) AS intercept
         FROM s""",
+    "orders_by_month": """
+        SELECT (year(o_orderdate) * 100 + month(o_orderdate))::BIGINT
+                   AS month,
+               count(*) AS n, round(sum(o_totalprice), 2) AS total
+        FROM orders GROUP BY 1""",
     "q6_revenue": """
         SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
                count(*) AS n
@@ -2204,6 +2243,30 @@ FROM hits h LEFT JOIN tt ON tt.subj = h.subj""",
         "kg_kcore": _kcore_sql(mapped, k=2, rounds=8),
         # kg_communities: 3 fixed LPA rounds, deterministic tie-break
         "kg_communities": _lpa_sql(mapped, rounds=3),
+        # kg_hops: unrolled BFS min-relaxation (3 rounds, MATERIALIZED —
+        # each round references its predecessor twice)
+        "kg_hops": "WITH " + mapped.strip() + f""",
+eh AS MATERIALIZED (SELECT DISTINCT subj AS a, obj_value AS b FROM mapped
+       WHERE obj_kind = 'iri'
+         AND pred IN ('{dcat}dataset', '{dcat}distribution')),
+h0 AS MATERIALIZED (SELECT DISTINCT subj AS node, 0 AS d FROM mapped
+       WHERE pred = '{dcat}dataset'),
+h1 AS MATERIALIZED (SELECT node, min(d) AS d FROM (
+        SELECT node, d FROM h0
+        UNION ALL
+        SELECT eh.b, h0.d + 1 FROM h0 JOIN eh ON eh.a = h0.node)
+      GROUP BY node),
+h2 AS MATERIALIZED (SELECT node, min(d) AS d FROM (
+        SELECT node, d FROM h1
+        UNION ALL
+        SELECT eh.b, h1.d + 1 FROM h1 JOIN eh ON eh.a = h1.node)
+      GROUP BY node),
+h3 AS MATERIALIZED (SELECT node, min(d) AS d FROM (
+        SELECT node, d FROM h2
+        UNION ALL
+        SELECT eh.b, h2.d + 1 FROM h2 JOIN eh ON eh.a = h2.node)
+      GROUP BY node)
+SELECT node, d::BIGINT AS d FROM h3""",
         # kg_shared_themes: inverted-index set-similarity self-join
         "kg_shared_themes": "WITH " + mapped.strip() + f""",
 sv AS (SELECT DISTINCT subj, obj_value AS val FROM mapped

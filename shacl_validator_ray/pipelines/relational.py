@@ -901,3 +901,30 @@ def q6_revenue(sf_dir: str):
     return rd.from_arrow(pa.table({
         "revenue": pa.array([round(total, 2)], pa.float64()),
         "n": pa.array([int(n)], pa.int64())}))
+
+
+# --- calendar resample: orders per month (temporal rollup) ---
+def orders_by_month(sf_dir: str):
+    """Monthly order counts + revenue: the calendar-bucket resample.
+    Month key computed vectorized from the timestamp (epoch-free:
+    year*100+month is locale/zone-stable), one tiny groupby."""
+    ds = t(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+    def bucketize(b: pa.Table) -> pa.Table:
+        y = pc.year(b["o_orderdate"]).cast(pa.int64())
+        m = pc.month(b["o_orderdate"]).cast(pa.int64())
+        return pa.table({
+            "month": pc.add(pc.multiply(y, 100), m),
+            "o_totalprice": b["o_totalprice"].cast(pa.float64())})
+
+    out = (ds.map_batches(bucketize, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("month")
+           .aggregate(Count(alias_name="n"),
+                      Sum("o_totalprice", alias_name="total")))
+    return out.map_batches(
+        lambda b: pa.table({"month": b["month"].cast(pa.int64()),
+                            "n": b["n"].cast(pa.int64()),
+                            "total": pc.round(b["total"].cast(pa.float64()),
+                                              2)}),
+        batch_format="pyarrow")

@@ -666,3 +666,75 @@ def shared_attribute_pairs(triples: rd.Dataset, pred: str,
                                      "b": pa.array([], pa.string()),
                                      "n_shared": pa.array([], pa.int64())}),
         batch_format="pyarrow")
+
+
+def bfs_hops(edges: rd.Dataset, sources: rd.Dataset, rounds: int = 3,
+             src: str = "src", dst: str = "dst",
+             n_buckets: int | None = None) -> rd.Dataset:
+    """Single-source-set BFS hop distances over a DIRECTED edge list:
+    (node, d) for every node reachable from ``sources`` within
+    ``rounds`` hops (d = minimum hop count; sources are d=0).
+
+    Frontier expansion as iterative relax-and-min: each round the
+    current distance vector rides a src-keyed bucketed merge onto the
+    edges (neighbors receive d+1) and a node-keyed min-combine folds
+    them into the vector — the same two-shuffle-per-round shape as
+    PageRank, with the vector materialized per round as the iteration
+    checkpoint. The oracle unrolls identical rounds."""
+    from ..sources import io as io_mod
+
+    if n_buckets is None:
+        n_buckets = max(8, io_mod.shuffle_buckets() // 4)
+    kb = n_buckets
+
+    def dedup_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(["a", "b"])
+
+    e = _coalesce(bucketed_block_apply(
+        edges.map_batches(
+            lambda b: pa.table({"a": b[src].cast(pa.string()),
+                                "b": b[dst].cast(pa.string())}),
+            batch_format="pyarrow", zero_copy_batch=True),
+        "a", dedup_bucket, n_buckets=n_buckets), kb).materialize()
+
+    dist = _coalesce(sources.map_batches(
+        lambda b: pa.table({"node": b["node"].cast(pa.string()),
+                            "d": pa.nulls(b.num_rows,
+                                          pa.int64()).fill_null(0)}),
+        batch_format="pyarrow"), kb).materialize()
+
+    for _ in range(rounds):
+        tagged_d = dist.map_batches(
+            lambda b: pa.table({"a": b["node"].cast(pa.string()),
+                                "b": pa.nulls(b.num_rows, pa.string()),
+                                "d": b["d"].cast(pa.int64())}),
+            batch_format="pyarrow")
+        tagged_e = e.map_batches(
+            lambda b: pa.table({"a": b["a"].cast(pa.string()),
+                                "b": b["b"].cast(pa.string()),
+                                "d": pa.nulls(b.num_rows, pa.int64())}),
+            batch_format="pyarrow")
+
+        def relax(g: pd.DataFrame) -> pd.DataFrame:
+            ds_ = g.loc[g["b"].isna(), ["a", "d"]]
+            es_ = g.loc[~g["b"].isna(), ["a", "b"]]
+            m = es_.merge(ds_, on="a")
+            out = pd.DataFrame({"node": m["b"], "d": m["d"] + 1})
+            cur = g.loc[g["b"].isna()].rename(columns={"a": "node"})
+            return pd.concat([cur[["node", "d"]], out], ignore_index=True)
+
+        msgs = bucketed_block_apply(
+            _coalesce(tagged_d.union(tagged_e), kb), "a", relax,
+            n_buckets=n_buckets)
+
+        def min_bucket(g: pd.DataFrame) -> pd.DataFrame:
+            return g.groupby("node", sort=False)["d"].min().reset_index()
+
+        dist = _coalesce(bucketed_block_apply(
+            _coalesce(msgs, kb), "node", min_bucket,
+            n_buckets=n_buckets), kb).materialize()
+
+    return dist.map_batches(
+        lambda b: pa.table({"node": b["node"].cast(pa.string()),
+                            "d": b["d"].cast(pa.int64())}),
+        batch_format="pyarrow")
