@@ -144,3 +144,19 @@ def test_label_propagation_separates_cliques():
     assert len({lab[f"a{i}"] for i in range(1, 4)}) == 1
     assert len({lab[f"b{i}"] for i in range(1, 4)}) == 1
     assert lab["a1"] != lab["b1"]
+
+
+def test_bfs_hops_min_over_paths():
+    """Diamond a→b→d, a→c→d plus long tail d→e: d takes the 2-hop
+    minimum; nodes unreachable from the source set never appear."""
+    from shacl_validator_ray.stages.graph import bfs_hops
+
+    edges = [("a", "b"), ("a", "c"), ("b", "d"), ("c", "d"), ("d", "e"),
+             ("x", "y")]  # x→y disconnected from a
+    ds = rd.from_arrow(pa.table({
+        "src": pa.array([p for p, _ in edges], pa.string()),
+        "dst": pa.array([q for _, q in edges], pa.string())}))
+    srcs = rd.from_arrow(pa.table({"node": pa.array(["a"], pa.string())}))
+    out = bfs_hops(ds, srcs, rounds=3).to_pandas()
+    d = dict(zip(out["node"], out["d"]))
+    assert d == {"a": 0, "b": 1, "c": 1, "d": 2, "e": 3}
