@@ -177,6 +177,48 @@ def cmd_dedup(args) -> int:
     return 0
 
 
+def cmd_query(args) -> int:
+    """Run any registry pipeline by name over an sf_dir table directory
+    and stream up to --limit result rows as JSON lines (a final one-line
+    summary carries the total row count). ``--list`` prints the names."""
+    from .pipelines import queries as q
+
+    if args.list or not args.name:
+        for name in sorted(q.QUERIES):
+            print(name)
+        return 0
+    if args.name not in q.QUERIES:
+        print(json.dumps({"error": f"unknown query {args.name!r}; "
+                          f"use --list"}))
+        return 2
+    _init_ray()
+    res = q.QUERIES[args.name](args.sf_dir)
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    if isinstance(res, rd.Dataset):
+        shown = 0
+        total = 0
+        for b in res.iter_batches(batch_format="pyarrow"):
+            total += b.num_rows
+            if shown < args.limit:
+                take = min(args.limit - shown, b.num_rows)
+                for row in b.slice(0, take).to_pylist():
+                    print(json.dumps(row, default=str))
+                shown += take
+        print(json.dumps({"query": args.name, "rows": total,
+                          "shown": shown}))
+        return 0
+    df = res if isinstance(res, pd.DataFrame) else res.to_pandas() \
+        if isinstance(res, pa.Table) else pd.DataFrame(res)
+    for row in df.head(args.limit).to_dict(orient="records"):
+        print(json.dumps(row, default=str))
+    print(json.dumps({"query": args.name, "rows": len(df),
+                      "shown": min(args.limit, len(df))}))
+    return 0
+
+
 def cmd_profiles(args) -> int:
     """Registry listing (ProfileSelector.tsx surface): name, description,
     shape files, and the compiled shape/constraint counts per profile."""
@@ -239,6 +281,13 @@ def main(argv=None) -> int:
     dd.add_argument("out_dir")
     dd.add_argument("--tau", type=float, default=0.95)
     dd.set_defaults(fn=cmd_dedup)
+
+    qq = sub.add_parser("query")
+    qq.add_argument("name", nargs="?", default="")
+    qq.add_argument("sf_dir", nargs="?", default="/root/testdata/sf0.001")
+    qq.add_argument("--limit", type=int, default=20)
+    qq.add_argument("--list", action="store_true")
+    qq.set_defaults(fn=cmd_query)
 
     args = p.parse_args(argv)
     rc = args.fn(args)

@@ -88,3 +88,23 @@ def test_cli_dedup_writes_map_and_survivors(capsys, tmp_path):
         f"SELECT count(*), sum(keep::INT) FROM "
         f"read_parquet('{out_dir}/dedup_map/*.parquet')").fetchone()
     assert m[0] == 500 and m[1] == summary["kept"]
+
+
+def test_cli_query_lists_and_runs(capsys):
+    rc = cli.cmd_query(_Args(name="", sf_dir="", limit=5, list=True))
+    assert rc == 0
+    names = capsys.readouterr().out.strip().splitlines()
+    assert "kg_validate" in names and "fuzzy_dedup_keep" in names
+    assert len(names) >= 110
+
+    rc = cli.cmd_query(_Args(name="severity_counts",
+                             sf_dir="/root/testdata/sf0.001",
+                             limit=2, list=False))
+    assert rc == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    summary = json.loads(out[-1])
+    assert summary["rows"] == 3 and summary["shown"] == 2
+    assert len(out) == 3  # 2 detail lines + summary
+
+    rc = cli.cmd_query(_Args(name="nope", sf_dir="x", limit=5, list=False))
+    assert rc == 2
