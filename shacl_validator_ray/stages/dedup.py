@@ -224,102 +224,191 @@ def minhash_lsh_dup_pairs(docs: rd.Dataset, tau: float = 0.95, n_perm: int = 32,
 
 
 def simhash_dup_pairs(docs: rd.Dataset, max_hamming: int = 3, id_col: str = "doc_id",
-                      text_col: str = "text") -> rd.Dataset:
+                      text_col: str = "text", hot_cap: int = 10_000,
+                      n_buckets: int | None = None) -> rd.Dataset:
     """SimHash near-dup: 64-bit signatures, candidate pairs share one of four
-    16-bit sub-bands (catches all pairs within hamming ≤ 3 by pigeonhole)."""
+    16-bit sub-bands (catches all pairs within hamming ≤ 3 by pigeonhole).
+
+    Scale shape: ONE shuffle keyed by hash(band, key) with fan-out scaled
+    to the cluster (``io.shuffle_buckets``, replacing a previous fixed
+    8-partition self-join); pair generation is vectorized inside each
+    bucket with the first-matching-band trick (a pair already caught by
+    an earlier band is skipped — every earlier band key is recomputable
+    from the signature itself), so no global pair-dedup shuffle is
+    needed. A (band, key) bucket holding more than ``hot_cap`` docs —
+    boilerplate floods of near-identical documents, the quadratic-bucket
+    hazard — is skipped with a loud RuntimeWarning, the same policy as
+    ``graph.shared_attribute_pairs`` (millions of identical docs are
+    exact_dedup's job; their complete pair graph is inherently
+    quadratic output)."""
+    import warnings
+
+    from ..sources import io as io_mod
+
+    if n_buckets is None:
+        n_buckets = max(8, io_mod.shuffle_buckets() // 4)
 
     def sigs(b: pa.Table) -> pa.Table:
-        ids, band, key, sig = [], [], [], []
+        ids, bk, sig = [], [], []
         for i, t in zip(b.column(id_col).to_pylist(), b.column(text_col).to_pylist()):
             s = tf.simhash64((t or "").split())
             for bi in range(4):
-                ids.append(i); band.append(bi)
-                key.append((s >> (16 * bi)) & 0xFFFF); sig.append(s)
+                ids.append(i)
+                bk.append((bi << 16) | ((s >> (16 * bi)) & 0xFFFF))
+                sig.append(s)
         return pa.table({id_col: pa.array(ids, pa.int64()),
-                         "band": pa.array(band, pa.int32()),
-                         "key": pa.array(key, pa.int64()),
+                         "bk": pa.array(bk, pa.int64()),
                          "sig": pa.array(np.array(sig, dtype=np.uint64).astype(np.int64))})
 
-    import pyarrow.compute as pc
-    from ray.data.aggregate import Min
+    from .discovery import bucketed_block_apply
 
     sig_rows = docs.map_batches(sigs, batch_format="pyarrow",
                                 zero_copy_batch=True).materialize()
-    joined = sig_rows.join(sig_rows, "inner", 8, on=("band", "key"),
-                           left_suffix="_1", right_suffix="_2")
 
-    def to_pairs(b: pa.Table) -> pa.Table:
-        b = b.filter(pc.less(b[f"{id_col}_1"], b[f"{id_col}_2"]))
-        x = np.asarray(b["sig_1"]).astype(np.uint64)
-        y = np.asarray(b["sig_2"]).astype(np.uint64)
-        xor = np.bitwise_xor(x, y)
-        ham = np.unpackbits(xor.view(np.uint8).reshape(len(xor), 8),
-                            axis=1).sum(axis=1) if len(xor) else np.array([], dtype=int)
-        keep = ham <= max_hamming
-        return pa.table({"doc1": pa.array(np.asarray(b[f"{id_col}_1"])[keep]),
-                         "doc2": pa.array(np.asarray(b[f"{id_col}_2"])[keep]),
-                         "hamming": pa.array(ham[keep].astype(np.int64))})
+    # driver-side hot check on the small per-(band,key) count table
+    hot = sig_rows.groupby("bk").count().filter(
+        lambda r: r["count()"] > hot_cap).count()
+    if hot:
+        warnings.warn(
+            f"simhash_dup_pairs: {hot} (band, key) bucket(s) exceed "
+            f"hot_cap={hot_cap} docs and are excluded from pair "
+            f"generation", RuntimeWarning, stacklevel=2)
 
-    pairs = joined.map_batches(to_pairs, batch_format="pyarrow")
-    return pairs.groupby(["doc1", "doc2"]).aggregate(
-        Min("hamming", alias_name="hamming"))
+    def pairs_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        d1, d2, hm = [], [], []
+        for bk, sub in g.groupby("bk", sort=False):
+            if len(sub) < 2 or len(sub) > hot_cap:
+                continue
+            band = int(bk) >> 16
+            sub = sub.sort_values(id_col)
+            ids = sub[id_col].to_numpy()
+            sg = sub["sig"].to_numpy().astype(np.uint64)
+            iu, ju = np.triu_indices(len(ids), k=1)
+            xor = np.bitwise_xor(sg[iu], sg[ju])
+            if band > 0:
+                # first-matching-band: drop pairs already caught earlier
+                earlier = np.zeros(len(xor), dtype=bool)
+                for eb in range(band):
+                    earlier |= ((xor >> np.uint64(16 * eb))
+                                & np.uint64(0xFFFF)) == 0
+                iu, ju, xor = iu[~earlier], ju[~earlier], xor[~earlier]
+            ham = (np.unpackbits(xor.view(np.uint8).reshape(len(xor), 8),
+                                 axis=1).sum(axis=1) if len(xor)
+                   else np.array([], dtype=int))
+            keep = ham <= max_hamming
+            d1.extend(ids[iu[keep]]); d2.extend(ids[ju[keep]])
+            hm.extend(ham[keep])
+        return pd.DataFrame({"doc1": pd.array(d1, dtype="int64"),
+                             "doc2": pd.array(d2, dtype="int64"),
+                             "hamming": pd.array(hm, dtype="int64")})
+
+    return bucketed_block_apply(sig_rows, "bk", pairs_bucket,
+                                n_buckets=n_buckets)
 
 
 def embedding_dup_pairs_ivf(emb: rd.Dataset, tau: float = 0.4,
                             n_centroids: int = 16, assign_k: int = 2,
                             seed: int = 42, id_col: str = "vec_id",
-                            vec_col: str = "embedding") -> rd.Dataset:
-    """Embedding-cosine near-dup at scale: IVF-bucketed blocking.
+                            vec_col: str = "embedding",
+                            sub_block_rows: int = 4096) -> rd.Dataset:
+    """Embedding-cosine near-dup at scale: IVF-bucketed blocking with
+    SUB-BLOCKED (tiled) pair generation.
 
-    Each vector is assigned to its ``assign_k`` nearest coarse centroids
-    (soft assignment — near-boundary pairs still co-occur in some list),
-    pairs are generated within each list, and duplicates from shared
-    lists collapse in a final (vec1, vec2) groupby. This replaces the
-    exact :func:`embedding_dup_pairs` label-block (the oracle path) when
-    no natural blocking key exists; recall is tested against it.
+    Each vector is soft-assigned to its ``assign_k`` nearest coarse
+    centroids (near-boundary pairs still co-occur in some list). Within
+    each list the all-pairs work is tiled: a list estimated at S rows is
+    split into ``n_sub = ceil(S / sub_block_rows)`` deterministic
+    sub-blocks (``id % n_sub``), each row is routed to the ``n_sub``
+    tiles ``(list, min(s,t), max(s,t))`` it participates in, and each
+    tile task compares at most ~2·sub_block_rows vectors (one triangle
+    tile or one cross tile). No task ever holds a whole IVF list —
+    previously one ``groupby("ivf_list").map_groups`` group held
+    corpus·assign_k/n_centroids rows and ran an O(|list|²) matmul in a
+    single worker. List sizes are ESTIMATED from a fixed 2,048-row
+    sample (the same size the centroid trainer uses), so the plan adds
+    no extra corpus pass; the estimate only tunes per-task size, never
+    correctness. Duplicate pairs from shared lists/tiles collapse in
+    the final (vec1, vec2) groupby. Recall is tested against the exact
+    :func:`embedding_dup_pairs` oracle path.
     """
-    import pyarrow.compute as pc
     import ray
     from ray.data.aggregate import Max
 
     from .similarity import _norm_rows, train_ivf_centroids
 
     cents = train_ivf_centroids(emb, n_centroids, seed=seed, vec_col=vec_col)
-    cref = ray.put(cents)
 
-    def assign(b: pa.Table) -> pa.Table:
-        c = ray.get(cref)
+    # estimate list populations from a fixed-size sample → n_sub per list
+    samp = emb.limit(2048).to_pandas()
+    sm = _norm_rows(np.stack(samp[vec_col].to_numpy()).astype(np.float64))
+    sorder = np.argsort(-(sm @ cents.T), axis=1)[:, :assign_k]
+    sfrac = np.bincount(sorder.reshape(-1), minlength=len(cents)) / max(1, len(sm))
+    total = emb.count() * assign_k
+    n_sub = np.maximum(1, np.ceil(sfrac * total / sub_block_rows)).astype(np.int64)
+    cref = ray.put((cents, n_sub))
+
+    def assign_tiles(b: pa.Table) -> pa.Table:
+        c, nsub = ray.get(cref)
         m = _norm_rows(np.stack(b[vec_col].to_pylist()).astype(np.float64))
         order = np.argsort(-(m @ c.T), axis=1)[:, :assign_k]
-        n = len(m)
-        ids = np.repeat(np.asarray(b[id_col]), assign_k)
-        lists = order.reshape(-1)
-        take_idx = pa.array(np.repeat(np.arange(n), assign_k))
+        ids = np.asarray(b[id_col], dtype=np.int64)
+        out_idx, out_list, out_ta, out_tb, out_sub = [], [], [], [], []
+        for i in range(len(ids)):
+            for l in order[i]:
+                ns = int(nsub[l])
+                s = int(ids[i]) % ns
+                for t in range(ns):
+                    out_idx.append(i); out_list.append(int(l))
+                    out_ta.append(min(s, t)); out_tb.append(max(s, t))
+                    out_sub.append(s)
+        take_idx = pa.array(out_idx, pa.int64())
         return pa.table({
-            id_col: pa.array(ids),
-            "ivf_list": pa.array(lists.astype(np.int64)),
+            id_col: pa.array(ids[out_idx], pa.int64()),
+            "ivf_list": pa.array(out_list, pa.int64()),
+            "tile_a": pa.array(out_ta, pa.int64()),
+            "tile_b": pa.array(out_tb, pa.int64()),
+            "sub": pa.array(out_sub, pa.int64()),
             vec_col: b[vec_col].take(take_idx),
         })
 
-    assigned = emb.map_batches(assign, batch_format="pyarrow",
-                               zero_copy_batch=True)
+    tiled = emb.map_batches(assign_tiles, batch_format="pyarrow",
+                            zero_copy_batch=True)
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+    def empty_pairs() -> pd.DataFrame:
+        return pd.DataFrame({"vec1": pd.array([], dtype="int64"),
+                             "vec2": pd.array([], dtype="int64"),
+                             "sim": pd.array([], dtype="float64")})
+
+    def tile_pairs(g: pd.DataFrame) -> pd.DataFrame:
         g = g.drop_duplicates(id_col).sort_values(id_col)
-        ids = g[id_col].to_numpy()
-        if len(ids) < 2:
-            return pd.DataFrame({"vec1": pd.array([], dtype="int64"),
-                                 "vec2": pd.array([], dtype="int64"),
-                                 "sim": pd.array([], dtype="float64")})
-        m = _norm_rows(np.stack(g[vec_col].to_numpy()).astype(np.float64))
-        sims = m @ m.T
-        iu, ju = np.triu_indices(len(ids), k=1)
-        mask = sims[iu, ju] >= tau
-        return pd.DataFrame({"vec1": pd.array(ids[iu[mask]], dtype="int64"),
-                             "vec2": pd.array(ids[ju[mask]], dtype="int64"),
-                             "sim": np.round(sims[iu, ju][mask], 6)})
+        ta, tb = int(g["tile_a"].iloc[0]), int(g["tile_b"].iloc[0])
+        if ta == tb:  # triangle tile: all pairs within one sub-block
+            ids = g[id_col].to_numpy()
+            if len(ids) < 2:
+                return empty_pairs()
+            m = _norm_rows(np.stack(g[vec_col].to_numpy()).astype(np.float64))
+            sims = m @ m.T
+            iu, ju = np.triu_indices(len(ids), k=1)
+            mask = sims[iu, ju] >= tau
+            return pd.DataFrame({"vec1": pd.array(ids[iu[mask]], dtype="int64"),
+                                 "vec2": pd.array(ids[ju[mask]], dtype="int64"),
+                                 "sim": np.round(sims[iu, ju][mask], 6)})
+        ga, gb = g[g["sub"] == ta], g[g["sub"] == tb]
+        if not len(ga) or not len(gb):
+            return empty_pairs()
+        ida, idb = ga[id_col].to_numpy(), gb[id_col].to_numpy()
+        ma = _norm_rows(np.stack(ga[vec_col].to_numpy()).astype(np.float64))
+        mb = _norm_rows(np.stack(gb[vec_col].to_numpy()).astype(np.float64))
+        sims = ma @ mb.T
+        ai, bj = np.nonzero(sims >= tau)
+        lo = np.minimum(ida[ai], idb[bj])
+        hi = np.maximum(ida[ai], idb[bj])
+        return pd.DataFrame({"vec1": pd.array(lo, dtype="int64"),
+                             "vec2": pd.array(hi, dtype="int64"),
+                             "sim": np.round(sims[ai, bj], 6)})
 
-    out = assigned.groupby("ivf_list").map_groups(pairs, batch_format="pandas")
+    out = tiled.groupby(["ivf_list", "tile_a", "tile_b"]).map_groups(
+        tile_pairs, batch_format="pandas")
     return out.groupby(["vec1", "vec2"]).aggregate(Max("sim", alias_name="sim"))
 
 

@@ -242,7 +242,16 @@ def materialize_graph(triples: rd.Dataset, out_dir: str, *,
         for attempt in range(3):
             shutil.rmtree(staging, ignore_errors=True)
             try:
-                part.write_parquet(staging, partition_cols=["bucket"])
+                # explicit filesystem for scheme-less (local) paths:
+                # skips Ray's fsspec-based URI resolution, whose http
+                # module first-import is the race the retry guards
+                if "://" in out_dir:
+                    part.write_parquet(staging, partition_cols=["bucket"])
+                else:
+                    from pyarrow import fs as pafs
+
+                    part.write_parquet(staging, partition_cols=["bucket"],
+                                       filesystem=pafs.LocalFileSystem())
                 break
             except ImportError:
                 # concurrent writers can race fsspec's http module

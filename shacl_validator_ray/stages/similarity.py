@@ -93,57 +93,62 @@ def train_ivf_centroids(emb: rd.Dataset, n_centroids: int = 16, iters: int = 5,
 def knn_ivf(emb: rd.Dataset, query_ids: list[int], k: int = 5,
             n_centroids: int = 16, nprobe: int = 4, seed: int = 42,
             id_col: str = "vec_id", vec_col: str = "embedding") -> rd.Dataset:
-    """IVF approximate top-k: vectors are assigned to their nearest
-    centroid (one streaming pass); each query probes only its ``nprobe``
-    nearest centroid lists. Output schema matches :func:`knn_bruteforce`.
+    """IVF approximate top-k, MAP-SIDE (the :func:`knn_lsh` shape).
+
+    Each query probes its ``nprobe`` nearest coarse centroids. The scan
+    never shuffles the corpus: every batch assigns its rows to their
+    nearest centroid with one matmul, keeps only rows whose list some
+    query probes, emits LOCAL per-query top-2k partials, and a tiny
+    ``qid`` groupby merges the partials. No task ever holds a whole IVF
+    list (the previous ``groupby("ivf_list").map_groups`` put
+    corpus/n_centroids rows — ~6e10 vectors at 10^12 docs with the
+    default 16 lists — into one pandas group). Output schema matches
+    :func:`knn_bruteforce`.
     """
     cents = train_ivf_centroids(emb, n_centroids, seed=seed, vec_col=vec_col)
-    cref = ray.put(cents)
-
-    def assign(b: pa.Table) -> pa.Table:
-        c = ray.get(cref)
-        m = _norm_rows(np.stack(b[vec_col].to_pylist()).astype(np.float64))
-        lists = (m @ c.T).argmax(axis=1)
-        return b.append_column("ivf_list", pa.array(lists.astype(np.int64)))
-
-    assigned = emb.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
 
     qrows = (emb.map_batches(
         lambda b: b.filter(pa.compute.is_in(b[id_col], value_set=pa.array(query_ids))),
         batch_format="pyarrow", zero_copy_batch=True).to_pandas())
+    qrows = qrows.sort_values(id_col)
+    qids = qrows[id_col].to_numpy()
     qm = _norm_rows(np.stack(qrows[vec_col].to_numpy()).astype(np.float64))
     probes = np.argsort(-(qm @ cents.T), axis=1)[:, :nprobe]
-    probe_of = {int(q): set(map(int, p)) for q, p in zip(qrows[id_col], probes)}
-    pref = ray.put((probe_of, {int(q): qm[i] for i, q in enumerate(qrows[id_col])}))
+    probe_sets = [np.sort(p).astype(np.int64) for p in probes]
+    all_probed = np.unique(np.concatenate(probe_sets))
+    ref = ray.put((qids, qm, cents, probe_sets, all_probed))
 
-    def per_list(g: pd.DataFrame) -> pd.DataFrame:
-        probe_map, qvecs = ray.get(pref)
-        lid = int(g["ivf_list"].iloc[0])
-        qids = [q for q, ps in probe_map.items() if lid in ps]
-        if not qids:
-            return pd.DataFrame({"qid": pd.array([], dtype="int64"),
-                                 "nid": pd.array([], dtype="int64"),
-                                 "sim": pd.array([], dtype="float64")})
-        ids = g[id_col].to_numpy()
-        m = _norm_rows(np.stack(g[vec_col].to_numpy()).astype(np.float64))
+    def partial_topk(b: pa.Table) -> pa.Table:
+        qids_, qm_, cents_, probes_, allp_ = ray.get(ref)
+        ids = np.asarray(b[id_col])
+        m = _norm_rows(np.stack(b[vec_col].to_pylist()).astype(np.float64))
+        lists = (m @ cents_.T).argmax(axis=1).astype(np.int64)
+        cand = np.isin(lists, allp_)
+        if not cand.any():
+            return pa.table({"qid": pa.array([], pa.int64()),
+                             "nid": pa.array([], pa.int64()),
+                             "sim": pa.array([], pa.float64())})
+        ids, m, lists = ids[cand], m[cand], lists[cand]
+        sims = qm_ @ m.T  # (nq, ncand)
         out_q, out_n, out_s = [], [], []
-        for q in qids:
-            sims = m @ qvecs[q]
-            order = sorted(range(len(ids)), key=lambda j: (-sims[j], ids[j]))
+        for qi in range(len(qids_)):
+            allowed = np.isin(lists, probes_[qi])
+            row, rids = sims[qi][allowed], ids[allowed]
             cnt = 0
-            for j in order:
-                if ids[j] == q:
+            for j in np.argsort(-row, kind="stable"):
+                if rids[j] == qids_[qi]:
                     continue
-                out_q.append(q); out_n.append(int(ids[j]))
-                out_s.append(round(float(sims[j]), 6))
+                out_q.append(int(qids_[qi])); out_n.append(int(rids[j]))
+                out_s.append(round(float(row[j]), 6))
                 cnt += 1
-                if cnt >= k:
+                if cnt >= 2 * k:  # local 2k margin (rounding-tie safety)
                     break
-        return pd.DataFrame({"qid": pd.array(out_q, dtype="int64"),
-                             "nid": pd.array(out_n, dtype="int64"),
-                             "sim": pd.array(out_s, dtype="float64")})
+        return pa.table({"qid": pa.array(out_q, pa.int64()),
+                         "nid": pa.array(out_n, pa.int64()),
+                         "sim": pa.array(out_s, pa.float64())})
 
-    partials = assigned.groupby("ivf_list").map_groups(per_list, batch_format="pandas")
+    partials = emb.map_batches(partial_topk, batch_format="pyarrow",
+                               zero_copy_batch=True)
 
     def final_topk(g: pd.DataFrame) -> pd.DataFrame:
         return g.sort_values(["sim", "nid"], ascending=[False, True]).head(k)

@@ -56,33 +56,62 @@ def language_id(docs: rd.Dataset, id_col: str = "doc_id", text_col: str = "text"
     return docs.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _prefix_levels(lvl0: rd.Dataset, fanout: int,
+                   driver_cap: int) -> list[rd.Dataset]:
+    """Reduce a (_rb, s) bucket-sum table by ``fanout`` per level until
+    the top level holds ≤ ``driver_cap`` rows — the hierarchical-scan
+    invariant that bounds the driver-side table at ANY corpus size
+    (``levels[-1].count() <= driver_cap`` whenever lvl0 is non-empty,
+    since each level is ≥ fanout× smaller)."""
+    import numpy as np
+    from ray.data.aggregate import Sum
+
+    levels = [lvl0]
+    while levels[-1].count() > driver_cap:
+        def up(b: pa.Table) -> pa.Table:
+            rb = np.asarray(b["_rb"], dtype=np.int64)
+            return pa.table({"_rb": pa.array(rb // fanout, pa.int64()),
+                             "s": b["s"].cast(pa.int64())})
+
+        levels.append(levels[-1].map_batches(up, batch_format="pyarrow")
+                      .groupby("_rb").aggregate(Sum("s", alias_name="s"))
+                      .materialize())
+    return levels
+
+
 def sequence_pack(docs: rd.Dataset, seq_len: int = 2048,
                   range_bucket: int = 500, id_col: str = "doc_id",
-                  text_col: str = "text") -> rd.Dataset:
+                  text_col: str = "text", fanout: int = 4096,
+                  driver_cap: int = 65536) -> rd.Dataset:
     """Sequence packing for LLM pretraining: assign each document a
     global token offset in doc_id order and the id of the fixed-length
     pack its first token lands in (``pack_id = offset // seq_len``).
 
-    The global prefix sum is the classic two-phase DISTRIBUTED scan —
-    nothing order-dependent ever sits on one worker:
+    The global prefix sum is a HIERARCHICAL distributed scan — the
+    driver-side table is bounded by ``driver_cap`` at ANY corpus size
+    (the previous single-level design held n_docs / range_bucket
+    entries on the driver — 2e9 at 10^12 docs):
 
     1. one pass emits (range_bucket(doc), n_tokens) and reduces to
-       per-bucket token sums (a groupby whose cardinality is
-       n_docs / range_bucket — bucket-level, not doc-level);
-    2. the driver prefix-sums only that small bucket table and
-       broadcasts the per-bucket starting offsets;
-    3. a second pass sorts WITHIN each bucket (bounded work per group)
-       and adds the broadcast base offset.
+       per-bucket token sums (cardinality n_docs / range_bucket);
+    2. that level is repeatedly re-reduced by ``fanout`` (buckets of
+       buckets) until it fits in ``driver_cap`` rows; the driver
+       prefix-sums ONLY the top level;
+    3. base offsets descend level by level as distributed tagged-union
+       merges — each task holds one parent's ≤ fanout children;
+    4. the final pass sorts WITHIN each leaf bucket (≤ range_bucket
+       docs per group) and adds its merged base offset.
 
     Assumes lexicographic doc_id order == intended corpus order (the
     synthetic ids are zero-padded). Output: (doc_id, n_tokens,
     token_offset, pack_id)."""
     import numpy as np
+    import pandas as pd
     import ray
     from ray.data.aggregate import Sum
 
     from ..functions import textfns as tf_
-    from .discovery import bucketed_groupby_apply
+    from .discovery import bucketed_block_apply, bucketed_groupby_apply
 
     def with_counts(b: pa.Table) -> pa.Table:
         texts = b.column(text_col).to_pylist()
@@ -100,37 +129,143 @@ def sequence_pack(docs: rd.Dataset, seq_len: int = 2048,
     counted = docs.map_batches(with_counts, batch_format="pyarrow",
                                zero_copy_batch=True).materialize()
 
-    # phase 1: per-bucket sums → driver-side prefix over the SMALL table
-    sums = counted.groupby("_rb").aggregate(
-        Sum("n_tokens", alias_name="bucket_tokens")).to_pandas()
-    if not len(sums):
-        import pandas as pd
+    # phase 1: leaf-bucket sums, then reduce by `fanout` until the top
+    # level fits on the driver
+    lvl0 = counted.groupby("_rb").aggregate(
+        Sum("n_tokens", alias_name="s")).materialize()
+    levels = _prefix_levels(lvl0, fanout, driver_cap)
 
+    top = levels[-1].to_pandas()
+    if not len(top):
         return rd.from_arrow(pa.table({
             id_col: pa.array([], pa.string()),
             "n_tokens": pa.array([], pa.int64()),
             "token_offset": pa.array([], pa.int64()),
             "pack_id": pa.array([], pa.int64())}))
-    sums = sums.sort_values("_rb").reset_index(drop=True)
-    base = dict(zip(sums["_rb"],
-                    sums["bucket_tokens"].cumsum() - sums["bucket_tokens"]))
-    base_ref = ray.put(base)
+    top = top.sort_values("_rb").reset_index(drop=True)
+    top_base = pd.DataFrame({"_pk": top["_rb"].astype("int64"),
+                             "base": (top["s"].cumsum() - top["s"])
+                             .astype("int64")})
+    # base table for the top level lives on the driver (≤ driver_cap
+    # rows by construction); lower-level base tables stay distributed
+    base_ds = rd.from_pandas(top_base)
 
-    # phase 2: within-bucket ordered cumsum + broadcast base offset
-    def pack_bucket(g):
-        import pandas as pd
+    def _descend(children: rd.Dataset, base: rd.Dataset) -> rd.Dataset:
+        """children (_rb, s) + parent base (_pk, base) → child base
+        (_pk=_rb, base) via one bucketed tagged-union merge; every task
+        holds one hash-bucket of parents × their ≤ fanout children."""
 
-        base_ = ray.get(base_ref)
-        g = g.sort_values("_num")
-        off = (g["n_tokens"].cumsum() - g["n_tokens"]
-               + base_[g["_rb"].iloc[0]])
-        return pd.DataFrame({
-            id_col: g[id_col],
-            "n_tokens": g["n_tokens"].astype("int64"),
-            "token_offset": off.astype("int64"),
-            "pack_id": (off // seq_len).astype("int64")})
+        def tag_child(b: pa.Table) -> pa.Table:
+            rb = np.asarray(b["_rb"], dtype=np.int64)
+            return pa.table({
+                "_pk": pa.array(rb // fanout, pa.int64()),
+                "_rb": b["_rb"].cast(pa.int64()),
+                "s": b["s"].cast(pa.int64()),
+                "base": pa.nulls(b.num_rows, pa.int64()),
+                "is_base": pa.nulls(b.num_rows, pa.bool_()).fill_null(False)})
 
-    return bucketed_groupby_apply(counted, "_rb", pack_bucket)
+        def tag_base(b: pa.Table) -> pa.Table:
+            return pa.table({
+                "_pk": b["_pk"].cast(pa.int64()),
+                "_rb": pa.nulls(b.num_rows, pa.int64()),
+                "s": pa.nulls(b.num_rows, pa.int64()),
+                "base": b["base"].cast(pa.int64()),
+                "is_base": pa.nulls(b.num_rows, pa.bool_()).fill_null(True)})
+
+        tagged = (children.map_batches(tag_child, batch_format="pyarrow")
+                  .union(base.map_batches(tag_base, batch_format="pyarrow")))
+
+        def attach(g: pd.DataFrame) -> pd.DataFrame:
+            outs = []
+            for _, sub in g.groupby("_pk", sort=False):
+                pb = sub.loc[sub["is_base"], "base"]
+                pbv = int(pb.iloc[0]) if len(pb) else 0
+                ch = sub.loc[~sub["is_base"]].sort_values("_rb")
+                if not len(ch):
+                    continue
+                s = ch["s"].astype("int64")
+                outs.append(pd.DataFrame({
+                    "_pk": ch["_rb"].astype("int64"),
+                    "base": (s.cumsum() - s + pbv).astype("int64")}))
+            if not outs:
+                return pd.DataFrame({"_pk": pd.array([], dtype="int64"),
+                                     "base": pd.array([], dtype="int64")})
+            return pd.concat(outs, ignore_index=True)
+
+        return bucketed_block_apply(tagged, "_pk", attach)
+
+    for lvl in reversed(levels[:-1]):
+        base_ds = _descend(lvl, base_ds).materialize()
+
+    if len(levels) == 1:
+        # fast path: leaf bases fit on the driver — broadcast a dict
+        bp = base_ds.to_pandas()
+        base_map = dict(zip(bp["_pk"], bp["base"]))
+        base_ref = ray.put(base_map)
+
+        def pack_bucket(g: pd.DataFrame) -> pd.DataFrame:
+            base_ = ray.get(base_ref)
+            g = g.sort_values("_num")
+            off = (g["n_tokens"].cumsum() - g["n_tokens"]
+                   + base_[g["_rb"].iloc[0]])
+            return pd.DataFrame({
+                id_col: g[id_col],
+                "n_tokens": g["n_tokens"].astype("int64"),
+                "token_offset": off.astype("int64"),
+                "pack_id": (off // seq_len).astype("int64")})
+
+        return bucketed_groupby_apply(counted, "_rb", pack_bucket)
+
+    # distributed final merge: leaf bases join the doc rows by _rb
+    sch = counted.schema()
+    id_type = getattr(sch, "base_schema", sch).field(id_col).type
+
+    def tag_doc(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "_rb": b["_rb"].cast(pa.int64()),
+            id_col: b[id_col],
+            "_num": b["_num"].cast(pa.int64()),
+            "n_tokens": b["n_tokens"].cast(pa.int64()),
+            "base": pa.nulls(b.num_rows, pa.int64()),
+            "is_base": pa.nulls(b.num_rows, pa.bool_()).fill_null(False)})
+
+    def tag_leaf_base(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "_rb": b["_pk"].cast(pa.int64()),
+            id_col: pa.nulls(b.num_rows, id_type),
+            "_num": pa.nulls(b.num_rows, pa.int64()),
+            "n_tokens": pa.nulls(b.num_rows, pa.int64()),
+            "base": b["base"].cast(pa.int64()),
+            "is_base": pa.nulls(b.num_rows, pa.bool_()).fill_null(True)})
+
+    tagged = (counted.map_batches(tag_doc, batch_format="pyarrow")
+              .union(base_ds.map_batches(tag_leaf_base,
+                                         batch_format="pyarrow")))
+
+    def pack_merged(g: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for _, sub in g.groupby("_rb", sort=False):
+            pb = sub.loc[sub["is_base"], "base"]
+            pbv = int(pb.iloc[0]) if len(pb) else 0
+            ch = sub.loc[~sub["is_base"]].sort_values("_num")
+            if not len(ch):
+                continue
+            nt = ch["n_tokens"].astype("int64")
+            off = nt.cumsum() - nt + pbv
+            outs.append(pd.DataFrame({
+                id_col: ch[id_col],
+                "n_tokens": nt,
+                "token_offset": off.astype("int64"),
+                "pack_id": (off // seq_len).astype("int64")}))
+        if not outs:
+            return pd.DataFrame({
+                id_col: pd.array([], dtype="string"),
+                "n_tokens": pd.array([], dtype="int64"),
+                "token_offset": pd.array([], dtype="int64"),
+                "pack_id": pd.array([], dtype="int64")})
+        return pd.concat(outs, ignore_index=True)
+
+    return bucketed_block_apply(tagged, "_rb", pack_merged)
 
 
 def contamination(docs: rd.Dataset, eval_mod: int = 50, n: int = 8,
