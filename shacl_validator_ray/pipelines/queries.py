@@ -647,6 +647,47 @@ def q_kg_bgp_not_exists(sf_dir: str):
         ["severity", "focus_node", "value", "source_constraint_component"])
 
 
+def q_kg_bgp_paths(sf_dir: str):
+    """sh:sparql property-path analog: patterns whose predicate is a
+    SHACL path — a sequence path collapses the dataset→distribution→
+    format 2-hop join into one virtual-predicate match, and an
+    alternative path requires a title-or-description label; both reuse
+    the validator's path derivation (shacl._seq_rows / alt rows)."""
+    from ..functions import ns
+    from ..stages.bgp import BGPConstraint
+    from . import kg
+
+    cc = BGPConstraint(
+        patterns=[("$this", ("seq", [ns.DCAT + "distribution",
+                                     ns.DCT + "format"]),
+                   "application/pdf"),
+                  ("$this", ("alt", [ns.DCT + "title",
+                                     ns.DCT + "description"]), "?label")],
+        component="http://example.org/constraints#PdfViaPath",
+        message="dataset reaches a PDF format via its distributions")
+    return cc.violations(kg.triples_dataset(sf_dir)).select_columns(
+        ["severity", "focus_node", "value", "source_constraint_component"])
+
+
+def q_kg_bgp_varpred(sf_dir: str):
+    """sh:sparql variable-predicate analog: ?p in predicate position
+    binds the pred column; the FILTER restricts the binding to the
+    dct: namespace. Flags every node carrying 'application/pdf' under
+    any dct predicate."""
+    from ..functions import ns
+    from ..stages.bgp import BGPConstraint
+    from . import kg
+
+    dct = ns.DCT
+    cc = BGPConstraint(
+        patterns=[("$this", "?p", "application/pdf")],
+        filter_fn=lambda df: df["?p"].str.startswith(dct),
+        component="http://example.org/constraints#PdfValueAnyDctPred",
+        message="node carries application/pdf under a dct predicate")
+    return cc.violations(kg.triples_dataset(sf_dir)).select_columns(
+        ["severity", "focus_node", "value", "source_constraint_component"])
+
+
 def q_kg_pagerank(sf_dir: str):
     """Distributed PageRank over the extracted resource graph (5 power
     iterations, d=0.85; SQL oracle unrolls the same iterations)."""
@@ -868,6 +909,8 @@ QUERIES = {
     "kg_bgp_not_exists": q_kg_bgp_not_exists,
     "kg_bgp_union": q_kg_bgp_union,
     "kg_bgp_optional": q_kg_bgp_optional,
+    "kg_bgp_paths": q_kg_bgp_paths,
+    "kg_bgp_varpred": q_kg_bgp_varpred,
     "kg_pagerank": q_kg_pagerank,
     "kg_pagerank_dangling": q_kg_pagerank_dangling,
     "kg_triangles": q_kg_triangles,
@@ -2233,6 +2276,29 @@ SELECT 'Violation' AS severity, h.subj AS focus_node,
        'http://example.org/constraints#NoPdfDistributionTitled'
            AS source_constraint_component
 FROM hits h LEFT JOIN tt ON tt.subj = h.subj""",
+        # kg_bgp_paths: sequence path = 2-hop join; alternative path =
+        # either-predicate existence, in SQL
+        "kg_bgp_paths": f"""
+WITH g AS (SELECT DISTINCT subj, pred, obj_value FROM {gt}),
+pdf AS (SELECT DISTINCT a.subj FROM g a JOIN g b ON a.obj_value = b.subj
+        WHERE a.pred = '{dcat}distribution' AND b.pred = '{dct}format'
+          AND b.obj_value = 'application/pdf'),
+lbl AS (SELECT DISTINCT subj FROM g
+        WHERE pred IN ('{dct}title', '{dct}description'))
+SELECT 'Violation' AS severity, subj AS focus_node, subj AS value,
+       'http://example.org/constraints#PdfViaPath'
+           AS source_constraint_component
+FROM pdf WHERE subj IN (SELECT subj FROM lbl)""",
+        # kg_bgp_varpred: variable predicate + namespace FILTER in SQL
+        "kg_bgp_varpred": f"""
+WITH g AS (SELECT DISTINCT subj, pred, obj_value FROM {gt}),
+hits AS (SELECT DISTINCT subj FROM g
+         WHERE obj_value = 'application/pdf'
+           AND pred LIKE '{dct}%')
+SELECT 'Violation' AS severity, subj AS focus_node, subj AS value,
+       'http://example.org/constraints#PdfValueAnyDctPred'
+           AS source_constraint_component
+FROM hits""",
         # kg_pagerank: the same 5 power iterations unrolled as chained
         # CTEs over the mention-mapped resource graph
         "kg_pagerank": _pagerank_sql(mapped),

@@ -39,8 +39,39 @@ import ray.data as rd
 THIS = "$this"
 
 
-def _is_var(term: str) -> bool:
-    return term.startswith("?") or term.startswith("$")
+def _is_var(term) -> bool:
+    return isinstance(term, str) and (term.startswith("?")
+                                      or term.startswith("$"))
+
+
+def _canon_path(pred) -> tuple[str, tuple]:
+    """Structured path term → (canonical string, (kind, preds)).
+
+    Path terms are TUPLES (never parsed from strings — IRIs contain
+    '/', so string syntax would be ambiguous): ``("seq", [p1, p2])``,
+    ``("alt", [p1, p2])``, ``("inv", p)``, ``("plus", p)``,
+    ``("star", p)``. Canonical strings match the shapes compiler
+    (state/shapes.py parse_path): "a/b", "(a | b)", "^p", "p+", "p*" —
+    the same strings the derived virtual-predicate rows carry."""
+    kind, val = pred
+    if kind == "seq":
+        preds = tuple(val)
+        if len(preds) < 2:
+            raise ValueError("seq path needs ≥ 2 predicates")
+        return "/".join(preds), ("seq", preds)
+    if kind == "alt":
+        preds = tuple(val)
+        if len(preds) < 2:
+            raise ValueError("alt path needs ≥ 2 predicates")
+        return "(" + " | ".join(preds) + ")", ("alt", preds)
+    if kind == "inv":
+        return "^" + val, ("inv", (val,))
+    if kind == "plus":
+        return val + "+", ("plus", (val,))
+    if kind == "star":
+        return val + "*", ("star", (val,))
+    raise ValueError(f"unknown path kind {kind!r} "
+                     "(expected seq/alt/inv/plus/star)")
 
 
 class BGPConstraint:
@@ -87,14 +118,25 @@ class BGPConstraint:
                  union_patterns=None, optional_pattern=None):
         if not patterns:
             raise ValueError("BGPConstraint needs at least one pattern")
+        # property paths (tuple predicates) canonicalize to the shapes
+        # compiler's path strings; their derived virtual-predicate rows
+        # are built lazily at evaluation time (self.paths)
+        self.paths: dict[str, tuple] = {}
+        canon_patterns = []
         for s, p, o in patterns:
-            if _is_var(p):
-                raise ValueError(
-                    f"predicate must be a constant IRI, got variable {p!r}")
+            if isinstance(p, tuple):
+                canon, spec = _canon_path(p)
+                self.paths[canon] = spec
+                p = canon
+            canon_patterns.append((s, p, o))
+        patterns = canon_patterns
         bound: set[str] = set()
         seen_this = False
         for i, (s, p, o) in enumerate(patterns):
-            pvars = {t for t in (s, o) if _is_var(t)}
+            # a variable predicate participates in joins like any other
+            # variable (its candidate scan is full-width — every triple —
+            # but stays a distributed batch filter/projection)
+            pvars = {t for t in (s, p, o) if _is_var(t)}
             seen_this = seen_this or THIS in pvars
             if i > 0 and bound and not (pvars & bound):
                 raise ValueError(
@@ -107,11 +149,15 @@ class BGPConstraint:
         if absent_patterns:
             inner = BGPConstraint(absent_patterns, component)
             self.absent = inner.patterns
+            self.paths.update(inner.paths)
         else:
             self.absent = None
         if union_patterns:
-            self.alts = [BGPConstraint(alt, component).patterns
-                         for alt in union_patterns]
+            self.alts = []
+            for alt in union_patterns:
+                inner = BGPConstraint(alt, component)
+                self.alts.append(inner.patterns)
+                self.paths.update(inner.paths)
         else:
             self.alts = []
         if optional_pattern is not None:
@@ -129,31 +175,100 @@ class BGPConstraint:
         self.target = target
         self.filter_fn = filter_fn
 
+    # -- derived virtual-predicate rows for path patterns --------------
+    def _derived(self, triples: rd.Dataset) -> rd.Dataset | None:
+        """Virtual triple rows (pred = canonical path string) for every
+        path used by this constraint — the same derivation the validator
+        runs for sh:path (shacl.augment_paths): sequences via memoized
+        reach-pair joins, closures via pointer-doubling, alternatives and
+        inverses via one vectorized map. Returns None when pathless."""
+        if not self.paths:
+            return None
+        from ..sources import io as io_mod
+        from .shacl import _closure_rows, _seq_rows, dedup_triples
+
+        num_partitions = max(8, io_mod.default_num_blocks() // 2)
+        derived: list[rd.Dataset] = []
+        prefix_cache: dict = {}
+        invs = [(c, s[1][0]) for c, s in self.paths.items() if s[0] == "inv"]
+        alts = [(c, s[1]) for c, s in self.paths.items() if s[0] == "alt"]
+        if invs or alts:
+            def swap_rows(b: pa.Table) -> pa.Table:
+                outs = []
+                for canon, pred in invs:
+                    sub = b.filter(pc.equal(b["pred"], pred))
+                    if sub.num_rows:
+                        skind = ["blank" if s.startswith("_:") else "iri"
+                                 for s in sub["subj"].to_pylist()]
+                        n = sub.num_rows
+                        outs.append(pa.table({
+                            "subj": sub["obj_value"],
+                            "pred": pa.array([canon] * n, pa.string()),
+                            "obj_kind": pa.array(skind, pa.string()),
+                            "obj_value": sub["subj"],
+                            "obj_datatype": pa.array([""] * n, pa.string()),
+                            "obj_lang": pa.array([""] * n, pa.string()),
+                            "doc_id": sub["doc_id"],
+                            "span_idx": sub["span_idx"]}))
+                for canon, preds in alts:
+                    sub = b.filter(pc.is_in(
+                        b["pred"], value_set=pa.array(list(preds))))
+                    if sub.num_rows:
+                        sub = sub.set_column(
+                            sub.column_names.index("pred"), "pred",
+                            pa.array([canon] * sub.num_rows, pa.string()))
+                        outs.append(sub)
+                return pa.concat_tables(outs) if outs else b.slice(0, 0)
+
+            derived.append(triples.map_batches(
+                swap_rows, batch_format="pyarrow", zero_copy_batch=True))
+        for canon, (kind, preds) in self.paths.items():
+            if kind == "seq":
+                derived.append(_seq_rows(triples, canon, tuple(preds),
+                                         num_partitions, prefix_cache)
+                               .materialize())
+            elif kind in ("plus", "star"):
+                derived.append(_closure_rows(triples, canon, preds[0],
+                                             kind == "star",
+                                             num_partitions))
+        out = derived[0]
+        for d in derived[1:]:
+            out = out.union(d)
+        out = out.map_batches(lambda b: b, batch_format="pyarrow",
+                              zero_copy_batch=True)
+        coalesce = max(8, io_mod.shuffle_buckets() // 4)
+        return dedup_triples(out.repartition(coalesce)).materialize()
+
     # -- pattern → candidate bindings ----------------------------------
-    def _candidates(self, triples: rd.Dataset,
+    def _candidates(self, tri: tuple[rd.Dataset, rd.Dataset | None],
                     pattern: tuple[str, str, str]) -> rd.Dataset:
+        triples, derived = tri
         s, p, o = pattern
-        out_vars = list(dict.fromkeys(t for t in (s, o) if _is_var(t)))
+        # path patterns scan ONLY the derived virtual rows; plain and
+        # variable predicates scan only the original stream — a variable
+        # predicate never binds to a synthetic path string
+        source = derived if p in self.paths else triples
+        pos = [("subj", s), ("pred", p), ("obj_value", o)]
+        out_vars = list(dict.fromkeys(t for _, t in pos if _is_var(t)))
         schema = pa.schema([pa.field(v, pa.string()) for v in out_vars])
 
         def fn(b: pa.Table) -> pa.Table:
-            f = b.filter(pc.equal(b["pred"], p))
-            if not _is_var(s):
-                f = f.filter(pc.equal(f["subj"], s))
-            if not _is_var(o):
-                f = f.filter(pc.equal(f["obj_value"], o))
-            cols = {}
-            if _is_var(s):
-                cols[s] = f["subj"].cast(pa.string())
-            if _is_var(o):
-                cols[o] = f["obj_value"].cast(pa.string())
-            if s == o and _is_var(s):  # (?x p ?x): self-referencing rows
-                f2 = f.filter(pc.equal(f["subj"], f["obj_value"]))
-                cols = {s: f2["subj"].cast(pa.string())}
+            f = b
+            for col, t in pos:
+                if not _is_var(t):
+                    f = f.filter(pc.equal(f[col], t))
+            first_col: dict[str, str] = {}
+            for col, t in pos:
+                if _is_var(t):
+                    if t in first_col:  # repeated var: equi-filter
+                        f = f.filter(pc.equal(f[first_col[t]], f[col]))
+                    else:
+                        first_col[t] = col
+            cols = {v: f[first_col[v]].cast(pa.string()) for v in out_vars}
             return pa.table(cols, schema=schema)
 
-        return triples.map_batches(fn, batch_format="pyarrow",
-                                   zero_copy_batch=True)
+        return source.map_batches(fn, batch_format="pyarrow",
+                                  zero_copy_batch=True)
 
     # -- bucketed hash join on shared variables ------------------------
     @staticmethod
@@ -193,14 +308,14 @@ class BGPConstraint:
         return bucketed_block_apply(both, key, merge)
 
     # -- public surface ------------------------------------------------
-    def _chain(self, triples: rd.Dataset,
+    def _chain(self, tri: tuple[rd.Dataset, rd.Dataset | None],
                patterns) -> tuple[rd.Dataset, list[str]]:
         cur: rd.Dataset | None = None
         cur_cols: list[str] = []
         for pattern in patterns:
-            pvars = [t for t in (pattern[0], pattern[2]) if _is_var(t)]
+            pvars = [t for t in pattern if _is_var(t)]
             pvars = list(dict.fromkeys(pvars))
-            cand = self._candidates(triples, pattern)
+            cand = self._candidates(tri, pattern)
             if cur is None:
                 cur, cur_cols = cand, pvars
                 continue
@@ -212,7 +327,10 @@ class BGPConstraint:
 
     def bindings(self, triples: rd.Dataset) -> tuple[rd.Dataset, list[str]]:
         """Distributed solution bindings for the full pattern chain."""
-        cur, cur_cols = self._chain(triples, self.patterns)
+        return self._bindings_from((triples, self._derived(triples)))
+
+    def _bindings_from(self, tri) -> tuple[rd.Dataset, list[str]]:
+        cur, cur_cols = self._chain(tri, self.patterns)
         if self.filter_fn is not None:
             fn = self.filter_fn
 
@@ -232,10 +350,11 @@ class BGPConstraint:
 
         from .shacl import _focus_sets, _members_mask, _violation_rows
 
-        sol, _ = self.bindings(triples)
+        tri = (triples, self._derived(triples))
+        sol, _ = self._bindings_from(tri)
         focus_sol = sol
         for alt in self.alts:  # UNION: alternatives add focus nodes
-            ab, _ = self._chain(triples, alt)
+            ab, _ = self._chain(tri, alt)
             focus_sol = focus_sol.map_batches(
                 lambda b: pa.table({THIS: b[THIS].cast(pa.string())}),
                 batch_format="pyarrow").union(ab.map_batches(
@@ -253,7 +372,7 @@ class BGPConstraint:
 
             from .discovery import bucketed_block_apply
 
-            ab, _ = self._chain(triples, self.absent)
+            ab, _ = self._chain(tri, self.absent)
             ab_focus = (ab.map_batches(
                 lambda b: pa.table({"focus": b[THIS].cast(pa.string())}),
                 batch_format="pyarrow")
@@ -289,7 +408,7 @@ class BGPConstraint:
             from .discovery import bucketed_block_apply
 
             _, opt_path, _ = self.optional_pattern
-            cand = self._candidates(triples, self.optional_pattern)
+            cand = self._candidates(tri, self.optional_pattern)
             ovar = [c for c in cand.schema().names if c != THIS][0]
 
             def tag_f(b: pa.Table) -> pa.Table:

@@ -68,17 +68,85 @@ def test_bgp_target_restricts_focus():
         ["d1", "d3"]  # ex:other has no rdf:type ex:Dataset
 
 
-def test_bgp_rejects_cross_product_and_var_predicate():
+def test_bgp_rejects_cross_product_and_missing_this():
     with pytest.raises(ValueError, match="cross products"):
         BGPConstraint(patterns=[("$this", EX + "p", "?a"),
                                 ("?b", EX + "q", "?c")],
                       component=EX + "c#X")
-    with pytest.raises(ValueError, match="constant IRI"):
-        BGPConstraint(patterns=[("$this", "?p", "?a")],
-                      component=EX + "c#X")
     with pytest.raises(ValueError, match="binds \\$this"):
         BGPConstraint(patterns=[("?a", EX + "p", "?b")],
                       component=EX + "c#X")
+
+
+def test_bgp_variable_predicate():
+    """A variable in predicate position binds the pred column and can
+    carry a FILTER and join across patterns on the shared pred var."""
+    cc = BGPConstraint(
+        patterns=[("$this", "?p", "application/pdf")],
+        component=EX + "c#AnyPdf")
+    got = _focus(cc.violations(_ds_from_ttl_text(DATA)))
+    assert got == ["z1", "z3", "z4"]
+
+    # FILTER over the predicate variable
+    cc2 = BGPConstraint(
+        patterns=[("$this", "?p", "application/pdf")],
+        filter_fn=lambda df: df["?p"].str.endswith("format"),
+        component=EX + "c#AnyPdfFmt")
+    assert _focus(cc2.violations(_ds_from_ttl_text(DATA))) == \
+        ["z1", "z3", "z4"]
+
+    # shared predicate var joins two patterns: some predicate links
+    # $this to BOTH z1's value and z2's value
+    data = DATA + "\nex:w ex:format \"text/csv\" .\n"
+    cc3 = BGPConstraint(
+        patterns=[("$this", "?p", "text/csv"),
+                  ("?other", "?p", "application/pdf")],
+        component=EX + "c#SharedPred")
+    assert _focus(cc3.violations(_ds_from_ttl_text(data))) == ["w", "z2"]
+
+
+def test_bgp_sequence_and_alt_paths_in_patterns():
+    """Property paths inside patterns: a seq path collapses the 2-hop
+    join, an alt path matches either predicate; both reuse the shapes
+    path derivation (virtual pred rows scanned only by path patterns)."""
+    cc = BGPConstraint(
+        patterns=[("$this", ("seq", [EX + "dist", EX + "format"]),
+                   "application/pdf")],
+        component=EX + "c#PdfViaPath")
+    assert _focus(cc.violations(_ds_from_ttl_text(DATA))) == \
+        ["d1", "d3", "other"]
+
+    data = DATA + """
+    @prefix ex: <http://example.org/> .
+    ex:d1 ex:title "t1" .
+    ex:d2 ex:label "l2" .
+    """
+    cc2 = BGPConstraint(
+        patterns=[("$this", ("alt", [EX + "title", EX + "label"]), "?v")],
+        component=EX + "c#Labeled")
+    assert _focus(cc2.violations(_ds_from_ttl_text(data))) == ["d1", "d2"]
+
+
+def test_bgp_closure_and_inverse_paths_in_patterns():
+    """p+ closure inside a pattern reaches transitively; inverse path
+    flips direction."""
+    data = """
+    @prefix ex: <http://example.org/> .
+    ex:a ex:part ex:b .
+    ex:b ex:part ex:c .
+    ex:c ex:part ex:d .
+    ex:d ex:leaf "x" .
+    """
+    cc = BGPConstraint(
+        patterns=[("$this", ("plus", EX + "part"), "?n"),
+                  ("?n", EX + "leaf", "x")],
+        component=EX + "c#ReachesLeaf")
+    assert _focus(cc.violations(_ds_from_ttl_text(data))) == ["a", "b", "c"]
+
+    cc2 = BGPConstraint(
+        patterns=[("$this", ("inv", EX + "part"), "?parent")],
+        component=EX + "c#HasParent")
+    assert _focus(cc2.violations(_ds_from_ttl_text(data))) == ["b", "c", "d"]
 
 
 def test_bgp_three_pattern_chain():
