@@ -163,6 +163,16 @@ def q_embedding_dups_ivf(sf_dir: str):
     return dedup.embedding_dup_pairs_ivf(_emb(sf_dir), tau=0.4)
 
 
+def q_substring_dedup(sf_dir: str):
+    """Exact repeated-substring removal (Lee et al. 2022 span surgery):
+    every ≥5-token passage occurring more than once in the corpus is
+    excised from all but its minimum-(doc, pos) occurrence; kept tokens
+    re-join. Oracle reproduces the rolling-gram window arithmetic in
+    SQL."""
+    from ..stages import dedup
+    return dedup.substring_dedup(_docs(sf_dir), k=5)
+
+
 def q_fuzzy_dedup_keep(sf_dir: str):
     """Cluster-based near-dup removal: MinHash pairs → connected
     components → per-cluster survivor (min doc id). Oracle closes the
@@ -981,6 +991,7 @@ QUERIES = {
     "embedding_dups": q_embedding_dups,
     "embedding_dups_ivf": q_embedding_dups_ivf,
     "fuzzy_dedup_keep": q_fuzzy_dedup_keep,
+    "substring_dedup": q_substring_dedup,
     "curation": q_curation,
     "curate_full": q_curate_full,
     # similarity search
@@ -1489,6 +1500,42 @@ FROM c""",
     # survivor map: exact all-pairs dup graph, closed transitively with a
     # recursive CTE (dup clusters are tiny, so the closure is cheap at
     # oracle scale), rep = min doc id reachable
+    # substring_dedup: the same rolling 5-gram window arithmetic in SQL —
+    # duplicated grams (count ≥ 2 over the corpus) mark every occurrence
+    # except the (doc_id, pos)-minimum; marked [pos, pos+5) token spans
+    # union into a removal mask per doc; kept tokens string_agg in order
+    "substring_dedup": r"""
+        WITH toks AS (SELECT doc_id,
+                             regexp_extract_all(coalesce(text, ''), '\S+') AS tl
+                      FROM documents),
+        gi AS (SELECT doc_id, tl,
+                      unnest(range(0, greatest(len(tl) - 4, 0))) AS i
+               FROM toks),
+        g AS (SELECT doc_id, i,
+                     md5(array_to_string(list_slice(tl, i + 1, i + 5),
+                                         ' ')) AS g
+              FROM gi),
+        marked AS (SELECT doc_id, i,
+                          row_number() OVER (PARTITION BY g
+                                             ORDER BY doc_id, i) AS rn,
+                          count(*) OVER (PARTITION BY g) AS c
+                   FROM g),
+        rm AS (SELECT doc_id, i FROM marked WHERE c >= 2 AND rn > 1),
+        ti AS (SELECT doc_id, tl, unnest(range(0, len(tl))) AS ti
+               FROM toks),
+        tok AS (SELECT doc_id, ti, tl[ti + 1] AS tok FROM ti),
+        kept AS (SELECT k.doc_id, k.ti, k.tok
+                 FROM tok k
+                 WHERE NOT EXISTS (SELECT 1 FROM rm r
+                                   WHERE r.doc_id = k.doc_id
+                                     AND r.i <= k.ti AND k.ti < r.i + 5))
+        SELECT d.doc_id,
+               coalesce(string_agg(kp.tok, ' ' ORDER BY kp.ti), '') AS text,
+               len(x.tl) - count(kp.tok) AS n_removed
+        FROM documents d
+        JOIN toks x ON x.doc_id = d.doc_id
+        LEFT JOIN kept kp ON kp.doc_id = d.doc_id
+        GROUP BY d.doc_id, len(x.tl)""",
     "fuzzy_dedup_keep": """
 WITH RECURSIVE t AS (SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS ws FROM documents),
 p AS (

@@ -433,6 +433,108 @@ def embedding_dup_pairs(emb: rd.Dataset, tau: float = 0.4, block_col: str = "lab
     return emb.groupby(block_col).map_groups(pairs, batch_format="pandas")
 
 
+def substring_dedup(docs: rd.Dataset, k: int = 8, id_col: str = "doc_id",
+                    text_col: str = "text",
+                    n_buckets: int | None = None) -> rd.Dataset:
+    """Exact repeated-substring REMOVAL (span surgery) — the Lee et al.
+    2022 "Deduplicating Training Data Makes Language Models Better"
+    operation the whole-document dedup family can't do: a passage of
+    ≥ k tokens appearing more than once ANYWHERE in the corpus is
+    excised from every occurrence except the canonical first one
+    (minimum ``(doc_id, position)``), keeping the surrounding text.
+
+    Distributed shape (suffix arrays don't shard; rolling k-gram
+    fingerprints do):
+
+    1. one pass emits (md5(k-gram), doc_id, pos) rolling fingerprints —
+       every length-≥k repeat is a run of ≥1 duplicated k-grams;
+    2. ONE shuffle keyed by the gram hash: each duplicated gram keeps
+       its minimum-(doc, pos) occurrence and marks every other
+       occurrence's [pos, pos+k) token span for removal;
+    3. removal marks merge back onto the corpus in a bucketed
+       tagged-union keyed on the doc id; per doc the marked spans union
+       into a token mask (overlapping grams coalesce into maximal
+       spans) and the kept tokens re-join with single spaces.
+
+    A repeated passage of length L ≥ k duplicates all L-k+1 of its
+    gram positions, so the whole passage is removed from non-canonical
+    occurrences; shorter chance collisions remove exactly their k
+    tokens. Output: (doc_id, text, n_removed) for EVERY document
+    (n_removed = tokens excised; original whitespace normalizes to
+    single spaces — the tokenizer is whitespace). Oracle: the same
+    window/anti-join arithmetic in SQL.
+    """
+    import hashlib
+
+    from .discovery import bucketed_block_apply
+
+    def grams(b: pa.Table) -> pa.Table:
+        ids, pos, g = [], [], []
+        for d, t in zip(b.column(id_col).to_pylist(),
+                        b.column(text_col).to_pylist()):
+            toks = (t or "").split()
+            for i in range(len(toks) - k + 1):
+                ids.append(d); pos.append(i)
+                g.append(hashlib.md5(
+                    " ".join(toks[i:i + k]).encode()).hexdigest())
+        return pa.table({id_col: pa.array(ids, pa.int64()),
+                         "pos": pa.array(pos, pa.int64()),
+                         "g": pa.array(g, pa.string())})
+
+    gram_rows = docs.map_batches(grams, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+
+    def removals(g: pd.DataFrame) -> pd.DataFrame:
+        dup = g[g.duplicated("g", keep=False)]
+        if not len(dup):
+            return pd.DataFrame({id_col: pd.array([], dtype="int64"),
+                                 "pos": pd.array([], dtype="int64")})
+        dup = dup.sort_values(["g", id_col, "pos"])
+        keeper = ~dup.duplicated("g", keep="first")
+        return dup.loc[~keeper, [id_col, "pos"]].astype("int64")
+
+    rm = bucketed_block_apply(gram_rows, "g", removals, n_buckets=n_buckets)
+
+    # tagged union keyed on the doc id: doc rows + removal marks
+    def tag_doc(b: pa.Table) -> pa.Table:
+        return pa.table({
+            id_col: b[id_col].cast(pa.int64()),
+            text_col: b[text_col].cast(pa.string()),
+            "pos": pa.nulls(b.num_rows, pa.int64()),
+            "is_rm": pa.nulls(b.num_rows, pa.bool_()).fill_null(False)})
+
+    def tag_rm(b: pa.Table) -> pa.Table:
+        return pa.table({
+            id_col: b[id_col].cast(pa.int64()),
+            text_col: pa.nulls(b.num_rows, pa.string()),
+            "pos": b["pos"].cast(pa.int64()),
+            "is_rm": pa.nulls(b.num_rows, pa.bool_()).fill_null(True)})
+
+    tagged = (docs.select_columns([id_col, text_col])
+              .map_batches(tag_doc, batch_format="pyarrow")
+              .union(rm.map_batches(tag_rm, batch_format="pyarrow")))
+
+    def excise(g: pd.DataFrame) -> pd.DataFrame:
+        out_id, out_text, out_rm = [], [], []
+        for did, sub in g.groupby(id_col, sort=False):
+            drows = sub.loc[~sub["is_rm"]]
+            if not len(drows):
+                continue
+            toks = (drows[text_col].iloc[0] or "").split()
+            mask = np.zeros(len(toks), dtype=bool)
+            for p in sub.loc[sub["is_rm"], "pos"]:
+                mask[int(p):int(p) + k] = True
+            out_id.append(did)
+            out_text.append(" ".join(t for t, m in zip(toks, mask)
+                                     if not m))
+            out_rm.append(int(mask.sum()))
+        return pd.DataFrame({id_col: pd.array(out_id, dtype="int64"),
+                             text_col: pd.array(out_text, dtype="string"),
+                             "n_removed": pd.array(out_rm, dtype="int64")})
+
+    return bucketed_block_apply(tagged, id_col, excise, n_buckets=n_buckets)
+
+
 def fuzzy_dedup_keep(docs: rd.Dataset, tau: float = 0.95,
                      id_col: str = "doc_id", text_col: str = "text",
                      block_col: str | None = "lang",

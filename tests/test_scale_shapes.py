@@ -110,3 +110,44 @@ def test_prefix_levels_driver_table_bounded_independent_of_size():
         # total token mass is conserved at every level
         for lvl in levels:
             assert sum(lvl.to_pandas()["s"]) == 3 * n_leaves
+
+
+def test_substring_dedup_excises_repeated_passage():
+    """A ≥k-token passage planted in two documents survives only in the
+    minimum-(doc, pos) occurrence; surrounding text is kept intact."""
+    passage = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array([
+            f"intro one {passage} outro one",
+            f"prefix two two {passage} suffix two",
+            "no overlap here at all whatsoever in this document",
+        ], pa.string())}))
+    got = (dedup.substring_dedup(docs, k=8).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert list(got["doc_id"]) == [1, 2, 3]
+    assert got.loc[0, "text"] == f"intro one {passage} outro one"
+    assert got.loc[0, "n_removed"] == 0
+    assert got.loc[1, "text"] == "prefix two two suffix two"
+    assert got.loc[1, "n_removed"] == 8
+    assert got.loc[2, "n_removed"] == 0
+
+
+def test_substring_dedup_idempotent_on_planted_fixture():
+    """Re-running span surgery on its own output removes nothing more
+    (no new cross-document repeats are created by the excision)."""
+    passage = "one two three four five six seven eight nine ten"
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array([
+            f"{passage} tail a b c",
+            f"head x y z {passage}",
+            f"mid p q {passage} r s",
+        ], pa.string())}))
+    once = dedup.substring_dedup(docs, k=10).to_pandas()
+    again = (dedup.substring_dedup(
+        rd.from_pandas(once[["doc_id", "text"]]), k=10).to_pandas()
+        .sort_values("doc_id").reset_index(drop=True))
+    once = once.sort_values("doc_id").reset_index(drop=True)
+    assert (again["n_removed"] == 0).all()
+    assert list(again["text"]) == list(once["text"])
