@@ -154,6 +154,45 @@ def flagship(sf_dir: str) -> rd.Dataset:
     return canonical_triples(sf_dir)
 
 
+def incremental_canonical_triples(sf_dir: str, changed_doc_ids,
+                                  prior_links: rd.Dataset,
+                                  prior_map: rd.Dataset) -> rd.Dataset:
+    """Incremental canonicalize + rewrite — the 100 TB rerun primitive
+    for the GRAPH side (the validation side is
+    :func:`incremental_validate`): re-link ONLY the changed documents,
+    splice their components into the prior canonical map
+    (``canonicalize.incremental_canonical_map`` — affected components
+    recompute, untouched ones pass through), and rewrite the triple set
+    through the spliced map. Equivalence with the from-scratch graph is
+    oracle-checked (``kg_incremental_graph`` reproduces the full-run
+    ``kg_canonical`` hash exactly)."""
+    import pyarrow as pa
+    import ray
+
+    changed = set(changed_doc_ids)
+    ch_ref = ray.put(changed)
+
+    docs = documents_dataset(sf_dir)
+
+    def keep_changed(b: pa.Table) -> pa.Table:
+        ch = ray.get(ch_ref)
+        mask = pa.array([d in ch for d in b["doc_id"].to_pylist()],
+                        pa.bool_())
+        return b.filter(mask)
+
+    tr_changed = extract.extract_triples(
+        docs.map_batches(keep_changed, batch_format="pyarrow",
+                         zero_copy_batch=True))
+    alias_rows = [(r["surface"], r["iri"])
+                  for r in synth.alias_table().to_pylist()]
+    new_links = linking.link_entities(tr_changed, alias_rows).materialize()
+
+    canon = canonicalize.incremental_canonical_map(
+        prior_links, prior_map, new_links, changed)
+    return shacl.dedup_triples(
+        materialize.canonical_rewrite(triples_dataset(sf_dir), canon))
+
+
 def incremental_validate(sf_dir: str, changed_doc_ids, prior: rd.Dataset,
                          profile: str = "dcat_ap_demo") -> rd.Dataset:
     """Incremental revalidation — the 100 TB rerun primitive: revalidate

@@ -757,6 +757,31 @@ def q_kg_triangles(sf_dir: str):
     return triangle_count(edges)
 
 
+def q_kg_incremental_graph(sf_dir: str):
+    """Incremental canonicalize/materialize end-to-end: full run as
+    prior, every even-numbered document 'changes', its links re-resolve
+    and splice into the prior canonical map (affected components only),
+    and the rewrite must reproduce the full-run canonical graph hash
+    exactly."""
+    from ..stages import canonicalize
+    from . import kg
+
+    prior_links = kg.links_dataset(sf_dir).materialize()
+    prior_map = canonicalize.canonical_map_from_links(
+        prior_links).materialize()
+    docs = kg.documents_dataset(sf_dir)
+    changed = []
+    for b in docs.select_columns(["doc_id"]).iter_batches(
+            batch_format="pyarrow"):
+        for d in b["doc_id"].to_pylist():
+            if int(str(d).rsplit("-", 1)[-1]) % 2 == 0:
+                changed.append(d)
+    out = kg.incremental_canonical_triples(sf_dir, changed, prior_links,
+                                           prior_map)
+    return out.select_columns(
+        ["subj", "pred", "obj_kind", "obj_value", "obj_datatype", "obj_lang"])
+
+
 def q_kg_components(sf_dir: str):
     """Weakly connected components over the dataset→distribution edge
     graph via the engine's distributed union-find (label propagation as
@@ -900,6 +925,7 @@ QUERIES = {
     "kg_conformant": q_kg_conformant,
     "kg_validate": q_kg_validate,
     "kg_incremental": q_kg_incremental,
+    "kg_incremental_graph": q_kg_incremental_graph,
     "kg_validate_paths": q_kg_validate_paths,
     "kg_validate_logic": q_kg_validate_logic,
     "kg_validate_node": q_kg_validate_node,
@@ -2162,6 +2188,11 @@ SELECT regexp_extract(source_constraint_component, '[^#/]+$') AS name,
        count(*) AS value
 FROM viol GROUP BY 1 ORDER BY value DESC, name LIMIT 8""",
         "kg_canonical":
+            f"SELECT DISTINCT subj, pred, obj_kind, obj_value, obj_datatype, obj_lang "
+            f"FROM {gt}",
+        # incremental link-merge + rewrite must reproduce the full-run
+        # canonical graph exactly
+        "kg_incremental_graph":
             f"SELECT DISTINCT subj, pred, obj_kind, obj_value, obj_datatype, obj_lang "
             f"FROM {gt}",
         "kg_conformant": base + """

@@ -295,5 +295,49 @@ def materialize_graph(triples: rd.Dataset, out_dir: str, *,
     return manifest
 
 
+def incremental_materialize(triples: rd.Dataset, out_dir: str,
+                            affected_subjects, **kw) -> dict:
+    """Partition-invalidated incremental rewrite: only the write groups
+    whose (unsalted) subject bucket can contain an affected subject are
+    recomputed and atomically replaced; every other group's parquet
+    partitions stay on disk untouched.
+
+    The manifest already records the layout (n_buckets / salt /
+    write_groups) and per-group completion — invalidation is just
+    "drop the affected groups from ``groups_done`` and resume":
+    :func:`materialize_graph`'s stage-then-commit rerun rewrites each
+    invalidated group wholesale from the new triple set. Group
+    assignment replays the same hash arithmetic as the full write
+    (``group = base_bucket % write_groups``; hub salting only splits
+    WITHIN a base bucket, so it never moves a subject across groups).
+
+    ``triples`` must be the NEW full (post-change) rewritten triple
+    set — the invalidated groups re-filter it; the untouched groups
+    never read it (their tasks are skipped by the manifest)."""
+    from ..sources import io as io_mod
+
+    manifest_path = os.path.join(out_dir, "_MANIFEST.json")
+    with open(manifest_path) as f:
+        manifest = json.load(f)
+    nb, wg = manifest["n_buckets"], manifest["write_groups"]
+    subs = sorted(set(affected_subjects))
+    if subs:
+        import numpy as np
+
+        base = np.asarray(io_mod.hash_bucket_column(
+            pa.array(subs, pa.string()), nb), dtype=np.int64)
+        invalid = sorted({int(x) % wg for x in base})
+    else:
+        invalid = []
+    manifest["complete"] = False
+    manifest["groups_done"] = sorted(set(manifest["groups_done"])
+                                     - set(invalid))
+    with open(manifest_path, "w") as f:
+        json.dump(manifest, f, indent=1)
+    out = materialize_graph(triples, out_dir, **kw)
+    out["groups_rewritten"] = invalid
+    return out
+
+
 def read_graph(out_dir: str) -> rd.Dataset:
     return rd.read_parquet(out_dir)

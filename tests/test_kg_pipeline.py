@@ -311,3 +311,101 @@ def test_incremental_validate_replaces_stale_results():
     left = out[cols].sort_values(cols).reset_index(drop=True)
     right = exp[cols].sort_values(cols).reset_index(drop=True)
     assert left.equals(right)
+
+
+def test_incremental_materialize_rewrites_only_affected_groups(tmp_path):
+    """Partition-invalidated rewrite: only write groups containing an
+    affected subject are recomputed (their files get new mtimes / the
+    manifest lists them) and the final graph equals a full rewrite."""
+    import os
+    import time
+
+    docs, _, _mgt = synth.make_corpus_tables(60)
+    triples = rd.from_arrow(extract.extract_triples_batch(docs))
+    out = str(tmp_path / "graph")
+    m1 = materialize.materialize_graph(triples, out, n_buckets=8,
+                                       write_groups=4, hub_threshold=50)
+    assert m1["complete"]
+    full_rows = materialize.read_graph(out).count()
+
+    # snapshot per-group mtimes (group = bucket // salt % write_groups)
+    def group_mtimes():
+        mt = {}
+        for d in os.listdir(out):
+            if d.startswith("bucket="):
+                b = int(d.split("=")[1])
+                g = (b // m1["salt"]) % m1["write_groups"]
+                p = os.path.join(out, d)
+                mt[g] = max(mt.get(g, 0), max(
+                    os.path.getmtime(os.path.join(p, f))
+                    for f in os.listdir(p)))
+        return mt
+
+    before = group_mtimes()
+    time.sleep(0.05)
+
+    # pick one subject → its group must be rewritten, others untouched
+    subj = triples.take(1)[0]["subj"]
+    m2 = materialize.incremental_materialize(triples, out, [subj],
+                                             hub_threshold=50)
+    assert m2["complete"]
+    assert len(m2["groups_rewritten"]) == 1
+    after = group_mtimes()
+    for g in before:
+        if g in m2["groups_rewritten"]:
+            assert after[g] > before[g], (g, "should have been rewritten")
+        else:
+            assert after[g] == before[g], (g, "should be untouched")
+    assert materialize.read_graph(out).count() == full_rows
+
+
+def test_incremental_canonical_map_with_real_change():
+    """A changed document REMOVES one of its old links and ADDS a link
+    merging two previously separate components; the spliced map must
+    equal a from-scratch recompute on the new link set."""
+    import pyarrow as pa
+
+    from shacl_validator_ray.stages import canonicalize
+
+    def links(rows):
+        return rd.from_arrow(pa.table({
+            "mention_iri": pa.array([r[0] for r in rows], pa.string()),
+            "candidate_iri": pa.array([r[1] for r in rows], pa.string()),
+            "doc_id": pa.array([r[2] for r in rows], pa.string())}))
+
+    E = "http://example.org/ent/"
+    M = "http://example.org/mention/"
+    prior = links([
+        (M + "a", E + "A", "d1"),
+        (M + "b", E + "A", "d1"),
+        (M + "c", E + "C", "d2"),   # removed by the change
+        (M + "d", E + "D", "d3"),
+        (M + "e", E + "E", "d4"),
+    ])
+    prior_map = canonicalize.canonical_map_from_links(prior).materialize()
+
+    # doc d2 changes: drops (c→C), adds a bridge D→E
+    new = links([(M + "x", E + "D", "d2"), (M + "x", E + "E", "d2")])
+    got = (canonicalize.incremental_canonical_map(prior, prior_map, new,
+                                                  {"d2"})
+           .to_pandas().sort_values("entity_id").reset_index(drop=True))
+
+    scratch_links = links([
+        (M + "a", E + "A", "d1"),
+        (M + "d", E + "D", "d3"),
+        (M + "e", E + "E", "d4"),
+        (M + "b", E + "A", "d1"),
+        (M + "x", E + "D", "d2"),
+        (M + "x", E + "E", "d2"),
+    ])
+    want = (canonicalize.canonical_map_from_links(scratch_links)
+            .to_pandas().sort_values("entity_id").reset_index(drop=True))
+    # stale entities from the dropped link may linger as singletons only
+    # if they still appear; they must NOT retain merged roots
+    got_d = dict(zip(got["entity_id"], got["root_id"]))
+    want_d = dict(zip(want["entity_id"], want["root_id"]))
+    for e, r in want_d.items():
+        assert got_d.get(e) == r, (e, got_d.get(e), r)
+    extra = set(got_d) - set(want_d)
+    for e in extra:  # unlinked leftovers may only map to themselves
+        assert got_d[e] == e, (e, got_d[e])
