@@ -55,7 +55,9 @@ def cmd_validate(args) -> int:
         with open(args.shapes) as f:
             ttl = f.read()
     else:
-        ttl = shapes_mod.load_profile_ttl(args.profile)
+        ttl = shapes_mod.load_profile_ttl(
+            args.profile, version=getattr(args, "profile_version", None),
+            branch=getattr(args, "branch", None))
     viols = shacl.validate(_triples_from_ttl(args.data), ttl)
     n = viols.count()
     if args.format == "ttl":
@@ -233,13 +235,21 @@ def cmd_profiles(args) -> int:
     out = []
     for name, meta in sorted(registry.items()):
         compiled = shapes_mod.compile_shapes(shapes_mod.load_profile_ttl(name))
-        out.append({
+        row = {
             "profile": name,
             "description": meta.get("description", ""),
             "shaclFiles": meta.get("shaclFiles", []),
             "node_shapes": len(compiled.node_shapes),
             "property_shapes": sum(1 for _ in compiled.property_shapes()),
-        })
+        }
+        if "versions" in meta:  # reference-parity versioned layout
+            row["versions"] = sorted(meta["versions"])
+            row["defaultVersion"] = meta.get("defaultVersion")
+            row["branches"] = sorted(meta.get("branches", {}))
+            row["defaultBranch"] = meta.get("defaultBranch")
+            row["shaclFiles"] = meta["versions"][
+                meta["defaultVersion"]]["shaclFiles"]
+        out.append(row)
     print(json.dumps(out, indent=1))
     return 0
 
@@ -255,6 +265,12 @@ def main(argv=None) -> int:
     v.add_argument("data")
     v.add_argument("--shapes")
     v.add_argument("--profile", default="dcat_ap_demo")
+    v.add_argument("--profile-version", default=None,
+                   help="version of a versioned profile (default: the "
+                        "registry's defaultVersion)")
+    v.add_argument("--branch", default=None,
+                   help="branch of a versioned profile (default: the "
+                        "registry's defaultBranch)")
     v.add_argument("--format", choices=["json", "ttl", "csv"], default="json")
     v.add_argument("--limit", type=int, default=100,
                    help="max violation detail lines in json mode "

@@ -757,6 +757,21 @@ def q_kg_triangles(sf_dir: str):
     return triangle_count(edges)
 
 
+def q_kg_validate_versioned(sf_dir: str):
+    """Reference-parity versioned profile: version/branch-resolved
+    MULTI-FILE shape union (two TTL files re-declaring one node shape,
+    each contributing a property — S7 union semantics) validated over
+    the corpus at the default version/branch."""
+    from ..stages import shacl
+    from ..state import shapes as shapes_mod
+    from . import kg
+    return shacl.validate(
+        kg.triples_dataset(sf_dir),
+        shapes_mod.load_profile_ttl("versioned_demo")).select_columns(
+        ["severity", "focus_node", "path", "value",
+         "source_constraint_component"])
+
+
 def q_kg_incremental_graph(sf_dir: str):
     """Incremental canonicalize/materialize end-to-end: full run as
     prior, every even-numbered document 'changes', its links re-resolve
@@ -926,6 +941,7 @@ QUERIES = {
     "kg_validate": q_kg_validate,
     "kg_incremental": q_kg_incremental,
     "kg_incremental_graph": q_kg_incremental_graph,
+    "kg_validate_versioned": q_kg_validate_versioned,
     "kg_validate_paths": q_kg_validate_paths,
     "kg_validate_logic": q_kg_validate_logic,
     "kg_validate_node": q_kg_validate_node,
@@ -2354,6 +2370,23 @@ SELECT 'Violation' AS severity, h.subj AS focus_node,
        'http://example.org/constraints#NoPdfDistributionTitled'
            AS source_constraint_component
 FROM hits h LEFT JOIN tt ON tt.subj = h.subj""",
+        # kg_validate_versioned: the two-file union profile in SQL —
+        # title minCount (Violation, core file) + description minCount
+        # (Warning, extra file) over typed datasets
+        "kg_validate_versioned": f"""
+WITH g AS (SELECT DISTINCT subj, pred, obj_value FROM {gt}),
+datasets AS (SELECT DISTINCT subj FROM g
+             WHERE pred = '{ns.RDF_TYPE}' AND obj_value = '{dcat}Dataset')
+SELECT 'Violation' AS severity, d.subj AS focus_node,
+       '{dct}title' AS path, '' AS value,
+       '{sh}MinCountConstraintComponent' AS source_constraint_component
+FROM datasets d
+WHERE d.subj NOT IN (SELECT subj FROM g WHERE pred = '{dct}title')
+UNION ALL
+SELECT 'Warning', d.subj, '{dct}description', '',
+       '{sh}MinCountConstraintComponent'
+FROM datasets d
+WHERE d.subj NOT IN (SELECT subj FROM g WHERE pred = '{dct}description')""",
         # kg_bgp_paths: sequence path = 2-hop join; alternative path =
         # either-predicate existence, in SQL
         "kg_bgp_paths": f"""

@@ -263,8 +263,24 @@ def _branch(ps: PropertyShape, piri: str) -> PropertyShape:
     return ps
 
 
-def compile_shapes(ttl_text: str) -> CompiledShapes:
-    triples = turtle.parse_turtle(ttl_text, bnode_prefix="sh")
+def compile_shapes(ttl_text) -> CompiledShapes:
+    """Compile one shape TTL text or a SEQUENCE of texts (a multi-file
+    profile). Multi-file union follows the reference's per-profile shape
+    assembly (SHACLValidationService.ts:114-138: each fetched file is
+    parsed separately and its quads union into one dataset): every file
+    gets its own blank-node scope (explicit ``_:b0`` labels in two files
+    never collide) and duplicate triples across files collapse to one —
+    the D3 set semantics, so a shape repeated in two files is compiled
+    once."""
+    texts = [ttl_text] if isinstance(ttl_text, str) else list(ttl_text)
+    triples = []
+    seen: set = set()
+    for i, txt in enumerate(texts):
+        pfx = "sh" if len(texts) == 1 else f"sh{i}f"
+        for t in turtle.parse_turtle(txt, bnode_prefix=pfx):
+            if t not in seen:
+                seen.add(t)
+                triples.append(t)
     spo: dict[str, dict[str, list[tuple[str, str, str, str]]]] = {}
     for s, p, k, v, dt, lang in triples:
         spo.setdefault(s, {}).setdefault(p, []).append((k, v, dt, lang))
@@ -465,9 +481,25 @@ def load_shapes(path: str) -> CompiledShapes:
         return compile_shapes(f.read())
 
 
-def load_profile_ttl(profile: str = "dcat_ap_demo") -> str:
-    """Profile registry (extension surface §2.10; mqa-config.json analog):
-    profile name → concatenated shape-file TTL text."""
+def load_profile_ttl(profile: str = "dcat_ap_demo", version: str | None = None,
+                     branch: str | None = None):
+    """Profile registry (extension surface §2.10; mqa-config.json analog,
+    /root/reference/src/config/mqa-config.json:38-140 consumed by
+    SHACLValidationService.ts:101-138).
+
+    Two registry layouts coexist:
+
+    - flat (legacy): ``{"shaclFiles": [path, ...]}`` — no versions;
+    - versioned (reference parity): ``{"defaultVersion", "defaultBranch",
+      "branches": {id: label}, "versions": {v: {"shaclFiles": [...]}}}``
+      with ``{branch}`` templating in the file paths (the reference
+      templates raw.githubusercontent URLs the same way;
+      SHACLValidationService.ts:110-111).
+
+    Returns ONE string for a single-file profile and a TUPLE of per-file
+    texts for a multi-file one — :func:`compile_shapes` unions a tuple
+    with per-file blank-node scoping, exactly like the reference's
+    per-file parse + quad union."""
     import json
     import os
 
@@ -476,8 +508,24 @@ def load_profile_ttl(profile: str = "dcat_ap_demo") -> str:
         registry = json.load(f)
     if profile not in registry:
         raise KeyError(f"unknown profile {profile!r}; known: {sorted(registry)}")
+    entry = registry[profile]
+    if "versions" in entry:
+        version = version or entry.get("defaultVersion")
+        if version not in entry["versions"]:
+            raise KeyError(f"unknown version {version!r} of {profile!r}; "
+                           f"known: {sorted(entry['versions'])}")
+        branch = branch or entry.get("defaultBranch", "main")
+        if "branches" in entry and branch not in entry["branches"]:
+            raise KeyError(f"unknown branch {branch!r} of {profile!r}; "
+                           f"known: {sorted(entry['branches'])}")
+        files = [f.replace("{branch}", branch)
+                 for f in entry["versions"][version]["shaclFiles"]]
+    else:
+        if version is not None or branch is not None:
+            raise KeyError(f"profile {profile!r} is unversioned")
+        files = entry["shaclFiles"]
     parts = []
-    for fname in registry[profile]["shaclFiles"]:
+    for fname in files:
         with open(os.path.join(root, fname)) as f:
             parts.append(f.read())
-    return "\n".join(parts)
+    return parts[0] if len(parts) == 1 else tuple(parts)

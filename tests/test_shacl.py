@@ -996,3 +996,61 @@ def test_pairs_profile_on_synthetic_corpus():
     # timeline violations report the issued value; size violations the size
     paths = {re.split(r"[#/]", r["path"])[-1] for r in recs}
     assert paths == {"issued", "byteSize", "quotaBytes"}, paths
+
+
+def test_versioned_profile_registry_union_and_branches():
+    """Reference-parity registry (mqa-config.json analog): profile →
+    version → branch with {branch} templating; the multi-file shape set
+    unions with per-file bnode scoping and D3 triple dedup (the node
+    shape declared in BOTH files compiles once, with both properties)."""
+    import pytest
+
+    from shacl_validator_ray.state import shapes as shapes_mod
+
+    t = shapes_mod.load_profile_ttl("versioned_demo")
+    assert isinstance(t, tuple) and len(t) == 2
+    c = shapes_mod.compile_shapes(t)
+    assert len(c.node_shapes) == 1  # duplicate declaration collapsed
+    props = {(p.path.rsplit("/")[-1], p.severity)
+             for p in c.node_shapes[0].properties}
+    assert props == {("title", "Violation"), ("description", "Warning")}
+
+    # branch selection changes the resolved files
+    dev = shapes_mod.compile_shapes(
+        shapes_mod.load_profile_ttl("versioned_demo", branch="develop"))
+    dprops = {(p.path.rsplit("/")[-1], p.severity)
+              for p in dev.node_shapes[0].properties}
+    assert dprops == {("title", "Violation"), ("description", "Violation")}
+
+    # explicit version resolves; unknown version/branch raise
+    assert shapes_mod.load_profile_ttl("versioned_demo", version="1.0.0",
+                                       branch="main") == t
+    with pytest.raises(KeyError, match="version"):
+        shapes_mod.load_profile_ttl("versioned_demo", version="9.9")
+    with pytest.raises(KeyError, match="branch"):
+        shapes_mod.load_profile_ttl("versioned_demo", branch="nope")
+    with pytest.raises(KeyError, match="unversioned"):
+        shapes_mod.load_profile_ttl("minimal_demo", version="1.0.0")
+
+
+def test_multifile_union_validates_end_to_end():
+    """The union profile validates through the distributed validator:
+    a dataset missing only a description draws the Warning from the
+    extra file, one missing a title draws the Violation from core."""
+    from shacl_validator_ray.stages import shacl as shacl_mod
+    from shacl_validator_ray.state import shapes as shapes_mod
+
+    data = """
+    @prefix ex: <http://example.org/> .
+    @prefix dcat: <http://www.w3.org/ns/dcat#> .
+    @prefix dct: <http://purl.org/dc/terms/> .
+    ex:d1 a dcat:Dataset ; dct:title "t" .
+    ex:d2 a dcat:Dataset ; dct:description "d" .
+    ex:d3 a dcat:Dataset ; dct:title "t" ; dct:description "d" .
+    """
+    got = shacl_mod.validate(
+        _ds_from_ttl_text(data),
+        shapes_mod.load_profile_ttl("versioned_demo")).to_pandas()
+    rows = {(r.severity, r.focus_node.rsplit("/")[-1])
+            for r in got.itertuples()}
+    assert rows == {("Warning", "d1"), ("Violation", "d2")}
