@@ -268,9 +268,11 @@ def q_zscore_outliers(sf_dir: str):
 
 def q_weighted_sample(sf_dir: str):
     """Deterministic A-ES weight-proportional sample (top-100 by
-    u^(1/w), u from md5(doc_id)); per-batch local top-k partials."""
+    u^(1/w), u from md5(doc_id)); per-batch local top-k partials folded
+    through a k-bounded streaming reservoir (no sort shuffle; driver
+    state is k rows at any corpus size)."""
     from ..stages import windows
-    return windows.weighted_sample(_docs(sf_dir), k=100)
+    return windows.weighted_sample_reservoir(_docs(sf_dir), k=100)
 
 
 def q_event_gaps(sf_dir: str):

@@ -808,34 +808,33 @@ def regression_per_type(sf_dir: str):
 # --- exact distributed global rank + ntile WITHOUT a global sort
 #     bottleneck: range-bucket prefix offsets (the sequence-pack
 #     two-phase scan generalized to an arbitrary sort key) ---
-def rank_quartiles(sf_dir: str, n_tiles: int = 4,
-                   n_range_buckets: int = 64):
-    """Every customer's exact global rank by (acctbal, custkey) and its
-    ntile(4) quartile. Phase 1: rows hash into VALUE-RANGE buckets
-    (uniform width from one min/max aggregate) and a bucket-count table
-    (n_range_buckets rows) is prefix-summed on the driver. Phase 2: a
-    range-bucket-keyed shuffle sorts WITHIN each bucket and adds the
-    broadcast base offset — no all-to-all global sort, and ranks are
-    exact because range buckets are order-contiguous. Per-bucket work
-    is bounded only under roughly uniform values; a skewed distribution
-    concentrates one bucket (the production refinement is
-    quantile-derived cutoffs from the engine's exact-quantile
-    histogram, same phase structure).
+def ranked_ntile(ds, value_col: str, id_col: str, n_tiles: int = 4,
+                 n_range_buckets: int = 64):
+    """Exact global rank by ``(value, id)`` + SQL ntile WITHOUT a global
+    sort: rows land in order-contiguous VALUE-RANGE buckets whose
+    cutoffs come from the engine's mergeable QUANTILE sketch (one pass,
+    fixed-size partials), so buckets stay ~equal-count under ANY value
+    skew — a lognormal or point-mass-heavy distribution no longer
+    concentrates one bucket the way the previous uniform-width
+    (min/max) cutoffs did. A bucket-count table (n_range_buckets rows)
+    prefix-sums on the driver; phase 2 sorts WITHIN each bucket and
+    adds the broadcast base offset. Ranks are exact regardless of
+    cutoff quality (assignment is monotone in value, ties share a
+    bucket); cutoffs only balance the work.
     ntile uses the SQL rule: the first ``n % tiles`` tiles get the
     extra row."""
-    ds = t(sf_dir, "customer", ["c_custkey", "c_acctbal"]).materialize()
-    from ray.data.aggregate import Max as AMax, Min as AMin
+    from ..functions.sketch import approx_quantiles
 
-    stats = ds.aggregate(AMin("c_acctbal", alias_name="lo"),
-                         AMax("c_acctbal", alias_name="hi"),
-                         Count(alias_name="n"))
-    lo, hi, n = float(stats["lo"]), float(stats["hi"]), int(stats["n"])
-    width = (hi - lo) / n_range_buckets or 1.0
+    ds = ds.materialize()
+    n = ds.count()
+    qs = [i / n_range_buckets for i in range(1, n_range_buckets)]
+    cuts = np.asarray(approx_quantiles(ds, value_col, qs), dtype=np.float64)
+    cuts_ref = ray.put(cuts)
 
     def add_bucket(b: pa.Table) -> pa.Table:
-        v = np.asarray(b["c_acctbal"], dtype=np.float64)
-        rb = np.clip(((v - lo) / width).astype(np.int64),
-                     0, n_range_buckets - 1)
+        c = ray.get(cuts_ref)
+        v = np.asarray(b[value_col], dtype=np.float64)
+        rb = np.searchsorted(c, v, side="right").astype(np.int64)
         return b.append_column("_rb", pa.array(rb, pa.int64()))
 
     bucketed = ds.map_batches(add_bucket, batch_format="pyarrow",
@@ -848,7 +847,7 @@ def rank_quartiles(sf_dir: str, n_tiles: int = 4,
 
     def rank_bucket(g: pd.DataFrame) -> pd.DataFrame:
         base_, n_, tiles = ray.get(base_ref)
-        g = g.sort_values(["c_acctbal", "c_custkey"])
+        g = g.sort_values([value_col, id_col])
         rk = np.arange(len(g), dtype=np.int64) + 1 + base_[g["_rb"].iloc[0]]
         # SQL ntile: first (n % tiles) tiles have ceil(n/tiles) rows
         big, rem = n_ // tiles + 1, n_ % tiles
@@ -856,13 +855,23 @@ def rank_quartiles(sf_dir: str, n_tiles: int = 4,
         small = max(n_ // tiles, 1)  # guard n < tiles (else branch unused)
         tile = np.where(rk <= cut, (rk - 1) // big + 1,
                         (rk - 1 - cut) // small + rem + 1)
-        return pd.DataFrame({"c_custkey": g["c_custkey"].astype("int64"),
+        return pd.DataFrame({id_col: g[id_col].astype("int64"),
                              "rnk": rk,
                              "quartile": tile.astype("int64")})
 
     from ..stages.discovery import bucketed_groupby_apply
 
     return bucketed_groupby_apply(bucketed, "_rb", rank_bucket)
+
+
+# --- exact distributed global rank + ntile over the customer table ---
+def rank_quartiles(sf_dir: str, n_tiles: int = 4,
+                   n_range_buckets: int = 64):
+    """Every customer's exact global rank by (acctbal, custkey) and its
+    ntile(4) quartile — :func:`ranked_ntile` over the customer table."""
+    ds = t(sf_dir, "customer", ["c_custkey", "c_acctbal"])
+    return ranked_ntile(ds, "c_acctbal", "c_custkey", n_tiles=n_tiles,
+                        n_range_buckets=n_range_buckets)
 
 
 # --- TPC-H Q6 shape with REAL predicate pushdown at the parquet read ---

@@ -369,6 +369,70 @@ def weighted_sample(ds: rd.Dataset, k: int = 100, id_col: str = "doc_id",
         batch_format="pyarrow")
 
 
+def weighted_sample_reservoir(ds: rd.Dataset, k: int = 100,
+                              id_col: str = "doc_id",
+                              weight_col: str = "n_chars") -> rd.Dataset:
+    """:func:`weighted_sample` with a RESERVOIR finalize (the
+    Efraimidis–Spirakis streaming formulation): the per-batch vectorized
+    key computation and local top-k partials are identical, but instead
+    of a distributed sort over the n_batches×k partial rows, a k-bounded
+    min-heap folds the streamed partials — total driver state is k rows
+    at ANY corpus size and the sort shuffle disappears. Same keys, same
+    deterministic tie-break, bit-identical output (equivalence is
+    property-tested and the oracle is shared)."""
+    import heapq
+    import hashlib
+
+    def keys(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_pylist()
+        u = np.array([int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
+                      for i in ids], dtype=np.float64) / 4294967296.0
+        w = np.asarray(b[weight_col].to_pandas(), dtype=np.float64)
+        w = np.maximum(w, 1e-12)
+        key = u ** (1.0 / w)
+        t = pa.table({id_col: b[id_col], weight_col: b[weight_col],
+                      "key": pa.array(key, pa.float64())})
+        if t.num_rows > k:  # local top-k partial
+            order = pc.sort_indices(
+                t, sort_keys=[("key", "descending"), (id_col, "ascending")])
+            t = t.take(order[:k])
+        return t
+
+    partials = ds.select_columns([id_col, weight_col]).map_batches(
+        keys, batch_format="pyarrow", zero_copy_batch=True)
+
+    # k-bounded streaming reservoir: heap orders by (key asc, id desc) so
+    # the root is the weakest member under the (key desc, id asc) rank;
+    # _NegId makes the id tie-break invert cleanly for any id type
+    class _NegId:
+        __slots__ = ("v",)
+
+        def __init__(self, v):
+            self.v = v
+
+        def __lt__(self, other):
+            return other.v < self.v
+
+        def __eq__(self, other):
+            return self.v == other.v
+
+    heap: list = []
+    for b in partials.iter_batches(batch_format="pyarrow"):
+        for i, w, key in zip(b[id_col].to_pylist(),
+                             b[weight_col].to_pylist(),
+                             b["key"].to_pylist()):
+            item = (key, _NegId(i), w)
+            if len(heap) < k:
+                heapq.heappush(heap, item)
+            elif item > heap[0]:
+                heapq.heapreplace(heap, item)
+    rows = sorted(heap, key=lambda t: (-t[0], t[1].v))
+    return rd.from_arrow(pa.table({
+        id_col: pa.array([r[1].v for r in rows]),
+        weight_col: pa.array([r[2] for r in rows]),
+        "key": pa.array([round(r[0], 6) for r in rows], pa.float64())}))
+
+
 def event_gaps(events: rd.Dataset, key: str = "user_id") -> rd.Dataset:
     """Per-user inter-event gaps (the lag-window primitive): for every
     event after a user's first, the seconds since that user's previous

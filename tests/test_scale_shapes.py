@@ -151,3 +151,67 @@ def test_substring_dedup_idempotent_on_planted_fixture():
     once = once.sort_values("doc_id").reset_index(drop=True)
     assert (again["n_removed"] == 0).all()
     assert list(again["text"]) == list(once["text"])
+
+
+def test_ranked_ntile_exact_on_skewed_values_with_balanced_buckets():
+    """Quantile-derived range cutoffs: ranks/ntiles stay exact on a
+    heavily skewed (lognormal) distribution AND no range bucket
+    concentrates — the uniform-width cutoffs this replaces put ~all
+    rows of a lognormal in bucket 0."""
+    from shacl_validator_ray.functions.sketch import approx_quantiles
+    from shacl_validator_ray.pipelines.relational import ranked_ntile
+
+    rng = np.random.RandomState(5)
+    n = 4000
+    vals = np.round(rng.lognormal(0, 2.0, size=n), 4)  # heavy right tail
+    ds = rd.from_arrow(pa.table({
+        "id": pa.array(range(n), pa.int64()),
+        "v": pa.array(vals, pa.float64())})).repartition(8)
+
+    got = (ranked_ntile(ds, "v", "id", n_tiles=4, n_range_buckets=16)
+           .to_pandas().sort_values("id").reset_index(drop=True))
+    order = sorted(range(n), key=lambda i: (vals[i], i))
+    want_rank = np.empty(n, dtype=np.int64)
+    for r, i in enumerate(order, start=1):
+        want_rank[i] = r
+    assert (got["rnk"].to_numpy() == want_rank).all()
+    big, rem = n // 4 + 1, n % 4
+    cut = big * rem
+    want_tile = np.where(want_rank <= cut, (want_rank - 1) // big + 1,
+                         (want_rank - 1 - cut) // (n // 4) + rem + 1)
+    assert (got["quartile"].to_numpy() == want_tile).all()
+
+    # bucket balance under skew: quantile cutoffs keep every range
+    # bucket within 3x the ideal share (uniform min/max width puts
+    # >90% of a lognormal in the first bucket)
+    cuts = np.asarray(approx_quantiles(ds, "v",
+                                       [i / 16 for i in range(1, 16)]))
+    rb = np.searchsorted(cuts, vals, side="right")
+    assert np.bincount(rb, minlength=16).max() <= 3 * (n // 16)
+    lo, hi = vals.min(), vals.max()
+    uniform = np.clip(((vals - lo) / ((hi - lo) / 16)).astype(int), 0, 15)
+    assert np.bincount(uniform, minlength=16).max() > 0.9 * n
+
+
+def test_weighted_sample_reservoir_equals_topk_path():
+    """The k-bounded reservoir finalize is bit-identical to the
+    sort/limit finalize on the same A-ES keys (same sample, same order,
+    same rounded keys)."""
+    from shacl_validator_ray.stages import windows
+
+    rng = np.random.RandomState(9)
+    n = 3000
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "n_chars": pa.array(rng.randint(1, 5000, size=n), pa.int64()),
+    })).repartition(7)
+    def norm(df):
+        # both paths round keys to 6 dp on output; ties within a rounded
+        # key are order-free — normalize to (key desc, id asc)
+        return (df.sort_values(["key", "doc_id"], ascending=[False, True])
+                .reset_index(drop=True)
+                .astype({"doc_id": "int64", "n_chars": "int64"}))
+
+    a = norm(windows.weighted_sample(ds, k=50).to_pandas())
+    b = norm(windows.weighted_sample_reservoir(ds, k=50).to_pandas())
+    pd.testing.assert_frame_equal(a, b)
