@@ -700,6 +700,24 @@ def q_kg_bgp_varpred(sf_dir: str):
         ["severity", "focus_node", "value", "source_constraint_component"])
 
 
+def q_kg_bgp_having(sf_dir: str):
+    """sh:sparql aggregate analog (GROUP BY $this HAVING count): flag
+    publishers credited on more than 30 distinct datasets — a
+    variable-subject pattern grouped on the object, counted
+    distributed (two binding-sized groupbys, vectorized threshold)."""
+    from ..functions import ns
+    from ..stages.bgp import BGPConstraint
+    from . import kg
+
+    cc = BGPConstraint(
+        patterns=[("?d", ns.DCT + "publisher", "$this")],
+        having=("?d", ">", 30),
+        component="http://example.org/constraints#ProlificPublisher",
+        message="publisher credited on more than 30 datasets")
+    return cc.violations(kg.triples_dataset(sf_dir)).select_columns(
+        ["severity", "focus_node", "value", "source_constraint_component"])
+
+
 def q_kg_pagerank(sf_dir: str):
     """Distributed PageRank over the extracted resource graph (5 power
     iterations, d=0.85; SQL oracle unrolls the same iterations)."""
@@ -965,6 +983,7 @@ QUERIES = {
     "kg_bgp_optional": q_kg_bgp_optional,
     "kg_bgp_paths": q_kg_bgp_paths,
     "kg_bgp_varpred": q_kg_bgp_varpred,
+    "kg_bgp_having": q_kg_bgp_having,
     "kg_pagerank": q_kg_pagerank,
     "kg_pagerank_dangling": q_kg_pagerank_dangling,
     "kg_triangles": q_kg_triangles,
@@ -2412,6 +2431,16 @@ SELECT 'Violation' AS severity, subj AS focus_node, subj AS value,
        'http://example.org/constraints#PdfValueAnyDctPred'
            AS source_constraint_component
 FROM hits""",
+        # kg_bgp_having: GROUP BY $this HAVING count(distinct ?d) > 30
+        # over the mention-mapped publisher edges
+        "kg_bgp_having": "WITH " + mapped.strip() + f"""
+SELECT 'Violation' AS severity, obj_value AS focus_node,
+       obj_value AS value,
+       'http://example.org/constraints#ProlificPublisher'
+           AS source_constraint_component
+FROM mapped
+WHERE pred = '{dct}publisher'
+GROUP BY obj_value HAVING count(DISTINCT subj) > 30""",
         # kg_pagerank: the same 5 power iterations unrolled as chained
         # CTEs over the mention-mapped resource graph
         "kg_pagerank": _pagerank_sql(mapped),

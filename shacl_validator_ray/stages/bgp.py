@@ -110,12 +110,19 @@ class BGPConstraint:
         nodes carry ``?v`` (first value, ascending, deterministic) in
         the violation's ``value`` column, unmatched ones keep the focus
         IRI. Optional never filters, exactly like SPARQL.
+    having : tuple (var, op, n), optional
+        SPARQL aggregate analog ``GROUP BY $this HAVING
+        (count(distinct var) OP n)``: the focus node is a violation
+        only when its number of DISTINCT bindings of ``var`` satisfies
+        the comparison (op ∈ {">", ">=", "<", "<=", "=="}). Evaluated
+        as two binding-sized groupbys + a vectorized threshold filter;
+        cannot combine with ``union_patterns``.
     """
 
     def __init__(self, patterns, component: str, *, message: str = "",
                  severity: str = "Violation", shape_iri: str = "",
                  target=None, filter_fn=None, absent_patterns=None,
-                 union_patterns=None, optional_pattern=None):
+                 union_patterns=None, optional_pattern=None, having=None):
         if not patterns:
             raise ValueError("BGPConstraint needs at least one pattern")
         # property paths (tuple predicates) canonicalize to the shapes
@@ -167,6 +174,19 @@ class BGPConstraint:
                     "optional_pattern must be ($this, <const-pred>, ?var)")
         self.optional_pattern = (tuple(optional_pattern)
                                  if optional_pattern is not None else None)
+        if having is not None:
+            hvar, hop, hn = having
+            if not _is_var(hvar) or hvar == THIS:
+                raise ValueError("having variable must be a ?var "
+                                 "other than $this")
+            if hvar not in bound:
+                raise ValueError(f"having variable {hvar!r} is not bound "
+                                 "by any pattern")
+            if hop not in (">", ">=", "<", "<=", "=="):
+                raise ValueError(f"unknown having operator {hop!r}")
+            self.having = (hvar, hop, int(hn))
+        else:
+            self.having = None
         self.patterns = [tuple(p) for p in patterns]
         self.component = component
         self.message = message or f"BGP constraint {component} matched"
@@ -360,10 +380,35 @@ class BGPConstraint:
                 batch_format="pyarrow").union(ab.map_batches(
                     lambda b: pa.table({THIS: b[THIS].cast(pa.string())}),
                     batch_format="pyarrow"))
-        focus = (focus_sol.map_batches(
-            lambda b: pa.table({"focus": b[THIS].cast(pa.string())}),
-            batch_format="pyarrow")
-            .groupby("focus").aggregate(Count(alias_name="_n")))
+        if self.having is not None:
+            # SPARQL GROUP BY $this HAVING (count(distinct ?v) OP n):
+            # distinct (focus, v) pairs → per-focus count → vectorized
+            # threshold filter. Two binding-sized shuffles, no
+            # corpus-scale state anywhere.
+            if self.alts:
+                raise ValueError("having cannot combine with "
+                                 "union_patterns (group the union "
+                                 "inside one chain instead)")
+            hvar, hop, hn = self.having
+            hfns = {">": pc.greater, ">=": pc.greater_equal,
+                    "<": pc.less, "<=": pc.less_equal, "==": pc.equal}
+            hfn = hfns[hop]
+            pairs = focus_sol.map_batches(
+                lambda b: pa.table({"focus": b[THIS].cast(pa.string()),
+                                    "v": b[hvar].cast(pa.string())}),
+                batch_format="pyarrow")
+            cnt = (pairs.groupby(["focus", "v"])
+                   .aggregate(Count(alias_name="_d"))
+                   .groupby("focus").aggregate(Count(alias_name="_n")))
+            focus = cnt.map_batches(
+                lambda b: b.filter(hfn(b["_n"].cast(pa.int64()), hn))
+                           .select(["focus", "_n"]),
+                batch_format="pyarrow")
+        else:
+            focus = (focus_sol.map_batches(
+                lambda b: pa.table({"focus": b[THIS].cast(pa.string())}),
+                batch_format="pyarrow")
+                .groupby("focus").aggregate(Count(alias_name="_n")))
 
         if self.absent is not None:
             # FILTER NOT EXISTS: anti-join the distinct focus sets — one

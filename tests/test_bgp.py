@@ -181,3 +181,32 @@ def test_bgp_not_exists_requires_this_in_absent():
         BGPConstraint(patterns=[("$this", EX + "p", "?a")],
                       absent_patterns=[("?x", EX + "q", "?y")],
                       component=EX + "c#X")
+
+
+def test_bgp_having_aggregate():
+    """GROUP BY $this HAVING count(distinct ?v) OP n — the aggregate
+    analog of sh:sparql HAVING constraints."""
+    cc = BGPConstraint(
+        patterns=[("$this", EX + "dist", "?z")],
+        having=("?z", ">", 1),
+        component=EX + "c#MultiDist")
+    data = DATA + "\nex:d1 ex:dist ex:z9 .\nex:d1 ex:dist ex:z9 .\n"
+    # d1 now has 2 DISTINCT dists (z1, z9 — the duplicate row collapses)
+    assert _focus(cc.violations(_ds_from_ttl_text(data))) == ["d1"]
+
+    cc2 = BGPConstraint(
+        patterns=[("$this", EX + "dist", "?z")],
+        having=("?z", "==", 1),
+        component=EX + "c#OneDist")
+    assert _focus(cc2.violations(_ds_from_ttl_text(data))) == \
+        ["d2", "d3", "other"]
+
+    with pytest.raises(ValueError, match="not bound"):
+        BGPConstraint(patterns=[("$this", EX + "dist", "?z")],
+                      having=("?w", ">", 1), component=EX + "c#X")
+    with pytest.raises(ValueError, match="union_patterns"):
+        BGPConstraint(
+            patterns=[("$this", EX + "dist", "?z")],
+            union_patterns=[[("$this", EX + "other", "?z")]],
+            having=("?z", ">", 1),
+            component=EX + "c#X").violations(_ds_from_ttl_text(DATA))
