@@ -127,7 +127,11 @@ def cmd_dedup(args) -> int:
     """Corpus curation surface: cluster-based near-dup removal over a
     documents.parquet table. Writes the surviving documents (one per
     near-dup cluster) plus the full (doc_id, rep_id, keep) provenance
-    map as partitioned parquet; prints a one-line JSON summary."""
+    map as partitioned parquet; prints a one-line JSON summary.
+    ``--mode substring`` runs exact repeated-substring REMOVAL instead
+    (Lee et al. 2022 span surgery): writes (doc_id, text, n_removed)
+    with every non-canonical occurrence of a repeated ≥k-token passage
+    excised."""
     from .sources import io as io_mod
     from .stages import dedup
 
@@ -139,6 +143,18 @@ def cmd_dedup(args) -> int:
 
     _init_ray()
     docs = io_mod.read_table(f"{args.sf_dir}/documents.parquet").materialize()
+
+    if getattr(args, "mode", "cluster") == "substring":
+        from ray.data.aggregate import Sum
+
+        out = dedup.substring_dedup(docs, k=args.k).materialize()
+        os.makedirs(args.out_dir, exist_ok=True)
+        out.write_parquet(f"{args.out_dir}/documents_substring_dedup")
+        removed = out.aggregate(Sum("n_removed", alias_name="r"))["r"]
+        print(json.dumps({"docs": out.count(), "k": args.k,
+                          "tokens_removed": int(removed or 0),
+                          "out": args.out_dir}))
+        return 0
     keep_map = dedup.fuzzy_dedup_keep(docs, tau=args.tau).materialize()
     n_total = keep_map.count()
     os.makedirs(args.out_dir, exist_ok=True)
@@ -296,6 +312,11 @@ def main(argv=None) -> int:
     dd.add_argument("sf_dir")
     dd.add_argument("out_dir")
     dd.add_argument("--tau", type=float, default=0.95)
+    dd.add_argument("--mode", choices=["cluster", "substring"],
+                    default="cluster")
+    dd.add_argument("--k", type=int, default=8,
+                    help="substring mode: minimum repeated passage "
+                         "length in tokens")
     dd.set_defaults(fn=cmd_dedup)
 
     qq = sub.add_parser("query")

@@ -183,7 +183,19 @@ def materialize_graph(triples: rd.Dataset, out_dir: str, *,
     t0 = time.time()
     if not deduped:
         triples = shacl_stage.dedup_triples(triples)
-    hubs = detect_hubs(triples, hub_threshold)
+    # resumed/incremental runs reuse the manifest's hub set: detection is
+    # a corpus-scale pre-pass, and hub salting only shapes the write
+    # layout WITHIN a base bucket, so any hub set yields a valid layout —
+    # reuse skips the pass without touching correctness (a subject that
+    # newly crossed the threshold just isn't salted until a full rewrite)
+    if manifest.get("hubs_detected"):
+        hubs = set(manifest["hubs"])
+    else:
+        hubs = detect_hubs(triples, hub_threshold)
+        manifest["hubs"] = sorted(hubs)
+        manifest["hubs_detected"] = True
+        os.makedirs(out_dir, exist_ok=True)
+        save()
     hubs_ref = ray.put(hubs)
 
     nb, slt = n_buckets, salt
@@ -296,7 +308,8 @@ def materialize_graph(triples: rd.Dataset, out_dir: str, *,
 
 
 def incremental_materialize(triples: rd.Dataset, out_dir: str,
-                            affected_subjects, **kw) -> dict:
+                            affected_subjects, redetect_hubs: bool = False,
+                            **kw) -> dict:
     """Partition-invalidated incremental rewrite: only the write groups
     whose (unsalted) subject bucket can contain an affected subject are
     recomputed and atomically replaced; every other group's parquet
@@ -332,6 +345,11 @@ def incremental_materialize(triples: rd.Dataset, out_dir: str,
     manifest["complete"] = False
     manifest["groups_done"] = sorted(set(manifest["groups_done"])
                                      - set(invalid))
+    if redetect_hubs:
+        # opt-in: a change big enough to mint new hub subjects re-runs
+        # the detection pre-pass (default reuses the manifest's hub set
+        # — salting is write-layout only, never correctness)
+        manifest["hubs_detected"] = False
     with open(manifest_path, "w") as f:
         json.dump(manifest, f, indent=1)
     out = materialize_graph(triples, out_dir, **kw)

@@ -409,3 +409,22 @@ def test_incremental_canonical_map_with_real_change():
     extra = set(got_d) - set(want_d)
     for e in extra:  # unlinked leftovers may only map to themselves
         assert got_d[e] == e, (e, got_d[e])
+
+
+def test_resume_reuses_manifest_hub_set(tmp_path, monkeypatch):
+    """A resumed/incremental write reuses the manifest's hub set instead
+    of re-running the corpus-scale detection pre-pass."""
+    docs, _, _mgt = synth.make_corpus_tables(60)
+    triples = rd.from_arrow(extract.extract_triples_batch(docs))
+    out = str(tmp_path / "graph")
+    materialize.materialize_graph(triples, out, n_buckets=8,
+                                  write_groups=4, hub_threshold=50)
+
+    def boom(*a, **k):
+        raise AssertionError("detect_hubs must not run on resume")
+
+    monkeypatch.setattr(materialize, "detect_hubs", boom)
+    subj = triples.take(1)[0]["subj"]
+    m = materialize.incremental_materialize(triples, out, [subj],
+                                            hub_threshold=50)
+    assert m["complete"] and m["groups_rewritten"]
