@@ -59,7 +59,7 @@ def _aux_queries(sf_dir: str) -> dict:
     out = {}
     for name in ("pruned_agg", "join_orders_customers", "minhash_lsh_dups",
                  "fuzzy_dedup_keep", "knn_bruteforce", "token_counts",
-                 "unigram_nll"):
+                 "unigram_nll", "substring_dedup"):
         t0 = time.time()
         res = q.QUERIES[name](sf_dir)
         if hasattr(res, "count"):
