@@ -352,22 +352,34 @@ def embedding_dup_pairs_ivf(emb: rd.Dataset, tau: float = 0.4,
         m = _norm_rows(np.stack(b[vec_col].to_pylist()).astype(np.float64))
         order = np.argsort(-(m @ c.T), axis=1)[:, :assign_k]
         ids = np.asarray(b[id_col], dtype=np.int64)
-        out_idx, out_list, out_ta, out_tb, out_sub = [], [], [], [], []
-        for i in range(len(ids)):
-            for l in order[i]:
-                ns = int(nsub[l])
-                s = int(ids[i]) % ns
-                for t in range(ns):
-                    out_idx.append(i); out_list.append(int(l))
-                    out_ta.append(min(s, t)); out_tb.append(max(s, t))
-                    out_sub.append(s)
-        take_idx = pa.array(out_idx, pa.int64())
+        # fully vectorized emission: a row in list l with sub-block
+        # s = id % n_sub[l] joins the n_sub[l] tiles (l, min(s,t),
+        # max(s,t)); per-row tile indices come from one segmented arange
+        idx_parts, list_parts, ta_parts, tb_parts, sub_parts = \
+            [], [], [], [], []
+        for j in range(order.shape[1]):
+            lst = order[:, j].astype(np.int64)
+            ns = nsub[lst]
+            s = ids % ns
+            reps = ns.astype(np.int64)
+            total = int(reps.sum())
+            row_idx = np.repeat(np.arange(len(ids)), reps)
+            starts = np.repeat(np.cumsum(reps) - reps, reps)
+            t = np.arange(total, dtype=np.int64) - starts
+            s_rep = np.repeat(s, reps)
+            idx_parts.append(row_idx)
+            list_parts.append(np.repeat(lst, reps))
+            ta_parts.append(np.minimum(s_rep, t))
+            tb_parts.append(np.maximum(s_rep, t))
+            sub_parts.append(s_rep)
+        row_idx = np.concatenate(idx_parts)
+        take_idx = pa.array(row_idx, pa.int64())
         return pa.table({
-            id_col: pa.array(ids[out_idx], pa.int64()),
-            "ivf_list": pa.array(out_list, pa.int64()),
-            "tile_a": pa.array(out_ta, pa.int64()),
-            "tile_b": pa.array(out_tb, pa.int64()),
-            "sub": pa.array(out_sub, pa.int64()),
+            id_col: pa.array(ids[row_idx], pa.int64()),
+            "ivf_list": pa.array(np.concatenate(list_parts), pa.int64()),
+            "tile_a": pa.array(np.concatenate(ta_parts), pa.int64()),
+            "tile_b": pa.array(np.concatenate(tb_parts), pa.int64()),
+            "sub": pa.array(np.concatenate(sub_parts), pa.int64()),
             vec_col: b[vec_col].take(take_idx),
         })
 
