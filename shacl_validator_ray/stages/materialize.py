@@ -13,6 +13,7 @@ import json
 import os
 import time
 
+import numpy as np
 import pyarrow as pa
 
 import ray
@@ -101,18 +102,24 @@ def _canonical_rewrite_join(triples: rd.Dataset, canon: rd.Dataset) -> rd.Datase
     return rewrite_col(rewrite_col(triples, "subj"), "obj_value")
 
 
-def detect_hubs(triples: rd.Dataset, threshold: int, top_m: int = 4096) -> set[str]:
+def detect_hubs(triples: rd.Dataset, threshold: int, top_m: int = 4096,
+                driver_threshold: int = 200_000) -> set[str]:
     """Subjects whose triple count exceeds ``threshold`` (skew candidates).
 
     Shuffle-free approximate heavy hitters: each batch emits its top-M
-    subject partial counts (vectorized pandas ``value_counts``); the tiny
-    partials are summed on the driver. A true hub (≫ threshold) appears
-    in every block's top-M, so its global count is exact; only subjects
-    *near* the threshold can be undercounted (bounded by rows/M per
-    block) — harmless, since hub salting is a performance heuristic, not
-    a correctness property. At 10^12 scale this is the standard
-    space-saving / Misra-Gries sketch shape (mergeable partials, no
-    all-to-all)."""
+    subject partial counts (vectorized pandas ``value_counts``). A true
+    hub (≫ threshold) appears in every block's top-M, so its global
+    count is exact; only subjects *near* the threshold can be
+    undercounted (bounded by rows/M per block) — harmless, since hub
+    salting is a performance heuristic, not a correctness property.
+
+    Partial MERGE is two-path (the connected_components pattern):
+    partials under ``driver_threshold`` rows sum on the driver (no
+    shuffle at all — the common case, and ~1 s cheaper per write);
+    past it, a distributed groupby merges so the driver never holds
+    the union of every block's top-M (which grows with block count at
+    100 TB). Both are the standard space-saving / Misra-Gries
+    mergeable-partial shape."""
     import pandas as pd
     import pyarrow.compute as pc
     from ray.data.aggregate import Sum
@@ -122,13 +129,25 @@ def detect_hubs(triples: rd.Dataset, threshold: int, top_m: int = 4096) -> set[s
         return pa.table({"subj": pa.array(vc.index.astype(str), pa.string()),
                          "n": pa.array(vc.to_numpy(), pa.int64())})
 
-    # merge the per-block partials DISTRIBUTED (one small groupby over
-    # blocks×top_m rows) and collect only the hubs — the driver never
-    # holds the union of every block's top-M (which grows with block
-    # count at 100 TB)
-    totals = (triples.map_batches(partial, batch_format="pyarrow",
-                                  zero_copy_batch=True)
-              .groupby("subj").aggregate(Sum("n", alias_name="n")))
+    partials = triples.map_batches(partial, batch_format="pyarrow",
+                                   zero_copy_batch=True)
+    collected: list[pa.Table] = []
+    n = 0
+    for b in partials.iter_batches(batch_format="pyarrow"):
+        collected.append(b)
+        n += b.num_rows
+        if n > driver_threshold:
+            break
+    else:
+        if not collected:
+            return set()
+        t = pa.concat_tables(collected)
+        s = pd.Series(np.asarray(t["n"]),
+                      index=t["subj"].to_pylist()).groupby(level=0).sum()
+        return set(s[s > threshold].index)
+
+    # overflow: distributed merge (re-runs the cheap partial pass)
+    totals = (partials.groupby("subj").aggregate(Sum("n", alias_name="n")))
     hubs: set[str] = set()
     for b in totals.map_batches(
             lambda t: t.filter(pc.greater(t["n"], threshold)).select(["subj"]),
@@ -182,7 +201,10 @@ def materialize_graph(triples: rd.Dataset, out_dir: str, *,
 
     t0 = time.time()
     if not deduped:
-        triples = shacl_stage.dedup_triples(triples)
+        # pin: the deduped set feeds the hub pre-pass AND the bucketize
+        # pass (plus one scan per write group) — unpinned, every consumer
+        # re-runs the dedup shuffle from scratch
+        triples = shacl_stage.dedup_triples(triples).materialize()
     # resumed/incremental runs reuse the manifest's hub set: detection is
     # a corpus-scale pre-pass, and hub salting only shapes the write
     # layout WITHIN a base bucket, so any hub set yields a valid layout —
