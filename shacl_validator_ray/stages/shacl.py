@@ -670,6 +670,10 @@ def augment_paths(triples: rd.Dataset,
     # for the shared joins instead of recomputing them per path
     prefix_cache: dict = {}
     for path_str, preds in seqs:
+        # per-path materialize is deliberate: folding every final-hop
+        # join into the one union+dedup execution below measured SLOWER
+        # (8+ s vs 5.7 s at sf0.1 — the merged DAG loses pipeline
+        # parallelism across the bucketed merges)
         derived.append(
             _seq_rows(triples, path_str, preds, num_partitions,
                       prefix_cache).materialize())
