@@ -180,10 +180,11 @@ def minhash_lsh_dup_pairs(docs: rd.Dataset, tau: float = 0.95, n_perm: int = 32,
 
     if num_join_partitions is None:
         # scale with the PAIR volume (cand is materialized → count is
-        # free metadata): ~250k pairs per partition. Each hash-join
-        # partition is one aggregator actor — at small volumes actor
-        # startup dominates, at 1e10 pairs this fans out to the cap.
-        num_join_partitions = max(8, min(512, -(-cand.count() // 250_000)))
+        # free metadata): ~125k pairs per partition (swept 8/16/32 at
+        # sf0.1's 2M pairs — 16 wins; 250k left half the CPUs idle,
+        # 64k paid actor startup). Each hash-join partition is one
+        # aggregator actor — at 1e10 pairs this fans out to the cap.
+        num_join_partitions = max(8, min(512, -(-cand.count() // 125_000)))
 
     j1 = cand.join(tokens, "inner", num_join_partitions,
                    on=("doc1",), right_on=(id_col,))
