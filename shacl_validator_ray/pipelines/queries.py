@@ -1575,9 +1575,14 @@ FROM c""",
                       unnest(range(0, greatest(len(tl) - 4, 0))) AS i
                FROM toks),
         g AS (SELECT doc_id, i,
-                     md5(array_to_string(list_slice(tl, i + 1, i + 5),
-                                         ' ')) AS g
-              FROM gi),
+                     ('0x' || substr(h,15,2) || substr(h,13,2)
+                      || substr(h,11,2) || substr(h,9,2)
+                      || substr(h,7,2) || substr(h,5,2)
+                      || substr(h,3,2) || substr(h,1,2))::UBIGINT AS g
+              FROM (SELECT doc_id, i,
+                           md5(array_to_string(
+                               list_slice(tl, i + 1, i + 5), ' ')) AS h
+                    FROM gi)),
         marked AS (SELECT doc_id, i,
                           row_number() OVER (PARTITION BY g
                                              ORDER BY doc_id, i) AS rn,
