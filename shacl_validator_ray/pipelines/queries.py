@@ -718,6 +718,25 @@ def q_kg_bgp_having(sf_dir: str):
         ["severity", "focus_node", "value", "source_constraint_component"])
 
 
+def q_embedding_quantize(sf_dir: str):
+    """Symmetric 8-bit scalar quantization of the embedding column (the
+    ANN compression step): per-dim ranges from one fixed-size mergeable
+    stats pass, vectorized per-batch quantize, half-up rounding
+    mirrored exactly in SQL. Long (vec_id, dim, q) output."""
+    from ..stages import similarity
+    return similarity.quantize_embeddings(_emb(sf_dir))
+
+
+def q_kg_redact(sf_dir: str):
+    """Regex redaction over the interleaved text+media documents (PII
+    scrub / number normalization): timestamps then bare numbers rewrite
+    in text spans, media spans pass through, span order/kind/media_ref
+    survive (the north rule's span-sequence invariant)."""
+    from ..stages import text as text_mod
+    from . import kg
+    return text_mod.redact_spans(kg.documents_dataset(sf_dir))
+
+
 def q_kg_pagerank(sf_dir: str):
     """Distributed PageRank over the extracted resource graph (5 power
     iterations, d=0.85; SQL oracle unrolls the same iterations)."""
@@ -984,6 +1003,8 @@ QUERIES = {
     "kg_bgp_paths": q_kg_bgp_paths,
     "kg_bgp_varpred": q_kg_bgp_varpred,
     "kg_bgp_having": q_kg_bgp_having,
+    "embedding_quantize": q_embedding_quantize,
+    "kg_redact": q_kg_redact,
     "kg_pagerank": q_kg_pagerank,
     "kg_pagerank_dangling": q_kg_pagerank_dangling,
     "kg_triangles": q_kg_triangles,
@@ -1496,6 +1517,18 @@ FROM c""",
               FROM w)
         SELECT doc_id, term, round(wt, 6) AS tfidf, rk AS rank
         FROM r WHERE rk <= 5""",
+    "embedding_quantize": r"""
+        WITH e AS (SELECT vec_id,
+                          unnest(embedding)::DOUBLE AS v,
+                          generate_subscripts(embedding, 1) - 1 AS dim
+                   FROM embeddings),
+        st AS (SELECT dim, min(v) AS lo, max(v) AS hi FROM e GROUP BY dim)
+        SELECT e.vec_id, e.dim,
+               CASE WHEN st.hi = st.lo THEN 0
+                    ELSE floor((e.v - st.lo) * 255.0
+                               / (st.hi - st.lo) + 0.5)::BIGINT
+               END AS q
+        FROM e JOIN st USING (dim)""",
     "token_counts": r"""
         SELECT doc_id,
                length(regexp_extract_all(text, '\S+')) AS n_tokens,
@@ -2413,6 +2446,28 @@ SELECT 'Warning', d.subj, '{dct}description', '',
        '{sh}MinCountConstraintComponent'
 FROM datasets d
 WHERE d.subj NOT IN (SELECT subj FROM g WHERE pred = '{dct}description')""",
+        # kg_redact: the same ordered regexp_replace rules in SQL over
+        # the interleaved spans (generate_subscripts keeps span order)
+        "kg_redact": f"""
+WITH s AS (SELECT doc_id, unnest(spans) AS sp,
+                  generate_subscripts(spans, 1) - 1 AS span_idx
+           FROM read_parquet('{corpus}/documents/*.parquet'))
+SELECT doc_id, span_idx, sp.kind AS kind,
+       CASE WHEN sp.kind = 'text' THEN
+            regexp_replace(regexp_replace(sp.text,
+                '[0-9]{{4}}-[0-9]{{2}}-[0-9]{{2}}T[0-9]{{2}}:[0-9]{{2}}:[0-9]{{2}}Z',
+                '<TIMESTAMP>', 'g'),
+                '[0-9]+', '<NUM>', 'g')
+       ELSE coalesce(sp.text, '') END AS text,
+       coalesce(sp.media_ref, '') AS media_ref,
+       CASE WHEN sp.kind = 'text' THEN
+            len(regexp_extract_all(sp.text,
+                '[0-9]{{4}}-[0-9]{{2}}-[0-9]{{2}}T[0-9]{{2}}:[0-9]{{2}}:[0-9]{{2}}Z'))
+            + len(regexp_extract_all(regexp_replace(sp.text,
+                '[0-9]{{4}}-[0-9]{{2}}-[0-9]{{2}}T[0-9]{{2}}:[0-9]{{2}}:[0-9]{{2}}Z',
+                '<TIMESTAMP>', 'g'), '[0-9]+'))
+       ELSE 0 END AS n_hits
+FROM s""",
         # kg_bgp_paths: sequence path = 2-hop join; alternative path =
         # either-predicate existence, in SQL
         "kg_bgp_paths": f"""

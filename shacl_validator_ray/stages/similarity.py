@@ -337,3 +337,58 @@ def centroid_confusion(emb: rd.Dataset, id_col: str = "vec_id",
                             "pred_label": b["pred_label"].cast(pa.int64()),
                             "n": b["n"].cast(pa.int64())}),
         batch_format="pyarrow")
+
+
+def embedding_quantization_stats(emb: rd.Dataset,
+                                 vec_col: str = "embedding") -> "np.ndarray":
+    """Per-dimension (lo, hi) ranges as a (2, dims) float64 array from
+    FIXED-SIZE mergeable partials: each batch reduces to one per-dim
+    min/max row pair, the tiny partials fold on the driver. One pass,
+    no shuffle — the quantizer-training shape."""
+    lo = None
+    hi = None
+
+    def partial(b: pa.Table) -> pa.Table:
+        m = np.stack(b[vec_col].to_pylist()).astype(np.float64)
+        return pa.table({
+            "lo": pa.array([m.min(axis=0).tolist()], pa.list_(pa.float64())),
+            "hi": pa.array([m.max(axis=0).tolist()], pa.list_(pa.float64()))})
+
+    for b in emb.map_batches(partial, batch_format="pyarrow",
+                             zero_copy_batch=True).iter_batches(
+                                 batch_format="pyarrow"):
+        for l, h in zip(b["lo"].to_pylist(), b["hi"].to_pylist()):
+            l, h = np.asarray(l), np.asarray(h)
+            lo = l if lo is None else np.minimum(lo, l)
+            hi = h if hi is None else np.maximum(hi, h)
+    return np.stack([lo, hi])
+
+
+def quantize_embeddings(emb: rd.Dataset, id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> rd.Dataset:
+    """Symmetric 8-bit scalar quantization of an embedding column (the
+    standard ANN compression step): per-dim ranges from one mergeable
+    stats pass, then a vectorized per-batch map emits
+    ``q = floor((v - lo) * 255 / (hi - lo) + 0.5)`` (half-up — floor
+    +0.5 on BOTH the engine and the SQL oracle, so rounding never
+    diverges). Output LONG format (vec_id, dim, q) for the exact
+    oracle; :func:`dequantize_error_bound` pins |v - deq| ≤ step/2."""
+    stats = embedding_quantization_stats(emb, vec_col)
+    ref = ray.put(stats)
+
+    def quant(b: pa.Table) -> pa.Table:
+        lo, hi = ray.get(ref)
+        m = np.stack(b[vec_col].to_pylist()).astype(np.float64)
+        rng = hi - lo
+        safe = np.where(rng == 0, 1.0, rng)
+        q = np.floor((m - lo) * 255.0 / safe + 0.5)
+        q = np.where(rng == 0, 0.0, q).astype(np.int64)
+        n, d = m.shape
+        ids = np.repeat(np.asarray(b[id_col], dtype=np.int64), d)
+        return pa.table({
+            id_col: pa.array(ids, pa.int64()),
+            "dim": pa.array(np.tile(np.arange(d, dtype=np.int64), n)),
+            "q": pa.array(q.ravel(), pa.int64())})
+
+    return emb.map_batches(quant, batch_format="pyarrow",
+                           zero_copy_batch=True)

@@ -713,3 +713,58 @@ def bigram_doc_nll(docs: rd.Dataset, lam: float = 0.7,
 
     return bucketed_block_apply(terms, id_col, doc_bucket,
                                 n_buckets=n_buckets)
+
+
+REDACT_RULES = (
+    (r"[0-9]{4}-[0-9]{2}-[0-9]{2}T[0-9]{2}:[0-9]{2}:[0-9]{2}Z",
+     "<TIMESTAMP>"),
+    (r"[0-9]+", "<NUM>"),
+)
+
+
+class _RedactStage:
+    """Actor-pool stage (T-shape: compile once per actor, work per
+    batch): apply ordered regex redaction rules to the TEXT spans of an
+    interleaved-docs table, passing media spans through untouched. Span
+    order, kind and media_ref survive — the north rule's span-sequence
+    invariant holds on the redacted output."""
+
+    def __init__(self, rules=REDACT_RULES):
+        import re
+
+        self.rules = [(re.compile(p), r) for p, r in rules]
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        ids, idxs, kinds, texts, refs, hits = [], [], [], [], [], []
+        for d, spans in zip(b["doc_id"].to_pylist(),
+                            b["spans"].to_pylist()):
+            for i, sp in enumerate(spans):
+                t = sp.get("text") or ""
+                n = 0
+                if sp.get("kind") == "text":
+                    for rx, rep in self.rules:
+                        t, k = rx.subn(rep, t)
+                        n += k
+                ids.append(d); idxs.append(i)
+                kinds.append(sp.get("kind") or "")
+                texts.append(t); refs.append(sp.get("media_ref") or "")
+                hits.append(n)
+        return pa.table({
+            "doc_id": pa.array(ids, pa.string()),
+            "span_idx": pa.array(idxs, pa.int64()),
+            "kind": pa.array(kinds, pa.string()),
+            "text": pa.array(texts, pa.string()),
+            "media_ref": pa.array(refs, pa.string()),
+            "n_hits": pa.array(hits, pa.int64())})
+
+
+def redact_spans(docs: rd.Dataset, rules=REDACT_RULES,
+                 concurrency: int = 4, batch_size: int = 1024) -> rd.Dataset:
+    """Regex redaction over interleaved text+media documents (the PII-
+    scrub / number-normalization curation step): ordered rules rewrite
+    text spans (timestamps then bare numbers by default), media spans
+    pass through, and every span keeps its (kind, media_ref, order)
+    identity. Oracle: the same two regexp_replace calls in SQL."""
+    return docs.map_batches(_RedactStage, fn_constructor_args=(rules,),
+                            batch_format="pyarrow", concurrency=concurrency,
+                            batch_size=batch_size, zero_copy_batch=True)

@@ -215,3 +215,49 @@ def test_weighted_sample_reservoir_equals_topk_path():
     a = norm(windows.weighted_sample(ds, k=50).to_pandas())
     b = norm(windows.weighted_sample_reservoir(ds, k=50).to_pandas())
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_quantize_embeddings_error_bound_and_range():
+    """8-bit quantization: codes are in [0, 255] and dequantization
+    error is within half a step per dimension."""
+    from shacl_validator_ray.stages import similarity
+
+    ds = _emb(n=100, dim=6, seed=11)
+    stats = similarity.embedding_quantization_stats(ds)
+    lo, hi = stats
+    q = (similarity.quantize_embeddings(ds).to_pandas()
+         .sort_values(["vec_id", "dim"]).reset_index(drop=True))
+    assert q["q"].between(0, 255).all()
+    df = ds.to_pandas().sort_values("vec_id").reset_index(drop=True)
+    vals = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+    step = (hi - lo) / 255.0
+    deq = lo + q["q"].to_numpy().reshape(vals.shape) * step
+    assert (np.abs(deq - vals) <= step / 2 + 1e-9).all()
+
+
+def test_redact_spans_preserves_span_sequence():
+    """Redaction rewrites text spans only; kind / media_ref / order are
+    untouched (the north rule's span-sequence invariant)."""
+    from shacl_validator_ray.stages import text as text_mod
+
+    spans_type = pa.list_(pa.struct([
+        ("kind", pa.string()), ("text", pa.string()),
+        ("media_ref", pa.string()), ("offset", pa.int32())]))
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array(["d1"], pa.string()),
+        "spans": pa.array([[
+            {"kind": "text", "text": "issued 2020-01-02T03:04:05Z ok",
+             "media_ref": "", "offset": 0},
+            {"kind": "image", "text": "", "media_ref": "m/1.ppm",
+             "offset": 30},
+            {"kind": "text", "text": "size 12345 bytes 67",
+             "media_ref": "", "offset": 31},
+        ]], spans_type)}))
+    got = (text_mod.redact_spans(docs).to_pandas()
+           .sort_values("span_idx").reset_index(drop=True))
+    assert list(got["kind"]) == ["text", "image", "text"]
+    assert got.loc[0, "text"] == "issued <TIMESTAMP> ok"
+    assert got.loc[0, "n_hits"] == 1
+    assert got.loc[1, "media_ref"] == "m/1.ppm" and got.loc[1, "n_hits"] == 0
+    assert got.loc[2, "text"] == "size <NUM> bytes <NUM>"
+    assert got.loc[2, "n_hits"] == 2
