@@ -737,6 +737,22 @@ def q_kg_redact(sf_dir: str):
     return text_mod.redact_spans(kg.documents_dataset(sf_dir))
 
 
+def q_kg_canon_diff(sf_dir: str):
+    """Graph snapshot diff (the change feed between two materialized
+    graphs): what canonicalization changed — triples present only in
+    the raw extracted set ('del': mention-IRI rows the rewrite retired)
+    vs only in the canonical set ('add': their canonical rewrites).
+    One bucketed tagged-union merge keyed on the subject."""
+    from ..stages import materialize, shacl
+    from . import kg
+
+    raw = shacl.dedup_triples(kg.triples_dataset(sf_dir))
+    canon = kg.canonical_triples(sf_dir)
+    return materialize.triple_diff(raw, canon).select_columns(
+        ["op", "subj", "pred", "obj_kind", "obj_value", "obj_datatype",
+         "obj_lang"])
+
+
 def q_kg_pagerank(sf_dir: str):
     """Distributed PageRank over the extracted resource graph (5 power
     iterations, d=0.85; SQL oracle unrolls the same iterations)."""
@@ -1005,6 +1021,7 @@ QUERIES = {
     "kg_bgp_having": q_kg_bgp_having,
     "embedding_quantize": q_embedding_quantize,
     "kg_redact": q_kg_redact,
+    "kg_canon_diff": q_kg_canon_diff,
     "kg_pagerank": q_kg_pagerank,
     "kg_pagerank_dangling": q_kg_pagerank_dangling,
     "kg_triangles": q_kg_triangles,
@@ -2446,6 +2463,17 @@ SELECT 'Warning', d.subj, '{dct}description', '',
        '{sh}MinCountConstraintComponent'
 FROM datasets d
 WHERE d.subj NOT IN (SELECT subj FROM g WHERE pred = '{dct}description')""",
+        # kg_canon_diff: set difference both ways between the
+        # mention-mapped (raw extraction space) and canonical triple
+        # sets, via EXCEPT
+        "kg_canon_diff": "WITH " + mapped.strip() + f"""
+, raw AS (SELECT DISTINCT subj, pred, obj_kind, obj_value,
+                 obj_datatype, obj_lang FROM mapped),
+canon AS (SELECT DISTINCT subj, pred, obj_kind, obj_value,
+                 obj_datatype, obj_lang FROM {gt})
+SELECT 'del' AS op, * FROM (SELECT * FROM raw EXCEPT SELECT * FROM canon)
+UNION ALL
+SELECT 'add' AS op, * FROM (SELECT * FROM canon EXCEPT SELECT * FROM raw)""",
         # kg_redact: the same ordered regexp_replace rules in SQL over
         # the interleaved spans (generate_subscripts keeps span order)
         "kg_redact": f"""

@@ -381,3 +381,44 @@ def incremental_materialize(triples: rd.Dataset, out_dir: str,
 
 def read_graph(out_dir: str) -> rd.Dataset:
     return rd.read_parquet(out_dir)
+
+
+def triple_diff(a: rd.Dataset, b: rd.Dataset,
+                n_buckets: int | None = None) -> rd.Dataset:
+    """Graph snapshot DIFF: set difference of two triple Datasets over
+    the six value columns — rows only in ``a`` emit ``op='del'``, rows
+    only in ``b`` emit ``op='add'`` (the change feed a downstream
+    consumer replays to move snapshot a to snapshot b).
+
+    One bucketed tagged-union merge keyed on the subject (both sides of
+    a subject land in the same task; per-bucket pandas merge with
+    indicator does the set compare) — no driver-side state, fan-out
+    scales with the cluster."""
+    import pandas as pd
+
+    from ..stages.discovery import bucketed_block_apply
+
+    cols = ["subj", "pred", "obj_kind", "obj_value", "obj_datatype",
+            "obj_lang"]
+
+    def tag(side: str):
+        def fn(t: pa.Table) -> pa.Table:
+            return pa.table({
+                **{c: t[c].cast(pa.string()) for c in cols},
+                "_side": pa.array([side] * t.num_rows, pa.string())})
+        return fn
+
+    both = (a.map_batches(tag("a"), batch_format="pyarrow",
+                          zero_copy_batch=True)
+            .union(b.map_batches(tag("b"), batch_format="pyarrow",
+                                 zero_copy_batch=True)))
+
+    def diff(g: pd.DataFrame) -> pd.DataFrame:
+        la = g.loc[g["_side"] == "a", cols].drop_duplicates()
+        rb = g.loc[g["_side"] == "b", cols].drop_duplicates()
+        m = la.merge(rb, on=cols, how="outer", indicator=True)
+        out = m[m["_merge"] != "both"].copy()
+        out["op"] = np.where(out["_merge"] == "left_only", "del", "add")
+        return out[["op"] + cols]
+
+    return bucketed_block_apply(both, "subj", diff, n_buckets=n_buckets)
