@@ -163,6 +163,14 @@ def q_embedding_dups_ivf(sf_dir: str):
     return dedup.embedding_dup_pairs_ivf(_emb(sf_dir), tau=0.4)
 
 
+def q_source_cap(sf_dir: str):
+    """C4-style per-source document cap (keep <= 10 per source by
+    ascending doc id) — the host-level anti-overrepresentation step;
+    one bucketed source-keyed groupby."""
+    from ..stages import text
+    return text.source_cap(_docs(sf_dir), cap=10)
+
+
 def q_substring_dedup(sf_dir: str):
     """Exact repeated-substring removal (Lee et al. 2022 span surgery):
     every ≥5-token passage occurring more than once in the corpus is
@@ -1093,6 +1101,7 @@ QUERIES = {
     "embedding_dups_ivf": q_embedding_dups_ivf,
     "fuzzy_dedup_keep": q_fuzzy_dedup_keep,
     "substring_dedup": q_substring_dedup,
+    "source_cap": q_source_cap,
     "curation": q_curation,
     "curate_full": q_curate_full,
     # similarity search
@@ -1534,6 +1543,13 @@ FROM c""",
               FROM w)
         SELECT doc_id, term, round(wt, 6) AS tfidf, rk AS rank
         FROM r WHERE rk <= 5""",
+    "source_cap": r"""
+        SELECT doc_id, source,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY doc_id) AS src_rank,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY doc_id) <= 10 AS keep
+        FROM documents""",
     "embedding_quantize": r"""
         WITH e AS (SELECT vec_id,
                           unnest(embedding)::DOUBLE AS v,

@@ -768,3 +768,35 @@ def redact_spans(docs: rd.Dataset, rules=REDACT_RULES,
     return docs.map_batches(_RedactStage, fn_constructor_args=(rules,),
                             batch_format="pyarrow", concurrency=concurrency,
                             batch_size=batch_size, zero_copy_batch=True)
+
+
+def source_cap(docs: rd.Dataset, cap: int = 10, id_col: str = "doc_id",
+               source_col: str = "source",
+               n_buckets: int | None = None) -> rd.Dataset:
+    """C4/RefinedWeb-style per-source (host-level) document cap: keep at
+    most ``cap`` documents per source, chosen deterministically by
+    ascending doc id — the anti-overrepresentation step that stops one
+    crawler host from dominating the training mix.
+
+    One bucketed groupby keyed on the source; within a group the rank
+    is a bounded local sort. Output: every document with its
+    within-source rank and the keep flag (filter ``keep`` for the
+    capped corpus, the full map is the provenance record)."""
+    import pandas as pd
+
+    from .discovery import bucketed_groupby_apply
+
+    def rank_group(g: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        g = g.sort_values(id_col)
+        rk = np.arange(1, len(g) + 1, dtype="int64")
+        return pd.DataFrame({
+            id_col: g[id_col].to_numpy(),
+            source_col: g[source_col].to_numpy(),
+            "src_rank": rk,
+            "keep": rk <= cap})
+
+    return bucketed_groupby_apply(
+        docs.select_columns([id_col, source_col]), source_col, rank_group,
+        n_buckets=n_buckets)
