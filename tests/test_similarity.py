@@ -119,3 +119,36 @@ def test_knn_lsh_multiprobe_order_2_improves_or_matches_recall():
     r1, r2, r_all = recall(1), recall(2), recall(4)
     assert r2 >= r1
     assert r_all == 1.0
+
+
+def test_knn_over_quantized_embeddings_recall():
+    """8-bit quantized vectors support ANN: brute-force top-k over the
+    dequantized corpus recovers almost all of the exact float top-k
+    (the compression-for-ANN use the quantizer exists for)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    ds = _emb(n=300, dim=16, seed=7)
+    stats = similarity.embedding_quantization_stats(ds)
+    lo, hi = stats
+    q = (similarity.quantize_embeddings(ds).to_pandas()
+         .sort_values(["vec_id", "dim"]))
+    import numpy as np
+
+    n = q["vec_id"].nunique()
+    dim = q["dim"].max() + 1
+    codes = q["q"].to_numpy().reshape(n, dim)
+    step = (hi - lo) / 255.0
+    deq = lo + codes * step
+    ids = q["vec_id"].unique()
+    deq_ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array(ids, pa.int64()),
+        "embedding": pa.array([r.tolist() for r in deq],
+                              pa.list_(pa.float32()))}))
+    got = similarity.knn_bruteforce(deq_ds, [0, 1, 2], k=5).to_pandas()
+    want = _numpy_topk(ds, [0, 1, 2])
+    hits = total = 0
+    for qid in (0, 1, 2):
+        hits += len(set(got[got["qid"] == qid]["nid"]) & set(want[qid]))
+        total += 5
+    assert hits / total >= 0.8, hits / total
