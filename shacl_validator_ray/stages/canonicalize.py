@@ -187,7 +187,8 @@ def canonical_map_from_links(links: rd.Dataset, max_rounds: int = 8) -> rd.Datas
 
 def incremental_canonical_map(prior_links: rd.Dataset, prior_map: rd.Dataset,
                               new_links: rd.Dataset, changed_doc_ids,
-                              max_rounds: int = 8) -> rd.Dataset:
+                              max_rounds: int = 8,
+                              return_affected: bool = False):
     """Incremental co-reference merge — union-find components are
     mergeable, so a document change never re-resolves the whole graph:
 
@@ -296,5 +297,12 @@ def incremental_canonical_map(prior_links: rd.Dataset, prior_map: rd.Dataset,
     fix = lambda b: pa.table({
         "entity_id": b["entity_id"].cast(pa.string()),
         "root_id": b["root_id"].cast(pa.string())})
-    return (base.map_batches(fix, batch_format="pyarrow")
-            .union(recomputed.map_batches(fix, batch_format="pyarrow")))
+    out = (base.map_batches(fix, batch_format="pyarrow")
+           .union(recomputed.map_batches(fix, batch_format="pyarrow")))
+    if return_affected:
+        # the increment-bounded entity set whose canonical mapping MAY
+        # have changed (affected component members + increment
+        # endpoints + their prior roots) — the write-invalidation key
+        # set for incremental_materialize
+        return out, aent | aroots
+    return out

@@ -428,3 +428,62 @@ def test_resume_reuses_manifest_hub_set(tmp_path, monkeypatch):
     m = materialize.incremental_materialize(triples, out, [subj],
                                             hub_threshold=50)
     assert m["complete"] and m["groups_rewritten"]
+
+
+def test_incremental_update_end_to_end_equals_scratch(tmp_path):
+    """The full rerun primitive: change ONE document's content, run
+    kg.incremental_update against the prior graph dir + artifacts, and
+    the resulting graph must equal a from-scratch run on the new corpus
+    (triple-set equality) while rewriting only a subset of the write
+    groups."""
+    import shutil
+
+    docs, _, _mgt = synth.make_corpus_tables(60)
+
+    # corpus B: doc at row 5 loses all but its first span (real change)
+    spans = docs["spans"].to_pylist()
+    ids = docs["doc_id"].to_pylist()
+    changed_id = ids[5]
+    spans_b = list(spans)
+    spans_b[5] = spans[5][:1]
+    docs_b = pa.table({"doc_id": docs["doc_id"],
+                       "spans": pa.array(spans_b, docs.schema.field("spans").type)})
+
+    def artifacts(tbl):
+        triples = rd.from_arrow(extract.extract_triples_batch(tbl)).materialize()
+        links = linking.link_entities(triples, _alias_rows()).materialize()
+        cmap = canonicalize.canonical_map_from_links(links).materialize()
+        return triples, links, cmap
+
+    tr_a, links_a, map_a = artifacts(docs)
+    out_a = str(tmp_path / "graph_a")
+    materialize.materialize_graph(
+        materialize.canonical_rewrite(tr_a, map_a), out_a,
+        n_buckets=16, write_groups=8, hub_threshold=50)
+
+    # scratch run on corpus B
+    tr_b, _, map_b_scratch = artifacts(docs_b)
+    out_s = str(tmp_path / "graph_scratch")
+    materialize.materialize_graph(
+        materialize.canonical_rewrite(tr_b, map_b_scratch), out_s,
+        n_buckets=16, write_groups=8, hub_threshold=50)
+
+    # incremental: copy the prior dir, splice the one changed doc
+    out_i = str(tmp_path / "graph_incr")
+    shutil.copytree(out_a, out_i)
+    from shacl_validator_ray.pipelines import kg
+
+    changed_docs = rd.from_arrow(docs_b.filter(
+        pa.compute.equal(docs_b["doc_id"], changed_id)))
+    m = kg.incremental_update(out_i, tr_a, links_a, map_a,
+                              {changed_id}, changed_docs,
+                              alias_rows=_alias_rows(), hub_threshold=50)
+    assert m["complete"]
+    assert 0 < len(m["groups_rewritten"]) < 8  # some groups untouched
+
+    def triple_set(d):
+        df = materialize.read_graph(d).to_pandas()
+        return set(map(tuple, df[["subj", "pred", "obj_kind", "obj_value",
+                                  "obj_datatype", "obj_lang"]].to_numpy()))
+
+    assert triple_set(out_i) == triple_set(out_s)
