@@ -163,6 +163,18 @@ def q_embedding_dups_ivf(sf_dir: str):
     return dedup.embedding_dup_pairs_ivf(_emb(sf_dir), tau=0.4)
 
 
+def q_table_profile(sf_dir: str):
+    """Per-column data-quality profile of the orders table (count,
+    nulls, exact distinct, min/max): fixed-size per-batch partials for
+    the scalar stats + ONE (column, value) shuffle for exact distinct."""
+    from . import relational as R_
+    return R_.table_profile(
+        R_.t(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice",
+                                "o_orderstatus", "o_orderpriority"]),
+        num_cols=["o_orderkey", "o_custkey", "o_totalprice"],
+        str_cols=["o_orderstatus", "o_orderpriority"])
+
+
 def q_source_cap(sf_dir: str):
     """C4-style per-source document cap (keep <= 10 per source by
     ascending doc id) — the host-level anti-overrepresentation step;
@@ -1102,6 +1114,7 @@ QUERIES = {
     "fuzzy_dedup_keep": q_fuzzy_dedup_keep,
     "substring_dedup": q_substring_dedup,
     "source_cap": q_source_cap,
+    "table_profile": q_table_profile,
     "curation": q_curation,
     "curate_full": q_curate_full,
     # similarity search
@@ -1543,6 +1556,41 @@ FROM c""",
               FROM w)
         SELECT doc_id, term, round(wt, 6) AS tfidf, rk AS rank
         FROM r WHERE rk <= 5""",
+    "table_profile": r"""
+        SELECT 'o_orderkey' AS "column", count(*) AS n,
+               count(*) - count(o_orderkey) AS nulls,
+               count(DISTINCT o_orderkey) AS n_distinct,
+               round(min(o_orderkey), 6)::DOUBLE AS min_v, round(max(o_orderkey), 6)::DOUBLE AS max_v,
+               NULL::VARCHAR AS min_s, NULL::VARCHAR AS max_s
+        FROM orders
+        UNION ALL
+        SELECT 'o_custkey' AS "column", count(*) AS n,
+               count(*) - count(o_custkey) AS nulls,
+               count(DISTINCT o_custkey) AS n_distinct,
+               round(min(o_custkey), 6)::DOUBLE AS min_v, round(max(o_custkey), 6)::DOUBLE AS max_v,
+               NULL::VARCHAR AS min_s, NULL::VARCHAR AS max_s
+        FROM orders
+        UNION ALL
+        SELECT 'o_totalprice' AS "column", count(*) AS n,
+               count(*) - count(o_totalprice) AS nulls,
+               count(DISTINCT o_totalprice) AS n_distinct,
+               round(min(o_totalprice), 6)::DOUBLE AS min_v, round(max(o_totalprice), 6)::DOUBLE AS max_v,
+               NULL::VARCHAR AS min_s, NULL::VARCHAR AS max_s
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderstatus' AS "column", count(*) AS n,
+               count(*) - count(o_orderstatus) AS nulls,
+               count(DISTINCT o_orderstatus) AS n_distinct,
+               NULL::DOUBLE AS min_v, NULL::DOUBLE AS max_v,
+               min(o_orderstatus)::VARCHAR AS min_s, max(o_orderstatus)::VARCHAR AS max_s
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderpriority' AS "column", count(*) AS n,
+               count(*) - count(o_orderpriority) AS nulls,
+               count(DISTINCT o_orderpriority) AS n_distinct,
+               NULL::DOUBLE AS min_v, NULL::DOUBLE AS max_v,
+               min(o_orderpriority)::VARCHAR AS min_s, max(o_orderpriority)::VARCHAR AS max_s
+        FROM orders""",
     "source_cap": r"""
         SELECT doc_id, source,
                row_number() OVER (PARTITION BY source

@@ -937,3 +937,98 @@ def orders_by_month(sf_dir: str):
                             "total": pc.round(b["total"].cast(pa.float64()),
                                               2)}),
         batch_format="pyarrow")
+
+
+# --- generic table profiler (data-quality stats per column) ---
+def table_profile(ds: rd.Dataset, num_cols: list[str],
+                  str_cols: list[str],
+                  n_buckets: int | None = None) -> rd.Dataset:
+    """Per-column data-quality profile: row count, null count, EXACT
+    distinct count, min and max — the schema-stats pass a pipeline runs
+    before trusting a new table.
+
+    Counts/nulls/min/max fold from FIXED-SIZE per-batch partials (one
+    row per column per batch, merged on the driver); the exact distinct
+    count is the only data-scale piece and runs as ONE shuffle of
+    (column, value) rows through a bucketed dedup + per-column count.
+    Output: (column, n, nulls, n_distinct, min_v, max_v, min_s, max_s)
+    — numeric columns fill min_v/max_v (round 6), string columns fill
+    min_s/max_s."""
+    import pandas as pd
+    from ray.data.aggregate import Count
+
+    from ..stages.discovery import bucketed_block_apply
+
+    cols = list(num_cols) + list(str_cols)
+
+    # fixed-size partials: (column, n, nulls, min, max) per batch
+    stats: dict[str, dict] = {c: {"n": 0, "nulls": 0, "mn": None, "mx": None}
+                              for c in cols}
+
+    def partial(b: pa.Table) -> pa.Table:
+        rows = []
+        for c in cols:
+            col = b[c]
+            nn = col.null_count
+            valid = col.drop_null()
+            mn = mx = None
+            if len(valid):
+                mn, mx = pc.min(valid).as_py(), pc.max(valid).as_py()
+            rows.append({"column": c, "n": b.num_rows, "nulls": nn,
+                         "mn": str(mn) if mn is not None else None,
+                         "mx": str(mx) if mx is not None else None,
+                         "is_num": c in num_cols})
+        return pa.Table.from_pylist(rows)
+
+    for b in ds.map_batches(partial, batch_format="pyarrow",
+                            zero_copy_batch=True).iter_batches(
+                                batch_format="pyarrow"):
+        for r in b.to_pylist():
+            s = stats[r["column"]]
+            s["n"] += r["n"]; s["nulls"] += r["nulls"]
+            for key, pick in (("mn", min), ("mx", max)):
+                v = r[key]
+                if v is None:
+                    continue
+                v2 = float(v) if r["is_num"] else v
+                s[key[:2]] = v2 if s[key[:2]] is None else pick(s[key[:2]], v2)
+
+    # exact distinct: one (column, value) shuffle
+    def explode(b: pa.Table) -> pa.Table:
+        outs_c, outs_v = [], []
+        for c in cols:
+            vals = b[c].drop_null()
+            outs_c.extend([c] * len(vals))
+            outs_v.extend(str(v) for v in vals.to_pylist())
+        return pa.table({"column": pa.array(outs_c, pa.string()),
+                         "v": pa.array(outs_v, pa.string())})
+
+    def dedup_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(["column", "v"])
+
+    nd = (bucketed_block_apply(
+            ds.map_batches(explode, batch_format="pyarrow",
+                           zero_copy_batch=True),
+            "v", dedup_bucket, n_buckets=n_buckets)
+          .groupby("column").aggregate(Count(alias_name="n_distinct"))
+          .to_pandas())
+    nd_map = dict(zip(nd["column"], nd["n_distinct"]))
+
+    rows = []
+    for c in cols:
+        s = stats[c]
+        isnum = c in num_cols
+        rows.append({
+            "column": c, "n": s["n"], "nulls": s["nulls"],
+            "n_distinct": int(nd_map.get(c, 0)),
+            "min_v": (round(float(s["mn"]), 6)
+                      if isnum and s["mn"] is not None else None),
+            "max_v": (round(float(s["mx"]), 6)
+                      if isnum and s["mx"] is not None else None),
+            "min_s": None if isnum else s["mn"],
+            "max_s": None if isnum else s["mx"]})
+    return rd.from_arrow(pa.Table.from_pylist(rows, schema=pa.schema([
+        ("column", pa.string()), ("n", pa.int64()), ("nulls", pa.int64()),
+        ("n_distinct", pa.int64()), ("min_v", pa.float64()),
+        ("max_v", pa.float64()), ("min_s", pa.string()),
+        ("max_s", pa.string())])))
