@@ -792,6 +792,28 @@ def q_kg_pagerank(sf_dir: str):
     return pagerank(edges, iters=5)
 
 
+def q_kg_ppr(sf_dir: str):
+    """PERSONALIZED PageRank (random walk with restart): restart mass
+    goes to the catalog root instead of uniformly — seed-relative
+    relevance over the extracted resource graph. Oracle: the unrolled
+    iterations with the seed-case base term."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..functions import ns
+    from ..stages.graph import pagerank
+    from . import kg
+
+    def to_edges(b: pa.Table) -> pa.Table:
+        f = b.filter(pc.equal(b["obj_kind"], "iri"))
+        return pa.table({"src": f["subj"].cast(pa.string()),
+                         "dst": f["obj_value"].cast(pa.string())})
+
+    edges = kg.triples_dataset(sf_dir).map_batches(
+        to_edges, batch_format="pyarrow", zero_copy_batch=True)
+    return pagerank(edges, iters=5, seeds=[ns.EX + "catalog/main"])
+
+
 def q_kg_pagerank_dangling(sf_dir: str):
     """PageRank with dangling-mass teleport: sink-node rank is
     redistributed uniformly each round so ranks sum to 1 (oracle adds
@@ -1043,6 +1065,7 @@ QUERIES = {
     "kg_redact": q_kg_redact,
     "kg_canon_diff": q_kg_canon_diff,
     "kg_pagerank": q_kg_pagerank,
+    "kg_ppr": q_kg_ppr,
     "kg_pagerank_dangling": q_kg_pagerank_dangling,
     "kg_triangles": q_kg_triangles,
     "kg_components": q_kg_components,
@@ -2027,7 +2050,7 @@ SELECT node, label FROM {cur}"""
 
 
 def _pagerank_sql(mapped: str, iters: int = 5, d: float = 0.85,
-                  redistribute: bool = False) -> str:
+                  redistribute: bool = False, seeds=None) -> str:
     """Unrolled power-iteration SQL: r0 = 1/N, then ``iters`` chained
     CTE rounds of contribution-sum + damping (same dangling-mass rule
     as stages/graph.py::pagerank — sinks leak by default; with
@@ -2039,7 +2062,18 @@ nodes AS (SELECT DISTINCT node FROM
           (SELECT src AS node FROM edges UNION SELECT dst FROM edges)),
 nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
 deg AS (SELECT src, count(*)::DOUBLE AS c FROM edges GROUP BY src),
-r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes)"""
+r0 AS (SELECT node, {{r0_expr}} AS rank FROM nodes)"""
+    if seeds is None:
+        sql = sql.replace("{r0_expr}", "1.0 / (SELECT n FROM nn)")
+        base_expr = f"(1 - {d}) / (SELECT n FROM nn)"
+    else:
+        seed_list = ", ".join(f"'{s}'" for s in seeds)
+        w = 1.0 / len(seeds)
+        seed_case = (f"CASE WHEN node IN ({seed_list}) THEN {w} "
+                     f"ELSE 0.0 END")
+        sql = sql.replace("{r0_expr}", seed_case)
+        base_expr = f"(1 - {d}) * (CASE WHEN n.node IN ({seed_list}) " \
+                    f"THEN {w} ELSE 0.0 END)"
     for i in range(1, iters + 1):
         extra = ""
         if redistribute:
@@ -2053,7 +2087,7 @@ s{i} AS (SELECT e.dst AS node, sum(r.rank / dg.c) AS m
          JOIN deg dg ON dg.src = e.src
          GROUP BY e.dst),
 r{i} AS (SELECT n.node,
-                (1 - {d}) / (SELECT n FROM nn)
+                {base_expr}
                 + {d} * coalesce(s.m, 0){extra} AS rank
          FROM nodes n LEFT JOIN s{i} s ON n.node = s.node)"""
     sql += f"\nSELECT node, round(rank, 6) AS rank FROM r{iters}"
@@ -2596,6 +2630,7 @@ GROUP BY obj_value HAVING count(DISTINCT subj) > 30""",
         # kg_pagerank: the same 5 power iterations unrolled as chained
         # CTEs over the mention-mapped resource graph
         "kg_pagerank": _pagerank_sql(mapped),
+        "kg_ppr": _pagerank_sql(mapped, seeds=[ns.EX + "catalog/main"]),
         "kg_pagerank_dangling": _pagerank_sql(mapped, redistribute=True),
         # kg_kcore: unrolled peeling rounds (fixpoint well inside 8 at
         # oracle scale; the engine iterates to fixpoint with the same

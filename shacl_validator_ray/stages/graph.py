@@ -63,14 +63,21 @@ def _canonical_edges(edges: rd.Dataset, src: str, dst: str,
 def pagerank(edges: rd.Dataset, iters: int = 5, damping: float = 0.85,
              src: str = "src", dst: str = "dst",
              n_buckets: int | None = None,
-             redistribute_dangling: bool = False) -> rd.Dataset:
+             redistribute_dangling: bool = False,
+             seeds=None) -> rd.Dataset:
     """(src, dst) edge Dataset → (node, rank) after ``iters`` rounds.
 
     rank_0 = 1/N; rank_{t+1}(v) = (1-d)/N + d · Σ_{(u,v)∈E} rank_t(u)/deg(u).
 
     With ``redistribute_dangling`` the mass parked on sink nodes is
     teleported uniformly each round (rank_{t+1} gains d·D_t/N where
-    D_t = Σ rank_t over out-degree-0 nodes), so ranks sum to 1. The
+    D_t = Σ rank_t over out-degree-0 nodes), so ranks sum to 1. With
+    ``seeds`` the walk is PERSONALIZED: restart mass goes to the seed
+    set instead of uniformly (r_0 = s, rank_{t+1}(v) = (1-d)·s(v) +
+    d·Σ contributions, s(v) = 1/|S| on seeds else 0 — the random walk
+    with restart used for seed-relative relevance). Seeds are a small
+    broadcast set; the per-node restart mass rides the node table, so
+    the iteration shape is unchanged. The
     dangling flag is computed ONCE (one extra setup shuffle: universe
     anti-join distinct sources) and rides the rank vector; D_t itself
     is a single-float streaming aggregate per round — nothing
@@ -155,10 +162,35 @@ def pagerank(edges: rd.Dataset, iters: int = 5, damping: float = 0.85,
                 "dangling", pa.nulls(b.num_rows, pa.bool_()).fill_null(False)),
             batch_format="pyarrow").materialize()
 
+    if seeds is not None:
+        if redistribute_dangling:
+            raise ValueError("personalized pagerank does not combine "
+                             "with redistribute_dangling")
+        import ray as _ray
+
+        seed_set = frozenset(str(s) for s in seeds)
+        if not seed_set:
+            raise ValueError("seeds must be non-empty")
+        sm_ref = _ray.put((seed_set, 1.0 / len(seed_set)))
+
+        def with_sm(b: pa.Table) -> pa.Table:
+            ss, w = _ray.get(sm_ref)
+            return b.append_column("sm", pa.array(
+                [w if n in ss else 0.0 for n in b["node"].to_pylist()],
+                pa.float64()))
+
+        nodes = nodes.map_batches(with_sm,
+                                  batch_format="pyarrow").materialize()
+    else:
+        nodes = nodes.map_batches(
+            lambda b: b.append_column(
+                "sm", pa.nulls(b.num_rows, pa.float64()).fill_null(0.0)),
+            batch_format="pyarrow").materialize()
+
     ranks = nodes.map_batches(
-        lambda b: b.append_column("rank",
-                                  pa.nulls(b.num_rows,
-                                           pa.float64()).fill_null(init)),
+        lambda b: b.append_column(
+            "rank", b["sm"].cast(pa.float64()) if seeds is not None
+            else pa.nulls(b.num_rows, pa.float64()).fill_null(init)),
         batch_format="pyarrow").materialize()
 
     def contrib_merge(g: pd.DataFrame) -> pd.DataFrame:
@@ -179,15 +211,18 @@ def pagerank(edges: rd.Dataset, iters: int = 5, damping: float = 0.85,
             new rank for every universe node in the bucket — one shuffle
             instead of two per iteration. ``row_base`` folds in this
             round's share of redistributed dangling mass."""
-            ns = g.loc[g["c"].isna(), ["node", "dangling"]]
+            ns = g.loc[g["c"].isna(), ["node", "dangling", "sm"]]
             cs = g.loc[~g["c"].isna(), ["node", "c"]]
             sums = (cs.groupby("node", sort=False)["c"].sum()
                     if len(cs) else None)
             m = ns.merge(sums.reset_index(), on="node", how="left") \
                 if sums is not None else ns.assign(c=0.0)
+            per_node_base = ((1.0 - damping) * m["sm"]
+                             if seeds is not None else row_base)
             return pd.DataFrame({
                 "node": m["node"], "dangling": m["dangling"],
-                "rank": row_base + damping * m["c"].fillna(0.0)})
+                "sm": m["sm"],
+                "rank": per_node_base + damping * m["c"].fillna(0.0)})
         return sum_apply_merge
 
     for _ in range(iters):
@@ -223,16 +258,20 @@ def pagerank(edges: rd.Dataset, iters: int = 5, damping: float = 0.85,
         tagged_n = nodes.map_batches(
             lambda b: pa.table({"node": b["node"].cast(pa.string()),
                                 "dangling": b["dangling"].cast(pa.bool_()),
+                                "sm": b["sm"].cast(pa.float64()),
                                 "c": pa.nulls(b.num_rows, pa.float64())}),
             batch_format="pyarrow")
         tagged_c = contrib.map_batches(
             lambda b: pa.table({"node": b["dst_"].cast(pa.string()),
                                 "dangling": pa.nulls(
                                     b.num_rows, pa.bool_()).fill_null(False),
+                                "sm": pa.nulls(
+                                    b.num_rows, pa.float64()).fill_null(0.0),
                                 "c": b["c"].cast(pa.float64())})
             if b.num_rows else pa.table(
                 {"node": pa.array([], pa.string()),
                  "dangling": pa.array([], pa.bool_()),
+                 "sm": pa.array([], pa.float64()),
                  "c": pa.array([], pa.float64())}),
             batch_format="pyarrow")
         ranks = bucketed_block_apply(
