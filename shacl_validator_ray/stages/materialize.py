@@ -23,6 +23,41 @@ import ray.data as rd
 from ..stages import shacl as shacl_stage
 
 
+def _pin_absent_fsspec_http() -> None:
+    """Make ``fsspec.implementations.http`` import DETERMINISTIC when
+    aiohttp is absent. The real module fails to import (no aiohttp) and
+    Python does not cache failed imports, so EVERY Ray path resolution
+    re-attempts it (path_util._is_http_filesystem); two overlapped
+    write threads re-attempting concurrently can race the
+    partial-module window, and the loser sees ImportError — which Ray's
+    ``except ModuleNotFoundError`` does not tolerate. Installing a stub
+    once ends the re-import churn: ``from fsspec.implementations.http
+    import HTTPFileSystem`` succeeds, the stub class never
+    isinstance-matches a real filesystem, and constructing it raises
+    the same ModuleNotFoundError the real import would."""
+    import importlib.util
+    import sys
+    import types
+
+    if "fsspec.implementations.http" in sys.modules:
+        return
+    if importlib.util.find_spec("aiohttp") is not None:
+        return  # the real module can import; nothing to pin
+    try:
+        import fsspec.implementations as _fsi  # noqa: F401
+    except Exception:
+        return
+    mod = types.ModuleType("fsspec.implementations.http")
+
+    class HTTPFileSystem:  # pragma: no cover — never constructed
+        def __init__(self, *a, **k):
+            raise ModuleNotFoundError("aiohttp is not installed")
+
+    mod.HTTPFileSystem = HTTPFileSystem
+    sys.modules["fsspec.implementations.http"] = mod
+    _fsi.http = mod
+
+
 def subj_bucket(subj: str, n_buckets: int) -> int:
     """Single-value twin of the vectorized bucket hash (io.hash_bucket_column)."""
     import pandas as pd
@@ -310,6 +345,7 @@ def materialize_graph(triples: rd.Dataset, out_dir: str, *,
 
     pending = [g for g in range(write_groups)
                if g not in manifest["groups_done"]]  # resume: skip done
+    _pin_absent_fsspec_http()  # threaded writes: end the import race
     if parallel_writes > 1 and len(pending) > 1:
         # overlap group writes (each is its own Ray execution over the
         # pinned bucketed set; resume granularity stays per-group)
