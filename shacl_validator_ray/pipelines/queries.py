@@ -163,6 +163,16 @@ def q_embedding_dups_ivf(sf_dir: str):
     return dedup.embedding_dup_pairs_ivf(_emb(sf_dir), tau=0.4)
 
 
+def q_retention_cohorts(sf_dir: str):
+    """Cohort retention triangle over the event log: users cohorted by
+    first-event week, distinct actives per (cohort, weeks-since) cell.
+    One user-keyed shuffle + one small groupby."""
+    from ..stages import windows
+    from . import relational as R_
+    return windows.retention_cohorts(
+        R_.t(sf_dir, "events", ["user_id", "ts"]))
+
+
 def q_table_profile(sf_dir: str):
     """Per-column data-quality profile of the orders table (count,
     nulls, exact distinct, min/max): fixed-size per-batch partials for
@@ -1138,6 +1148,7 @@ QUERIES = {
     "substring_dedup": q_substring_dedup,
     "source_cap": q_source_cap,
     "table_profile": q_table_profile,
+    "retention_cohorts": q_retention_cohorts,
     "curation": q_curation,
     "curate_full": q_curate_full,
     # similarity search
@@ -1579,6 +1590,18 @@ FROM c""",
               FROM w)
         SELECT doc_id, term, round(wt, 6) AS tfidf, rk AS rank
         FROM r WHERE rk <= 5""",
+    "retention_cohorts": r"""
+        WITH up AS (SELECT user_id,
+                           epoch_us(ts) // 604800000000 AS period
+                    FROM events),
+        d AS (SELECT DISTINCT user_id, period FROM up),
+        c AS (SELECT user_id, min(period) AS cohort FROM d
+              GROUP BY user_id)
+        SELECT c.cohort AS cohort_period,
+               d.period - c.cohort AS period_offset,
+               count(*) AS n_users
+        FROM d JOIN c USING (user_id)
+        GROUP BY 1, 2""",
     "table_profile": r"""
         SELECT 'o_orderkey' AS "column", count(*) AS n,
                count(*) - count(o_orderkey) AS nulls,

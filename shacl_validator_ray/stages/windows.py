@@ -579,3 +579,51 @@ def props_stats(events: rd.Dataset) -> rd.Dataset:
                           b["n"].cast(pa.float64())), 6)})
 
     return out.map_batches(finish, batch_format="pyarrow")
+
+
+def retention_cohorts(events: rd.Dataset, period_us: int = 604_800_000_000,
+                      user_col: str = "user_id", ts_col: str = "ts",
+                      n_buckets: int | None = None) -> rd.Dataset:
+    """Cohort retention (the classic product-analytics triangle): users
+    are cohorted by the period (default: 7-day epoch week) of their
+    FIRST event; for every (cohort, periods-since) cell, count the
+    distinct cohort members active in that period.
+
+    Shape: one vectorized map emits (user, period) rows; ONE user-keyed
+    bucketed shuffle computes each user's cohort AND its distinct
+    active periods in the same group (per-user history is bounded);
+    the (cohort, offset) cells reduce in one small groupby. Output:
+    (cohort_period, period_offset, n_users)."""
+    import pandas as pd
+    from ray.data.aggregate import Count
+
+    from .discovery import bucketed_groupby_apply
+
+    def user_periods(b: pa.Table) -> pa.Table:
+        us = b[ts_col].cast(pa.timestamp("us")).cast(pa.int64())
+        import numpy as np
+
+        periods = (np.asarray(us, dtype=np.int64) // period_us)
+        return pa.table({user_col: b[user_col].cast(pa.int64()),
+                         "period": pa.array(periods, pa.int64())})
+
+    up = events.map_batches(user_periods, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+    def cohort_rows(g: pd.DataFrame) -> pd.DataFrame:
+        periods = g["period"].drop_duplicates().sort_values()
+        cohort = int(periods.iloc[0])
+        return pd.DataFrame({
+            "cohort_period": cohort,
+            "period_offset": (periods - cohort).astype("int64").to_numpy()})
+
+    cells = bucketed_groupby_apply(up, user_col, cohort_rows,
+                                   n_buckets=n_buckets)
+    out = cells.groupby(["cohort_period", "period_offset"]).aggregate(
+        Count(alias_name="n_users"))
+    return out.map_batches(
+        lambda b: pa.table({
+            "cohort_period": b["cohort_period"].cast(pa.int64()),
+            "period_offset": b["period_offset"].cast(pa.int64()),
+            "n_users": b["n_users"].cast(pa.int64())}),
+        batch_format="pyarrow")
