@@ -227,3 +227,33 @@ def test_rank_quartiles_ntile_rule_small_n(tmp_path):
         .sort_values("rnk").reset_index(drop=True)
     assert out["rnk"].tolist() == [1, 2, 3, 4, 5, 6]
     assert out["quartile"].tolist() == [1, 1, 2, 2, 3, 4]
+
+
+def test_retention_cohorts_planted():
+    """Two users in different weekly cohorts; retention cells count
+    distinct members per (cohort, offset)."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from shacl_validator_ray.stages import windows
+
+    def ts(day):
+        return dt.datetime(2024, 1, 1) + dt.timedelta(days=day)
+
+    rows = [
+        (1, ts(0)), (1, ts(1)),        # u1 cohort week W, active W only
+        (2, ts(0)), (2, ts(8)),        # u2 cohort W, active W and W+1
+        (3, ts(8)), (3, ts(16)),       # u3 cohort W+1, active W+1, W+2
+    ]
+    ev = rd.from_arrow(pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us"))}))
+    got = (windows.retention_cohorts(ev).to_pandas()
+           .sort_values(["cohort_period", "period_offset"])
+           .reset_index(drop=True))
+    cells = {(r.cohort_period, r.period_offset): r.n_users
+             for r in got.itertuples()}
+    w = min(c for c, _ in cells)
+    assert cells == {(w, 0): 2, (w, 1): 1, (w + 1, 0): 1, (w + 1, 1): 1}
