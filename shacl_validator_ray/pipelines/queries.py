@@ -824,6 +824,28 @@ def q_kg_ppr(sf_dir: str):
     return pagerank(edges, iters=5, seeds=[ns.EX + "catalog/main"])
 
 
+def q_kg_ppr_dangling(sf_dir: str):
+    """Personalized PageRank with dangling-mass teleport to the SEED
+    set (ranks sum to 1): sink mass returns to the restart
+    distribution each round, the standard personalized-walk rule."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..functions import ns
+    from ..stages.graph import pagerank
+    from . import kg
+
+    def to_edges(b: pa.Table) -> pa.Table:
+        f = b.filter(pc.equal(b["obj_kind"], "iri"))
+        return pa.table({"src": f["subj"].cast(pa.string()),
+                         "dst": f["obj_value"].cast(pa.string())})
+
+    edges = kg.triples_dataset(sf_dir).map_batches(
+        to_edges, batch_format="pyarrow", zero_copy_batch=True)
+    return pagerank(edges, iters=5, seeds=[ns.EX + "catalog/main"],
+                    redistribute_dangling=True)
+
+
 def q_kg_pagerank_dangling(sf_dir: str):
     """PageRank with dangling-mass teleport: sink-node rank is
     redistributed uniformly each round so ranks sum to 1 (oracle adds
@@ -1076,6 +1098,7 @@ QUERIES = {
     "kg_canon_diff": q_kg_canon_diff,
     "kg_pagerank": q_kg_pagerank,
     "kg_ppr": q_kg_ppr,
+    "kg_ppr_dangling": q_kg_ppr_dangling,
     "kg_pagerank_dangling": q_kg_pagerank_dangling,
     "kg_triangles": q_kg_triangles,
     "kg_components": q_kg_components,
@@ -2103,7 +2126,15 @@ r0 AS (SELECT node, {{r0_expr}} AS rank FROM nodes)"""
             sql += f""",
 dm{i} AS (SELECT coalesce(sum(rank), 0) AS m FROM r{i - 1}
           WHERE node NOT IN (SELECT src FROM deg))"""
-            extra = f" + {d} * (SELECT m FROM dm{i}) / (SELECT n FROM nn)"
+            if seeds is None:
+                extra = (f" + {d} * (SELECT m FROM dm{i})"
+                         f" / (SELECT n FROM nn)")
+            else:
+                seed_list = ", ".join(f"'{s}'" for s in seeds)
+                w = 1.0 / len(seeds)
+                extra = (f" + {d} * (SELECT m FROM dm{i})"
+                         f" * (CASE WHEN n.node IN ({seed_list}) "
+                         f"THEN {w} ELSE 0.0 END)")
         sql += f""",
 s{i} AS (SELECT e.dst AS node, sum(r.rank / dg.c) AS m
          FROM r{i - 1} r JOIN edges e ON r.node = e.src
@@ -2654,6 +2685,7 @@ GROUP BY obj_value HAVING count(DISTINCT subj) > 30""",
         # CTEs over the mention-mapped resource graph
         "kg_pagerank": _pagerank_sql(mapped),
         "kg_ppr": _pagerank_sql(mapped, seeds=[ns.EX + "catalog/main"]),
+        "kg_ppr_dangling": _pagerank_sql(mapped, seeds=[ns.EX + "catalog/main"], redistribute=True),
         "kg_pagerank_dangling": _pagerank_sql(mapped, redistribute=True),
         # kg_kcore: unrolled peeling rounds (fixpoint well inside 8 at
         # oracle scale; the engine iterates to fixpoint with the same

@@ -163,9 +163,9 @@ def pagerank(edges: rd.Dataset, iters: int = 5, damping: float = 0.85,
             batch_format="pyarrow").materialize()
 
     if seeds is not None:
-        if redistribute_dangling:
-            raise ValueError("personalized pagerank does not combine "
-                             "with redistribute_dangling")
+        # with redistribute_dangling, sink mass teleports to the SEED
+        # set (weighted by s(v)) instead of uniformly — the standard
+        # personalized-walk dangling rule
         import ray as _ray
 
         seed_set = frozenset(str(s) for s in seeds)
@@ -217,7 +217,9 @@ def pagerank(edges: rd.Dataset, iters: int = 5, damping: float = 0.85,
                     if len(cs) else None)
             m = ns.merge(sums.reset_index(), on="node", how="left") \
                 if sums is not None else ns.assign(c=0.0)
-            per_node_base = ((1.0 - damping) * m["sm"]
+            # seeds: base = s(v)·((1-d) + d·D_t) — restart mass plus
+            # this round's dangling teleport, both proportional to s(v)
+            per_node_base = (m["sm"] * row_base
                              if seeds is not None else row_base)
             return pd.DataFrame({
                 "node": m["node"], "dangling": m["dangling"],
@@ -226,7 +228,7 @@ def pagerank(edges: rd.Dataset, iters: int = 5, damping: float = 0.85,
         return sum_apply_merge
 
     for _ in range(iters):
-        row_base = base
+        row_base = (1.0 - damping) if seeds is not None else base
         if redistribute_dangling:
             # D_t: one float off a streaming aggregate over the pinned
             # rank vector (the vector itself never leaves the cluster)
@@ -237,7 +239,10 @@ def pagerank(edges: rd.Dataset, iters: int = 5, damping: float = 0.85,
                                        0.0)).as_py() or 0.0],
                     pa.float64())}),
                 batch_format="pyarrow").sum("s") or 0.0
-            row_base = base + damping * d_mass / n_nodes
+            if seeds is not None:
+                row_base = (1.0 - damping) + damping * d_mass
+            else:
+                row_base = base + damping * d_mass / n_nodes
         tagged_r = ranks.map_batches(
             lambda b: pa.table({
                 "node": b["node"].cast(pa.string()),
