@@ -730,6 +730,44 @@ def q_kg_bgp_varpred(sf_dir: str):
         ["severity", "focus_node", "value", "source_constraint_component"])
 
 
+def q_kg_bgp_scalar_subquery(sf_dir: str):
+    """sh:sparql scalar-subquery analog: compare a binding against a
+    PRECOMPUTED corpus aggregate (here: distributions whose byteSize
+    exceeds the corpus average) — the aggregate is one tiny distributed
+    reduction broadcast into the FILTER, the SPARQL
+    ``(SELECT avg(...) ...)`` pattern."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..functions import ns
+    from ..stages.bgp import BGPConstraint
+    from . import kg
+
+    from ..stages import shacl as shacl_mod
+
+    # set semantics for the aggregate (the oracle averages DISTINCT
+    # rows): dedup before the mean, mirroring the quad-store model
+    triples = shacl_mod.dedup_triples(
+        kg.triples_dataset(sf_dir)).materialize()
+    size_pred = ns.DCAT + "byteSize"
+
+    def sizes(b: pa.Table) -> pa.Table:
+        f = b.filter(pc.equal(b["pred"], size_pred))
+        return pa.table({"v": pc.cast(f["obj_value"], pa.float64())})
+
+    sz = triples.map_batches(sizes, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    mean = sz.mean("v")
+
+    cc = BGPConstraint(
+        patterns=[("$this", size_pred, "?v")],
+        filter_fn=lambda df, m=mean: df["?v"].astype(float) > m,
+        component="http://example.org/constraints#AboveAvgByteSize",
+        message="distribution byteSize exceeds the corpus average")
+    return cc.violations(triples).select_columns(
+        ["severity", "focus_node", "value", "source_constraint_component"])
+
+
 def q_kg_bgp_having(sf_dir: str):
     """sh:sparql aggregate analog (GROUP BY $this HAVING count): flag
     publishers credited on more than 30 distinct datasets — a
@@ -1093,6 +1131,7 @@ QUERIES = {
     "kg_bgp_paths": q_kg_bgp_paths,
     "kg_bgp_varpred": q_kg_bgp_varpred,
     "kg_bgp_having": q_kg_bgp_having,
+    "kg_bgp_scalar_subquery": q_kg_bgp_scalar_subquery,
     "embedding_quantize": q_embedding_quantize,
     "kg_redact": q_kg_redact,
     "kg_canon_diff": q_kg_canon_diff,
@@ -2669,6 +2708,17 @@ hits AS (SELECT DISTINCT subj FROM g
            AND pred LIKE '{dct}%')
 SELECT 'Violation' AS severity, subj AS focus_node, subj AS value,
        'http://example.org/constraints#PdfValueAnyDctPred'
+           AS source_constraint_component
+FROM hits""",
+        # kg_bgp_scalar_subquery: binding vs corpus-average subselect
+        "kg_bgp_scalar_subquery": f"""
+WITH g AS (SELECT DISTINCT subj, pred, obj_value FROM {gt}),
+sz AS (SELECT subj, obj_value::DOUBLE AS v FROM g
+       WHERE pred = '{dcat}byteSize'),
+hits AS (SELECT DISTINCT subj FROM sz
+         WHERE v > (SELECT avg(v) FROM sz))
+SELECT 'Violation' AS severity, subj AS focus_node, subj AS value,
+       'http://example.org/constraints#AboveAvgByteSize'
            AS source_constraint_component
 FROM hits""",
         # kg_bgp_having: GROUP BY $this HAVING count(distinct ?d) > 30
