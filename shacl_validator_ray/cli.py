@@ -263,8 +263,12 @@ def cmd_profiles(args) -> int:
             row["defaultVersion"] = meta.get("defaultVersion")
             row["branches"] = sorted(meta.get("branches", {}))
             row["defaultBranch"] = meta.get("defaultBranch")
-            row["shaclFiles"] = meta["versions"][
-                meta["defaultVersion"]]["shaclFiles"]
+            # expand the {branch} template with the default branch so the
+            # listing shows resolved paths, consistent with flat profiles
+            branch = meta.get("defaultBranch", "main")
+            row["shaclFiles"] = [
+                f.replace("{branch}", branch)
+                for f in meta["versions"][meta["defaultVersion"]]["shaclFiles"]]
         out.append(row)
     print(json.dumps(out, indent=1))
     return 0

@@ -12,6 +12,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import ray
 import ray.data as rd
 
 from ..functions import textfns as tf
@@ -241,7 +242,20 @@ def simhash_dup_pairs(docs: rd.Dataset, max_hamming: int = 3, id_col: str = "doc
     hazard — is skipped with a loud RuntimeWarning, the same policy as
     ``graph.shared_attribute_pairs`` (millions of identical docs are
     exact_dedup's job; their complete pair graph is inherently
-    quadratic output)."""
+    quadratic output). The hot set is broadcast into pair generation so
+    the first-matching-band skip only fires when the earlier band's
+    bucket was actually processed — a pair co-occurring with a
+    boilerplate flood in band 0 but sitting in a small band-1 bucket is
+    still emitted (once, by its first NON-hot matching band).
+
+    Cardinality ceiling: 16-bit bands give only 4 × 65,536 possible
+    (band, key) buckets, so the AVERAGE bucket holds ~n_docs/65,536
+    rows. Once the corpus exceeds ~hot_cap × 65,536 docs (~650M at the
+    default cap) every bucket is hot and the stage degenerates to
+    emitting nothing; a RuntimeWarning flags that configuration —
+    raise ``hot_cap`` (pair output is quadratic in bucket size) or
+    route such corpora through MinHash-LSH, whose key space scales
+    with content."""
     import warnings
 
     from ..sources import io as io_mod
@@ -266,16 +280,36 @@ def simhash_dup_pairs(docs: rd.Dataset, max_hamming: int = 3, id_col: str = "doc
     sig_rows = docs.map_batches(sigs, batch_format="pyarrow",
                                 zero_copy_batch=True).materialize()
 
-    # driver-side hot check on the small per-(band,key) count table
-    hot = sig_rows.groupby("bk").count().filter(
-        lambda r: r["count()"] > hot_cap).count()
-    if hot:
+    # driver-side hot check on the small per-(band,key) count table;
+    # collect the hot bucket KEYS (bounded by the 4×2^16 key space, so
+    # at most ~262k int64s on the driver) for broadcast into pair
+    # generation — the earlier-band skip must not fire for a band that
+    # was itself skipped as hot, or its pairs would be lost entirely.
+    import pyarrow.compute as pc
+
+    hot_keys = np.sort(np.concatenate(
+        [np.asarray(b["bk"]) for b in sig_rows.groupby("bk").count()
+         .map_batches(lambda t: t.filter(
+             pc.greater(t["count()"], hot_cap)).select(["bk"]),
+             batch_format="pyarrow").iter_batches(batch_format="pyarrow")]
+        or [np.array([], dtype=np.int64)])).astype(np.int64)
+    if len(hot_keys):
         warnings.warn(
-            f"simhash_dup_pairs: {hot} (band, key) bucket(s) exceed "
-            f"hot_cap={hot_cap} docs and are excluded from pair "
+            f"simhash_dup_pairs: {len(hot_keys)} (band, key) bucket(s) "
+            f"exceed hot_cap={hot_cap} docs and are excluded from pair "
             f"generation", RuntimeWarning, stacklevel=2)
+    n_docs = sig_rows.count() // 4
+    if n_docs > hot_cap * 65_536:
+        warnings.warn(
+            f"simhash_dup_pairs: corpus of {n_docs} docs exceeds the "
+            f"hot_cap×65536 cardinality ceiling of the 16-bit band key "
+            f"space — every bucket averages above hot_cap and the stage "
+            f"degenerates; raise hot_cap or use minhash_lsh_dup_pairs",
+            RuntimeWarning, stacklevel=2)
+    hot_ref = ray.put(hot_keys)
 
     def pairs_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        hot_ = ray.get(hot_ref)
         d1, d2, hm = [], [], []
         for bk, sub in g.groupby("bk", sort=False):
             if len(sub) < 2 or len(sub) > hot_cap:
@@ -287,11 +321,18 @@ def simhash_dup_pairs(docs: rd.Dataset, max_hamming: int = 3, id_col: str = "doc
             iu, ju = np.triu_indices(len(ids), k=1)
             xor = np.bitwise_xor(sg[iu], sg[ju])
             if band > 0:
-                # first-matching-band: drop pairs already caught earlier
+                # first-matching-band: drop pairs already caught by an
+                # earlier band — unless that earlier (band, key) bucket
+                # was hot (skipped), in which case this band must emit.
                 earlier = np.zeros(len(xor), dtype=bool)
                 for eb in range(band):
-                    earlier |= ((xor >> np.uint64(16 * eb))
-                                & np.uint64(0xFFFF)) == 0
+                    seg = ((xor >> np.uint64(16 * eb))
+                           & np.uint64(0xFFFF)) == 0
+                    if len(hot_) and seg.any():
+                        ebk = ((np.int64(eb) << 16) | ((sg[iu] >> np.uint64(
+                            16 * eb)) & np.uint64(0xFFFF)).astype(np.int64))
+                        seg &= ~np.isin(ebk, hot_)
+                    earlier |= seg
                 iu, ju, xor = iu[~earlier], ju[~earlier], xor[~earlier]
             ham = (np.unpackbits(xor.view(np.uint8).reshape(len(xor), 8),
                                  axis=1).sum(axis=1) if len(xor)

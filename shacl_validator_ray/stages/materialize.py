@@ -164,24 +164,24 @@ def detect_hubs(triples: rd.Dataset, threshold: int, top_m: int = 4096,
         return pa.table({"subj": pa.array(vc.index.astype(str), pa.string()),
                          "n": pa.array(vc.to_numpy(), pa.int64())})
 
+    # Materialize the partials table before the threshold probe: it is
+    # blocks × top_m rows — far smaller than the corpus — and pinning it
+    # means the overflow path merges the SAME pass instead of re-running
+    # the corpus-scale pre-pass a second time (overflow is the common
+    # case at scale, where the double-scan would dominate).
     partials = triples.map_batches(partial, batch_format="pyarrow",
-                                   zero_copy_batch=True)
-    collected: list[pa.Table] = []
-    n = 0
-    for b in partials.iter_batches(batch_format="pyarrow"):
-        collected.append(b)
-        n += b.num_rows
-        if n > driver_threshold:
-            break
-    else:
-        if not collected:
+                                   zero_copy_batch=True).materialize()
+    n = partials.count()
+    if n <= driver_threshold:
+        if n == 0:
             return set()
-        t = pa.concat_tables(collected)
+        t = pa.concat_tables(
+            list(partials.iter_batches(batch_format="pyarrow")))
         s = pd.Series(np.asarray(t["n"]),
                       index=t["subj"].to_pylist()).groupby(level=0).sum()
         return set(s[s > threshold].index)
 
-    # overflow: distributed merge (re-runs the cheap partial pass)
+    # overflow: distributed merge over the pinned partials (no re-scan)
     totals = (partials.groupby("subj").aggregate(Sum("n", alias_name="n")))
     hubs: set[str] = set()
     for b in totals.map_batches(

@@ -135,7 +135,9 @@ def knn_ivf(emb: rd.Dataset, query_ids: list[int], k: int = 5,
             allowed = np.isin(lists, probes_[qi])
             row, rids = sims[qi][allowed], ids[allowed]
             cnt = 0
-            for j in np.argsort(-row, kind="stable"):
+            # lexsort: sim desc, ties broken by ascending neighbor id —
+            # deterministic regardless of batch/partition composition.
+            for j in np.lexsort((rids, -row)):
                 if rids[j] == qids_[qi]:
                     continue
                 out_q.append(int(qids_[qi])); out_n.append(int(rids[j]))
@@ -213,7 +215,9 @@ def knn_lsh(emb: rd.Dataset, query_ids: list[int], k: int = 5, n_planes: int = 6
             allowed = np.isin(buckets, probes_[qi])
             row, rids = sims[qi][allowed], ids[allowed]
             cnt = 0
-            for j in np.argsort(-row, kind="stable"):
+            # lexsort: sim desc, ties broken by ascending neighbor id —
+            # deterministic regardless of batch/partition composition.
+            for j in np.lexsort((rids, -row)):
                 if rids[j] == qids_[qi]:
                     continue
                 out_q.append(int(qids_[qi])); out_n.append(int(rids[j]))

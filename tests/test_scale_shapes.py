@@ -62,6 +62,27 @@ def test_simhash_hot_bucket_cap_skips_flood_with_warning():
     assert not any(p in flood_ids or q in flood_ids for p, q in pairs)
 
 
+def test_simhash_pair_in_hot_band0_bucket_survives_via_band1():
+    """A near-dup pair whose band-0 bucket is flooded (hot, skipped) but
+    whose band-1 bucket is small must still be emitted — the
+    first-matching-band skip only applies when the earlier band's bucket
+    was actually processed. 'flood274563' is a precomputed single-token
+    text whose simhash band-0 segment (0xfcd6) equals the pair's, while
+    its band-1 segment differs."""
+    flood = ["flood274563"] * 40
+    a = " ".join(["common word stream"] * 20 + ["delta"])
+    b = " ".join(["common word stream"] * 20 + ["epsilon"])
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(flood) + 2), pa.int64()),
+        "text": pa.array(flood + [a, b], pa.string())}))
+    with pytest.warns(RuntimeWarning, match="hot_cap"):
+        got = dedup.simhash_dup_pairs(docs, hot_cap=10).to_pandas()
+    pairs = set(zip(got["doc1"], got["doc2"]))
+    assert (40, 41) in pairs          # rescued by band 1
+    flood_ids = set(range(40))
+    assert not any(p in flood_ids or q in flood_ids for p, q in pairs)
+
+
 def test_simhash_no_cap_matches_previous_semantics():
     """Without a hot bucket the capped pipeline emits the exact banded
     pair set (each pair once, from its first matching band)."""
