@@ -1788,7 +1788,9 @@ FROM c""",
     # substring_dedup: the same rolling 5-gram window arithmetic in SQL —
     # duplicated grams (count ≥ 2 over the corpus) mark every occurrence
     # except the (doc_id, pos)-minimum; marked [pos, pos+5) token spans
-    # union into a removal mask per doc; kept tokens string_agg in order
+    # union into a removal mask per doc; kept tokens string_agg in order.
+    # Groups on the exact gram STRING — the ground truth the engine's
+    # 64-bit rotate-XOR fingerprints approximate (2^-64 collision odds)
     "substring_dedup": r"""
         WITH toks AS (SELECT doc_id,
                              regexp_extract_all(coalesce(text, ''), '\S+') AS tl
@@ -1797,14 +1799,8 @@ FROM c""",
                       unnest(range(0, greatest(len(tl) - 4, 0))) AS i
                FROM toks),
         g AS (SELECT doc_id, i,
-                     ('0x' || substr(h,15,2) || substr(h,13,2)
-                      || substr(h,11,2) || substr(h,9,2)
-                      || substr(h,7,2) || substr(h,5,2)
-                      || substr(h,3,2) || substr(h,1,2))::UBIGINT AS g
-              FROM (SELECT doc_id, i,
-                           md5(array_to_string(
-                               list_slice(tl, i + 1, i + 5), ' ')) AS h
-                    FROM gi)),
+                     array_to_string(list_slice(tl, i + 1, i + 5), ' ') AS g
+              FROM gi),
         marked AS (SELECT doc_id, i,
                           row_number() OVER (PARTITION BY g
                                              ORDER BY doc_id, i) AS rn,

@@ -89,26 +89,46 @@ def stats_agg(sf_dir: str):
 
 # --- M14: first-match property projection (DataDiscoveryService.ts:131-137) ---
 def first_match(sf_dir: str):
+    """Per-block keep-min combiner (vectorized drop_duplicates) → one
+    bucketed merge with the same whole-bucket kernel — no per-group
+    pandas (replaces a map_groups ``head(1)`` per customer)."""
+    from ..stages.discovery import bucketed_block_apply
+
     ds = t(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_orderdate"])
 
-    def first_row(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("o_orderkey").head(1)
-        return pd.DataFrame(
-            {"o_custkey": g["o_custkey"].values, "first_orderdate": g["o_orderdate"].values}
-        )
+    def keep_min(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values("o_orderkey", kind="mergesort").drop_duplicates(
+            "o_custkey", keep="first")
 
-    return ds.groupby("o_custkey").map_groups(first_row, batch_format="pandas")
+    partial = ds.map_batches(keep_min, batch_format="pandas")
+    merged = bucketed_block_apply(partial, "o_custkey", keep_min)
+    return merged.map_batches(
+        lambda b: b.select(["o_custkey", "o_orderdate"]).rename_columns(
+            ["o_custkey", "first_orderdate"]),
+        batch_format="pyarrow", zero_copy_batch=True)
 
 
 # --- M15: multi-value property projection (DataDiscoveryService.ts:138-142) ---
 def multi_value(sf_dir: str):
+    """Per-block distinct-pair combiner → one bucketed merge whose
+    kernel is a single pandas groupby-agg join across every customer in
+    the bucket — no Ray-level per-group map_groups."""
+    from ..stages.discovery import bucketed_block_apply
+
     ds = t(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
 
-    def collect(g: pd.DataFrame) -> pd.DataFrame:
-        vals = ",".join(sorted(set(g["o_orderpriority"])))
-        return pd.DataFrame({"o_custkey": [g["o_custkey"].iloc[0]], "priorities": [vals]})
+    partial = ds.map_batches(lambda df: df.drop_duplicates(),
+                             batch_format="pandas")
 
-    return ds.groupby("o_custkey").map_groups(collect, batch_format="pandas")
+    def collect_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates().sort_values(
+            ["o_custkey", "o_orderpriority"])
+        s = df.groupby("o_custkey", sort=False)["o_orderpriority"].agg(
+            ",".join)
+        return pd.DataFrame({"o_custkey": s.index.to_numpy(),
+                             "priorities": s.to_numpy()})
+
+    return bucketed_block_apply(partial, "o_custkey", collect_bucket)
 
 
 # --- A5/O2: top-k by group count (ReportViewer.tsx:140-163) ---

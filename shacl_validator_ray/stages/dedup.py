@@ -20,16 +20,27 @@ from ..functions import textfns as tf
 
 # --- exact dedup: keep min-id row per normalized-text group (D1) ---
 def exact_dedup(docs: rd.Dataset, id_col: str = "doc_id", text_col: str = "text") -> rd.Dataset:
+    """Per-block keep-min (vectorized drop_duplicates — the combiner,
+    shrinking the shuffle to ≤ one row per distinct fp per block) →
+    ONE hash-bucketed merge whose per-bucket kernel is the same single
+    vectorized sort+drop_duplicates call across all groups in the
+    bucket. No per-group Python anywhere (replaces a
+    groupby.map_groups pandas ``head(1)`` per fingerprint)."""
     def fp(b: pa.Table) -> pa.Table:
         texts = b.column(text_col).to_pylist()
         return b.append_column(
             "fp", pa.array([tf.md5_fingerprint(t or "") for t in texts], pa.string()))
 
-    def first(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(id_col).head(1).drop(columns=["fp"])
+    def keep_min(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(id_col, kind="mergesort").drop_duplicates(
+            "fp", keep="first")
 
-    return (docs.map_batches(fp, batch_format="pyarrow", zero_copy_batch=True)
-                .groupby("fp").map_groups(first, batch_format="pandas"))
+    from .discovery import bucketed_block_apply
+
+    partial = (docs.map_batches(fp, batch_format="pyarrow",
+                                zero_copy_batch=True)
+                   .map_batches(keep_min, batch_format="pandas"))
+    return bucketed_block_apply(partial, "fp", keep_min).drop_columns(["fp"])
 
 
 # --- all-pairs word-set Jaccard within blocks (n-gram Jaccard dedup oracle) ---
@@ -500,7 +511,7 @@ def substring_dedup(docs: rd.Dataset, k: int = 8, id_col: str = "doc_id",
     Distributed shape (suffix arrays don't shard; rolling k-gram
     fingerprints do):
 
-    1. one pass emits (md5(k-gram), doc_id, pos) rolling fingerprints —
+    1. one pass emits (fp(k-gram), doc_id, pos) rolling fingerprints —
        every length-≥k repeat is a run of ≥1 duplicated k-grams;
     2. ONE shuffle keyed by the gram hash: each duplicated gram keeps
        its minimum-(doc, pos) occurrence and marks every other
@@ -516,29 +527,54 @@ def substring_dedup(docs: rd.Dataset, k: int = 8, id_col: str = "doc_id",
     tokens. Output: (doc_id, text, n_removed) for EVERY document
     (n_removed = tokens excised; original whitespace normalizes to
     single spaces — the tokenizer is whitespace). Oracle: the same
-    window/anti-join arithmetic in SQL.
+    window/anti-join arithmetic in SQL, grouping on the exact gram
+    STRING (the ground truth the fingerprints approximate at 2^-64
+    collision odds).
+
+    Gram kernel (the hot loop at corpus scale): each DISTINCT token in
+    the batch is md5-hashed ONCE to 64 bits, then gram fingerprints are
+    a vectorized rotate-XOR (Buzhash-style cyclic polynomial, rotation
+    = in-window offset) over the token-hash array — k numpy ops per
+    document instead of one md5 + k-token string join per POSITION
+    (the previous interpreter-bound kernel).
     """
     import hashlib
 
     from .discovery import bucketed_block_apply
 
     def grams(b: pa.Table) -> pa.Table:
-        # gram key = little-endian first 8 md5 digest bytes as int64
-        # (the simhash _md5_hash64 convention): 4× less shuffle volume
-        # than the hex digest, still reproducible in SQL
-        ids, pos, g = [], [], []
-        for d, t in zip(b.column(id_col).to_pylist(),
-                        b.column(text_col).to_pylist()):
-            toks = (t or "").split()
-            for i in range(len(toks) - k + 1):
-                ids.append(d); pos.append(i)
-                h = int.from_bytes(hashlib.md5(
-                    " ".join(toks[i:i + k]).encode()).digest()[:8],
-                    "little")
-                g.append(h - (1 << 64 if h >= (1 << 63) else 0))
-        return pa.table({id_col: pa.array(ids, pa.int64()),
-                         "pos": pa.array(pos, pa.int64()),
-                         "g": pa.array(g, pa.int64())})
+        doc_toks = [(d, (t or "").split())
+                    for d, t in zip(b.column(id_col).to_pylist(),
+                                    b.column(text_col).to_pylist())]
+        vocab: dict[str, int] = {}
+        for _, toks in doc_toks:
+            for tok in toks:
+                if tok not in vocab:
+                    vocab[tok] = int.from_bytes(
+                        hashlib.md5(tok.encode()).digest()[:8], "little")
+        ids_a, pos_a, g_a = [], [], []
+        for d, toks in doc_toks:
+            n = len(toks) - k + 1
+            if n <= 0:
+                continue
+            H = np.fromiter((vocab[tok] for tok in toks),
+                            dtype=np.uint64, count=len(toks))
+            g = np.zeros(n, dtype=np.uint64)
+            for j in range(k):  # k vectorized ops, not n md5 calls
+                hj = H[j:j + n]
+                r = k - 1 - j
+                g ^= (((hj << np.uint64(r)) | (hj >> np.uint64(64 - r)))
+                      if r else hj)
+            ids_a.append(np.full(n, d, dtype=np.int64))
+            pos_a.append(np.arange(n, dtype=np.int64))
+            g_a.append(g.view(np.int64))
+        if not ids_a:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "pos": pa.array([], pa.int64()),
+                             "g": pa.array([], pa.int64())})
+        return pa.table({id_col: pa.array(np.concatenate(ids_a)),
+                         "pos": pa.array(np.concatenate(pos_a)),
+                         "g": pa.array(np.concatenate(g_a))})
 
     gram_rows = docs.map_batches(grams, batch_format="pyarrow",
                                  zero_copy_batch=True)
