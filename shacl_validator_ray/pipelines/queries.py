@@ -574,11 +574,26 @@ def q_kg_links(sf_dir: str):
 
 
 def q_kg_discovery(sf_dir: str):
+    """Streams the FULL record set (discover_datasets_ds — no unbounded
+    driver page) and projects the compared columns distributively."""
+    import json as _json
+
+    import pyarrow as pa
+
     from ..stages import discovery
     from . import kg
-    df = discovery.discover_datasets(kg.triples_dataset(sf_dir), limit=10 ** 9)
-    df["n_dists"] = df["distributions"].map(len)
-    return df[["id", "title", "n_dists"]]
+
+    ds = discovery.discover_datasets_ds(kg.triples_dataset(sf_dir))
+
+    def project(b: pa.Table) -> pa.Table:
+        recs = [_json.loads(r) for r in b["rec"].to_pylist()]
+        return pa.table({
+            "id": pa.array([r["id"] for r in recs], pa.string()),
+            "title": pa.array([r["title"] for r in recs], pa.string()),
+            "n_dists": pa.array([len(r["distributions"]) for r in recs],
+                                pa.int64())})
+
+    return ds.map_batches(project, batch_format="pyarrow")
 
 
 def q_kg_media_features(sf_dir: str):

@@ -66,13 +66,24 @@ def hash_bucket_column(values, n_buckets: int):
     return pa.array((h % n_buckets).astype("int32"))
 
 
+def _strip_schema_metadata(b):
+    # pandas-written parquet carries a `pandas` schema-metadata dict that
+    # makes pa.Schema unhashable — Ray's block coalescing then logs
+    # "Failed to hash the schemas (for deduplication)" from EVERY reduce
+    # task (log flood at scale). Dropping the metadata is zero-copy.
+    return b.replace_schema_metadata(None) if b.schema.metadata else b
+
+
 def read_table(path: str, columns: list[str] | None = None,
                parallel: bool = True, **kwargs) -> rd.Dataset:
     if parallel and "override_num_blocks" not in kwargs:
         kwargs["override_num_blocks"] = default_num_blocks()
     if HAVE_LANCE and path.endswith(".lance"):  # pragma: no cover
-        return rd.read_lance(path, columns=columns, **kwargs)
-    return rd.read_parquet(path, columns=columns, **kwargs)
+        ds = rd.read_lance(path, columns=columns, **kwargs)
+    else:
+        ds = rd.read_parquet(path, columns=columns, **kwargs)
+    return ds.map_batches(_strip_schema_metadata, batch_format="pyarrow",
+                          zero_copy_batch=True)
 
 
 def write_table(ds: rd.Dataset, path: str, **kwargs) -> None:

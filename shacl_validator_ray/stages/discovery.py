@@ -176,9 +176,20 @@ def _pivot_records(g: pd.DataFrame, props: dict[str, str]) -> dict:
     return rec
 
 
-def discover_datasets(triples: rd.Dataset, query: str = "", limit: int = 50,
-                      require_compatible: bool = True) -> pd.DataFrame:
-    """triples → nested CatalogDataset records (types/dataQuality.ts:1-27)."""
+# Hard ceiling for the driver-side page in discover_datasets: the
+# reference caps the search at 50 records (ts:30); anything past this is
+# a corpus-scale scan that must stay a Dataset (discover_datasets_ds).
+PAGE_LIMIT_MAX = 10_000
+
+
+def discover_datasets_ds(triples: rd.Dataset, query: str = "",
+                         require_compatible: bool = True) -> rd.Dataset:
+    """triples → nested CatalogDataset records (types/dataQuality.ts:1-27).
+
+    Streaming variant: returns the full assembled record set as a
+    Dataset of ``(id, rec_json)`` rows — no driver materialization, for
+    corpus-scale consumers. :func:`discover_datasets` is the
+    reference-shaped paged API on top of it."""
     # pinned once: five downstream passes read it (format deref, dataset
     # pivot, dist pivot, edge explode, final assembly) — without this the
     # upstream lineage (e.g. extraction) re-executes per pass
@@ -323,8 +334,26 @@ def discover_datasets(triples: rd.Dataset, query: str = "", limit: int = 50,
                          "rec": _json.dumps(rec, sort_keys=True)})
         return pd.DataFrame(recs, columns=["id", "rec"])
 
-    assembled = bucketed_block_apply(ds_tagged.union(dist_assign), "ds_id",
-                                     assemble)
+    return bucketed_block_apply(ds_tagged.union(dist_assign), "ds_id",
+                                assemble)
+
+
+def discover_datasets(triples: rd.Dataset, query: str = "", limit: int = 50,
+                      require_compatible: bool = True) -> pd.DataFrame:
+    """Paged discovery (the reference API shape, capped at 50 there —
+    ts:30): sort+limit run in Ray; the driver materializes only the
+    ≤ ``limit`` final rows. ``limit`` is bounded by
+    :data:`PAGE_LIMIT_MAX` — an unbounded page would be a driver-side
+    corpus materialization; use :func:`discover_datasets_ds` for that."""
+    import json as _json
+
+    if limit > PAGE_LIMIT_MAX:
+        raise ValueError(
+            f"discover_datasets limit={limit} exceeds PAGE_LIMIT_MAX="
+            f"{PAGE_LIMIT_MAX}; use discover_datasets_ds() for a "
+            f"streaming Dataset of all records")
+    assembled = discover_datasets_ds(triples, query=query,
+                                     require_compatible=require_compatible)
     final = assembled.sort("id").limit(limit).to_pandas()
     if final.empty or "rec" not in final.columns:
         return pd.DataFrame([])  # no datasets survived the filters
