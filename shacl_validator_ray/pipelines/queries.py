@@ -801,6 +801,78 @@ def q_kg_bgp_having(sf_dir: str):
         ["severity", "focus_node", "value", "source_constraint_component"])
 
 
+def q_kg_bgp_values(sf_dir: str):
+    """SPARQL VALUES inline table, parsed from SELECT text (the
+    sh:select parser path end-to-end): distributions whose format is in
+    the VALUES list — applied as one vectorized inner merge with the
+    broadcast inline table, never a shuffle."""
+    from ..functions.sparql import parse_select
+    from . import kg
+
+    cc = parse_select(
+        """
+        PREFIX dcat: <http://www.w3.org/ns/dcat#>
+        PREFIX dct: <http://purl.org/dc/terms/>
+        SELECT $this WHERE {
+            $this dcat:distribution ?d .
+            ?d dct:format ?f .
+            VALUES ?f { "application/pdf" "text/turtle" }
+        }""",
+        component="http://example.org/constraints#PdfOrTurtleValues",
+        message="dataset offers a PDF or Turtle distribution")
+    return cc.violations(kg.triples_dataset(sf_dir)).select_columns(
+        ["severity", "focus_node", "value", "source_constraint_component"])
+
+
+def q_kg_bgp_nested_optional(sf_dir: str):
+    """Nested OPTIONAL (parsed from SELECT text): the PDF violation
+    annotated with the min distribution's format via a two-step
+    left-outer chain — OPTIONAL { $this dist ?dd . OPTIONAL { ?dd
+    format ?ff } }; value = deepest bound value, path = that step's
+    predicate, first-value-ascending at every step."""
+    from ..functions.sparql import parse_select
+    from . import kg
+
+    cc = parse_select(
+        """
+        PREFIX dcat: <http://www.w3.org/ns/dcat#>
+        PREFIX dct: <http://purl.org/dc/terms/>
+        SELECT $this WHERE {
+            $this dcat:distribution ?d .
+            ?d dct:format "application/pdf" .
+            OPTIONAL { $this dcat:distribution ?dd .
+                       OPTIONAL { ?dd dct:format ?ff } }
+        }""",
+        component="http://example.org/constraints#PdfNestedOptional",
+        message="dataset offers a PDF distribution")
+    return cc.violations(kg.triples_dataset(sf_dir)).select_columns(
+        ["severity", "focus_node", "path", "value",
+         "source_constraint_component"])
+
+
+def q_kg_validate_sparql_ttl(sf_dir: str):
+    """sh:sparql constraints carried IN a profile TTL (sparql_demo) and
+    validated end-to-end: compile_shapes parses the SELECT text (with
+    sh:prefixes/sh:declare) into BGPConstraints, validate() runs them
+    alongside the built-ins — the reference's data-driven plug-in
+    surface (SHACLValidationService.ts:399-406) with zero Python in the
+    loop."""
+    import pyarrow.compute as pc
+
+    from ..functions import ns
+    from ..stages import shacl
+    from ..state import shapes as shapes_mod
+    from . import kg
+
+    viols = shacl.validate(kg.triples_dataset(sf_dir),
+                           shapes_mod.load_profile_ttl("sparql_demo"))
+    comp = ns.SH + "SPARQLConstraintComponent"
+    return viols.map_batches(
+        lambda b: b.filter(pc.equal(b["source_constraint_component"], comp))
+                   .select(["severity", "focus_node", "value"]),
+        batch_format="pyarrow")
+
+
 def q_embedding_quantize(sf_dir: str):
     """Symmetric 8-bit scalar quantization of the embedding column (the
     ANN compression step): per-dim ranges from one fixed-size mergeable
@@ -1146,6 +1218,9 @@ QUERIES = {
     "kg_bgp_paths": q_kg_bgp_paths,
     "kg_bgp_varpred": q_kg_bgp_varpred,
     "kg_bgp_having": q_kg_bgp_having,
+    "kg_bgp_values": q_kg_bgp_values,
+    "kg_bgp_nested_optional": q_kg_bgp_nested_optional,
+    "kg_validate_sparql_ttl": q_kg_validate_sparql_ttl,
     "kg_bgp_scalar_subquery": q_kg_bgp_scalar_subquery,
     "embedding_quantize": q_embedding_quantize,
     "kg_redact": q_kg_redact,
@@ -2732,6 +2807,62 @@ SELECT 'Violation' AS severity, subj AS focus_node, subj AS value,
        'http://example.org/constraints#AboveAvgByteSize'
            AS source_constraint_component
 FROM hits""",
+        # kg_bgp_values: the VALUES inline table as a SQL IN list over
+        # the two-pattern join (component string differs from kg_bgp_union)
+        "kg_bgp_values": f"""
+WITH g AS (SELECT DISTINCT subj, pred, obj_value FROM {gt}),
+hits AS (SELECT DISTINCT a.subj FROM g a JOIN g b ON a.obj_value = b.subj
+         WHERE a.pred = '{dcat}distribution' AND b.pred = '{dct}format'
+           AND b.obj_value IN ('application/pdf', 'text/turtle'))
+SELECT 'Violation' AS severity, subj AS focus_node, subj AS value,
+       'http://example.org/constraints#PdfOrTurtleValues'
+           AS source_constraint_component
+FROM hits""",
+        # kg_bgp_nested_optional: two-step left-outer annotation — the
+        # min distribution per focus, then the min format of THAT
+        # distribution; value = deepest bound value, path = its predicate
+        "kg_bgp_nested_optional": f"""
+WITH g AS (SELECT DISTINCT subj, pred, obj_value FROM {gt}),
+hits AS (SELECT DISTINCT a.subj FROM g a JOIN g b ON a.obj_value = b.subj
+         WHERE a.pred = '{dcat}distribution' AND b.pred = '{dct}format'
+           AND b.obj_value = 'application/pdf'),
+mind AS (SELECT a.subj, min(a.obj_value) AS d FROM g a
+         WHERE a.pred = '{dcat}distribution'
+           AND a.subj IN (SELECT subj FROM hits)
+         GROUP BY a.subj),
+minf AS (SELECT m.subj, min(b.obj_value) AS f FROM mind m
+         JOIN g b ON b.subj = m.d AND b.pred = '{dct}format'
+         GROUP BY m.subj)
+SELECT 'Violation' AS severity, h.subj AS focus_node,
+       CASE WHEN mf.f IS NOT NULL THEN '{dct}format'
+            ELSE '{dcat}distribution' END AS path,
+       coalesce(mf.f, md.d) AS value,
+       'http://example.org/constraints#PdfNestedOptional'
+           AS source_constraint_component
+FROM hits h
+JOIN mind md ON md.subj = h.subj
+LEFT JOIN minf mf ON mf.subj = h.subj""",
+        # kg_validate_sparql_ttl: the sparql_demo profile's two sh:sparql
+        # constraints in SQL — BGP join (Violation) + NOT EXISTS
+        # (Warning), both restricted to the dcat:Dataset target class
+        "kg_validate_sparql_ttl": f"""
+WITH g AS (SELECT DISTINCT subj, pred, obj_value FROM {gt}),
+datasets AS (SELECT DISTINCT subj FROM g
+             WHERE pred = '{ns.RDF_TYPE}' AND obj_value = '{dcat}Dataset'),
+pdf AS (SELECT DISTINCT a.subj FROM g a JOIN g b ON a.obj_value = b.subj
+        WHERE a.pred = '{dcat}distribution' AND b.pred = '{dct}format'
+          AND b.obj_value = 'application/pdf'
+          AND a.subj IN (SELECT subj FROM datasets)),
+has_dist AS (SELECT DISTINCT subj FROM g
+             WHERE pred = '{dcat}distribution'
+               AND subj IN (SELECT subj FROM datasets)),
+has_csv AS (SELECT DISTINCT a.subj FROM g a JOIN g b ON a.obj_value = b.subj
+            WHERE a.pred = '{dcat}distribution' AND b.pred = '{dct}format'
+              AND b.obj_value = 'text/csv')
+SELECT 'Violation' AS severity, subj AS focus_node, subj AS value FROM pdf
+UNION ALL
+SELECT 'Warning', subj, subj FROM has_dist
+WHERE subj NOT IN (SELECT subj FROM has_csv)""",
         # kg_bgp_having: GROUP BY $this HAVING count(distinct ?d) > 30
         # over the mention-mapped publisher edges
         "kg_bgp_having": "WITH " + mapped.strip() + f"""

@@ -103,13 +103,25 @@ class BGPConstraint:
         evaluated independently (same join machinery) and the distinct
         focus sets union through one groupby — alternatives never
         multiply each other's bindings.
-    optional_pattern : tuple[str, str, str], optional
-        SPARQL ``OPTIONAL`` analog for reporting: a single extra
-        pattern of the form ``($this, p, ?v)`` evaluated as a
-        LEFT-outer bucketed merge onto the focus set — matched focus
-        nodes carry ``?v`` (first value, ascending, deterministic) in
-        the violation's ``value`` column, unmatched ones keep the focus
-        IRI. Optional never filters, exactly like SPARQL.
+    optional_pattern : tuple[str, str, str] | list[tuple], optional
+        SPARQL ``OPTIONAL`` analog for reporting: an extra pattern of
+        the form ``($this, p, ?v)`` — or a LINEAR CHAIN of such
+        patterns ``[($this, p, ?v), (?v, q, ?w), …]``, the nested-
+        OPTIONAL shape ``OPTIONAL { $this p ?v . OPTIONAL { ?v q ?w }}``
+        — evaluated as successive LEFT-outer bucketed merges onto the
+        focus set (first value ascending at every step, deterministic).
+        Matched focus nodes carry the DEEPEST bound value in the
+        violation's ``value`` column and that step's predicate in
+        ``path``; wholly unmatched ones keep the focus IRI. Optional
+        never filters, exactly like SPARQL.
+    values_rows : tuple(vars, rows), optional
+        SPARQL ``VALUES`` analog: an inline binding table —
+        ``(("?v",), [("a",), ("b",)])``. Every variable must be bound
+        by ``patterns``; the table is applied as one vectorized
+        membership filter over the solution bindings (an inner merge
+        with the broadcast inline table — never a shuffle). Unbound
+        VALUES variables (a cross product) are rejected at evaluation.
+        Cannot combine with ``union_patterns``.
     having : tuple (var, op, n), optional
         SPARQL aggregate analog ``GROUP BY $this HAVING
         (count(distinct var) OP n)``: the focus node is a violation
@@ -122,7 +134,8 @@ class BGPConstraint:
     def __init__(self, patterns, component: str, *, message: str = "",
                  severity: str = "Violation", shape_iri: str = "",
                  target=None, filter_fn=None, absent_patterns=None,
-                 union_patterns=None, optional_pattern=None, having=None):
+                 union_patterns=None, optional_pattern=None, having=None,
+                 values_rows=None):
         if not patterns:
             raise ValueError("BGPConstraint needs at least one pattern")
         # property paths (tuple predicates) canonicalize to the shapes
@@ -168,12 +181,56 @@ class BGPConstraint:
         else:
             self.alts = []
         if optional_pattern is not None:
-            s_, p_, o_ = optional_pattern
-            if s_ != THIS or _is_var(p_) or not _is_var(o_):
+            # normalize: single pattern → chain of one; validate the
+            # linear-chain invariant (each step joins on the previous
+            # step's object variable, nested-OPTIONAL style)
+            chain = (list(optional_pattern)
+                     if optional_pattern and isinstance(
+                         optional_pattern[0], (tuple, list))
+                     else [tuple(optional_pattern)])
+            prev = THIS
+            seen_vars = {THIS}
+            for s_, p_, o_ in chain:
+                if s_ != prev or _is_var(p_) or isinstance(p_, tuple) \
+                        or not _is_var(o_) or o_ in seen_vars:
+                    raise ValueError(
+                        "optional_pattern must be ($this, <const-pred>, "
+                        "?var) or a linear chain [($this,p,?v), "
+                        "(?v,q,?w), …] with fresh object variables")
+                seen_vars.add(o_)
+                prev = o_
+            self.optional_chain = [tuple(p) for p in chain]
+            self.optional_pattern = self.optional_chain[0]
+        else:
+            self.optional_chain = None
+            self.optional_pattern = None
+        if values_rows is not None:
+            vvars, vrows = values_rows
+            vvars = tuple(vvars)
+            if not vvars or not all(_is_var(v) for v in vvars):
+                raise ValueError("values_rows vars must be ?variables")
+            unbound = [v for v in vvars if v not in bound]
+            if unbound:
                 raise ValueError(
-                    "optional_pattern must be ($this, <const-pred>, ?var)")
-        self.optional_pattern = (tuple(optional_pattern)
-                                 if optional_pattern is not None else None)
+                    f"VALUES variables {unbound} are not bound by any "
+                    "pattern — an unbound VALUES table is a cross "
+                    "product, rejected like cross-product joins")
+            if union_patterns:
+                raise ValueError("values_rows cannot combine with "
+                                 "union_patterns")
+            rows = []
+            for r in vrows:
+                r = tuple(str(x) for x in (r if isinstance(r, (tuple, list))
+                                           else (r,)))
+                if len(r) != len(vvars):
+                    raise ValueError(
+                        f"VALUES row {r!r} arity != vars {vvars!r}")
+                rows.append(r)
+            if not rows:
+                raise ValueError("values_rows needs at least one row")
+            self.values_rows = (vvars, rows)
+        else:
+            self.values_rows = None
         if having is not None:
             hvar, hop, hn = having
             if not _is_var(hvar) or hvar == THIS:
@@ -192,7 +249,16 @@ class BGPConstraint:
         self.message = message or f"BGP constraint {component} matched"
         self.severity = severity
         self.shape_iri = shape_iri or component
-        self.target = target
+        # target: one Target, a LIST of Targets (focus set = union, the
+        # SHACL multi-target semantics — sh:sparql constraints inherit
+        # their node shape's full target list), or None
+        if target is None:
+            self.targets: tuple = ()
+        elif isinstance(target, (list, tuple)):
+            self.targets = tuple(target)
+        else:
+            self.targets = (target,)
+        self.target = self.targets[0] if len(self.targets) == 1 else None
         self.filter_fn = filter_fn
 
     # -- derived virtual-predicate rows for path patterns --------------
@@ -351,6 +417,24 @@ class BGPConstraint:
 
     def _bindings_from(self, tri) -> tuple[rd.Dataset, list[str]]:
         cur, cur_cols = self._chain(tri, self.patterns)
+        if self.values_rows is not None:
+            # VALUES: vectorized inner merge with the broadcast inline
+            # table (tiny, ships with the task) — never a shuffle
+            vvars, vrows = self.values_rows
+            missing = [v for v in vvars if v not in cur_cols]
+            if missing:
+                raise ValueError(f"VALUES variables {missing} not bound "
+                                 "by the pattern chain")
+
+            def apply_values(df):
+                import pandas as pd
+
+                vdf = pd.DataFrame(vrows, columns=list(vvars)) \
+                    .drop_duplicates()
+                out = df.merge(vdf, on=list(vvars))
+                return out if len(out) else df.iloc[0:0]
+
+            cur = cur.map_batches(apply_values, batch_format="pandas")
         if self.filter_fn is not None:
             fn = self.filter_fn
 
@@ -443,72 +527,105 @@ class BGPConstraint:
 
             focus = bucketed_block_apply(both, "focus", anti)
 
-        opt_path = ""
-        if self.optional_pattern is not None:
-            # OPTIONAL: left-outer bucketed merge of the focus set with
-            # the optional pattern's (focus, value) candidates — never
-            # filters, only annotates
+        if self.optional_chain is not None:
+            # OPTIONAL (possibly a nested linear chain): successive
+            # LEFT-outer bucketed merges of the focus set with each
+            # step's candidates — never filters, only annotates. State
+            # rows carry (focus, opt = deepest value so far, pth = that
+            # step's predicate, cur = join key for the next step; ""
+            # once a step fails to match).
+            import numpy as np
             import pandas as pd
 
             from .discovery import bucketed_block_apply
 
-            _, opt_path, _ = self.optional_pattern
-            cand = self._candidates(tri, self.optional_pattern)
-            ovar = [c for c in cand.schema().names if c != THIS][0]
-
-            def tag_f(b: pa.Table) -> pa.Table:
-                return pa.table({
+            state = focus.map_batches(
+                lambda b: pa.table({
+                    "key": b["focus"].cast(pa.string()),
                     "focus": b["focus"].cast(pa.string()),
-                    "v": pa.nulls(b.num_rows, pa.string()),
-                    "_side": pa.array(["f"] * b.num_rows, pa.string())})
+                    "opt": pa.nulls(b.num_rows, pa.string()).fill_null(""),
+                    "pth": pa.nulls(b.num_rows, pa.string()).fill_null("")}),
+                batch_format="pyarrow")
 
-            def tag_o(b: pa.Table) -> pa.Table:
-                return pa.table({
-                    "focus": b[THIS].cast(pa.string()),
-                    "v": b[ovar].cast(pa.string()),
-                    "_side": pa.array(["o"] * b.num_rows, pa.string())})
+            for (s_, p_, o_) in self.optional_chain:
+                cand = self._candidates(tri, (s_, p_, o_))
 
-            both = focus.map_batches(tag_f, batch_format="pyarrow").union(
-                cand.map_batches(tag_o, batch_format="pyarrow"))
+                def tag_f(b: pa.Table) -> pa.Table:
+                    return pa.table({
+                        "key": b["key"].cast(pa.string()),
+                        "focus": b["focus"].cast(pa.string()),
+                        "opt": b["opt"].cast(pa.string()),
+                        "pth": b["pth"].cast(pa.string()),
+                        "v": pa.nulls(b.num_rows, pa.string()),
+                        "_side": pa.array(["f"] * b.num_rows, pa.string())})
 
-            def left_merge(g: pd.DataFrame) -> pd.DataFrame:
-                fs = g.loc[g["_side"] == "f", ["focus"]]
-                ov = (g.loc[g["_side"] == "o", ["focus", "v"]]
-                      .sort_values(["focus", "v"])
-                      .groupby("focus", sort=False).first().reset_index())
-                m = fs.merge(ov, on="focus", how="left")
-                m["opt"] = m["v"].fillna("")
-                return m[["focus", "opt"]]
+                def tag_o(b: pa.Table, sv=s_, ov=o_) -> pa.Table:
+                    return pa.table({
+                        "key": b[sv].cast(pa.string()),
+                        "focus": pa.nulls(b.num_rows, pa.string()),
+                        "opt": pa.nulls(b.num_rows, pa.string()),
+                        "pth": pa.nulls(b.num_rows, pa.string()),
+                        "v": b[ov].cast(pa.string()),
+                        "_side": pa.array(["o"] * b.num_rows, pa.string())})
 
-            focus = bucketed_block_apply(both, "focus", left_merge)
+                both = (state.map_batches(tag_f, batch_format="pyarrow")
+                        .union(cand.map_batches(tag_o,
+                                                batch_format="pyarrow")))
+
+                def step_merge(g: pd.DataFrame, pred=p_) -> pd.DataFrame:
+                    fs = g.loc[g["_side"] == "f",
+                               ["key", "focus", "opt", "pth"]]
+                    ov = (g.loc[g["_side"] == "o", ["key", "v"]]
+                          .sort_values(["key", "v"])
+                          .groupby("key", sort=False).first().reset_index())
+                    m = fs.merge(ov, on="key", how="left")
+                    hit = m["v"].notna()
+                    m["opt"] = m["v"].where(hit, m["opt"])
+                    m["pth"] = np.where(hit, pred, m["pth"])
+                    # next step joins on this step's value; "" = dead end
+                    # (state rows whose key matched nothing stay idle in
+                    # later rounds — "" never matches a subject IRI)
+                    m["key"] = m["v"].fillna("")
+                    return m[["key", "focus", "opt", "pth"]]
+
+                state = bucketed_block_apply(both, "key", step_merge)
+
+            focus = state.map_batches(
+                lambda b: pa.table({
+                    "focus": b["focus"].cast(pa.string()),
+                    "opt": b["opt"].cast(pa.string()),
+                    "pth": b["pth"].cast(pa.string())}),
+                batch_format="pyarrow")
         else:
             focus = focus.map_batches(
                 lambda b: pa.table({
                     "focus": b["focus"].cast(pa.string()),
-                    "opt": pa.nulls(b.num_rows, pa.string()).fill_null("")}),
+                    "opt": pa.nulls(b.num_rows, pa.string()).fill_null(""),
+                    "pth": pa.nulls(b.num_rows, pa.string()).fill_null("")}),
                 batch_format="pyarrow")
 
-        fsets = (_focus_sets(members or {}, (self.target,))
-                 if self.target is not None else None)
+        fsets = (_focus_sets(members or {}, self.targets)
+                 if self.targets else None)
         ref = ray.put((fsets, self.severity, self.component, self.message,
-                       self.shape_iri, opt_path))
+                       self.shape_iri))
 
         def to_viol(b: pa.Table) -> pa.Table:
             import numpy as np
 
-            fsets_, sev, comp, msg, shape, path_ = ray.get(ref)
+            fsets_, sev, comp, msg, shape = ray.get(ref)
             vals = np.asarray(b["focus"].to_pandas(), dtype=object)
             opts = np.asarray(b["opt"].to_pandas(), dtype=object)
+            pths = np.asarray(b["pth"].to_pandas(), dtype=object)
             if fsets_ is not None:
                 m = _members_mask(fsets_, vals)
-                vals, opts = vals[m], opts[m]
+                vals, opts, pths = vals[m], opts[m], pths[m]
             return _violation_rows([
                 {"severity": sev, "focus_node": v,
-                 "path": path_ if o else "",
+                 "path": p if o else "",
                  "value": (o or v),
                  "message": [{"text": msg, "lang": "en"}],
                  "source_constraint_component": comp,
                  "source_shape": shape, "foaf_page": ""}
-                for v, o in zip(vals, opts)])
+                for v, o, p in zip(vals, opts, pths)])
 
         return focus.map_batches(to_viol, batch_format="pyarrow")

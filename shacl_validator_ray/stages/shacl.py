@@ -1486,6 +1486,10 @@ def validate(triples: rd.Dataset, shapes_ttl: str, *, deduped: bool = False,
             _t0 = now
 
     compiled = shapes_mod.compile_shapes(shapes_ttl)
+    # sh:sparql constraints parsed from the TTL join the caller's custom
+    # constraints — the shape file is the full extension surface
+    if compiled.sparql_constraints:
+        custom = list(custom or []) + list(compiled.sparql_constraints)
     if not deduped:
         triples = dedup_triples(triples)
     if not isinstance(triples, MaterializedDataset):
@@ -1857,9 +1861,12 @@ def validate(triples: rd.Dataset, shapes_ttl: str, *, deduped: bool = False,
     _mark("node_phase2")
     if custom:
         # membership sets for custom targets not already collected
-        extra = [c.target for c in custom
-                 if c.target is not None and c.target.kind != "node"
-                 and c.target.key not in members]
+        # (BGPConstraints may carry a target LIST — the parent node
+        # shape's full target union)
+        extra = [t for c in custom
+                 for t in (getattr(c, "targets", None)
+                           or ((c.target,) if c.target is not None else ()))
+                 if t.kind != "node" and t.key not in members]
         if extra:
             fake = shapes_mod.CompiledShapes(
                 [shapes_mod.NodeShape(iri="custom", targets=extra)])

@@ -124,6 +124,10 @@ class NodeShape:
 @dataclass
 class CompiledShapes:
     node_shapes: list[NodeShape]
+    # sh:sparql constraints parsed from the shape TTL (BGPConstraint
+    # instances) — the data-driven plug-in surface; validate() appends
+    # them to its custom-constraint list
+    sparql_constraints: list = field(default_factory=list)
 
     def property_shapes(self):
         """(node_shape, property_shape, global index) triples."""
@@ -420,6 +424,7 @@ def compile_shapes(ttl_text) -> CompiledShapes:
         return ps
 
     shapes: list[NodeShape] = []
+    sparql_constraints: list = []
     for subj, preds in spo.items():
         targets = [Target(kind, v)
                    for pred, kind in _TARGET_PREDS
@@ -440,8 +445,44 @@ def compile_shapes(ttl_text) -> CompiledShapes:
             if first(piri, ns.SH + "deactivated") == "true":
                 continue  # sh:deactivated property shape: skipped
             nshape.properties.append(prop_shape(piri))
+        # sh:sparql: the data-driven constraint plug-in — the SELECT text
+        # compiles into the distributed BGP evaluator at shape-compile
+        # time (reference parity: SHACLValidationService.ts:399-406 hands
+        # shape-file SPARQL to its engine as `validations`). Unsupported
+        # SPARQL raises at compile time — a profile never silently loses
+        # a constraint.
+        for _, cnode, _, _ in preds.get(ns.SH + "sparql", []):
+            if first(cnode, ns.SH + "deactivated") == "true":
+                continue
+            sel = first(cnode, ns.SH + "select")
+            if not sel:
+                raise ValueError(
+                    f"sh:sparql constraint {cnode!r} on {subj!r} has no "
+                    "sh:select")
+            pfx_map: dict[str, str] = {}
+            pnode = first(cnode, ns.SH + "prefixes")
+            if pnode:
+                for _, decl, _, _ in spo.get(pnode, {}).get(
+                        ns.SH + "declare", []):
+                    px = first(decl, ns.SH + "prefix")
+                    nsiri = first(decl, ns.SH + "namespace")
+                    if px and nsiri:
+                        pfx_map[px] = nsiri
+            msgs = spo.get(cnode, {}).get(ns.SH + "message", [])
+            from ..functions import sparql as sparql_mod
+
+            sparql_constraints.append(sparql_mod.parse_select(
+                sel,
+                component=ns.SH + "SPARQLConstraintComponent",
+                message=msgs[0][1] if msgs else "",
+                severity=_SEVERITY.get(first(cnode, ns.SH + "severity"),
+                                       nshape.severity),
+                shape_iri=subj,
+                target=list(nshape.targets),
+                prefixes=pfx_map))
         shapes.append(nshape)
     shapes.sort(key=lambda s: s.iri)
+    sparql_constraints.sort(key=lambda c: c.shape_iri)
 
     # sh:node: derive one synthetic node shape per referencing property
     # shape. Its focus set is the parent's VALUE-node set (membership key
@@ -473,7 +514,7 @@ def compile_shapes(ttl_text) -> CompiledShapes:
                 targets=[Target("nodeval", p.iri)],
                 properties=clones))
     shapes.extend(derived)
-    return CompiledShapes(shapes)
+    return CompiledShapes(shapes, sparql_constraints=sparql_constraints)
 
 
 def load_shapes(path: str) -> CompiledShapes:

@@ -210,3 +210,175 @@ def test_bgp_having_aggregate():
             union_patterns=[[("$this", EX + "other", "?z")]],
             having=("?z", ">", 1),
             component=EX + "c#X").violations(_ds_from_ttl_text(DATA))
+
+
+# ---- SPARQL SELECT parser (sh:select → BGPConstraint) ----------------
+
+from shacl_validator_ray.functions.sparql import (SparqlParseError,
+                                                  parse_select)
+
+_PFX = "PREFIX ex: <http://example.org/>\n"
+
+
+def test_sparql_parse_basic_join_matches_handbuilt():
+    cc = parse_select(
+        _PFX + """SELECT $this WHERE {
+            $this ex:dist ?z . ?z ex:format "application/pdf" . }""",
+        component=EX + "c#PdfDist")
+    assert cc.patterns == [("$this", EX + "dist", "?z"),
+                           ("?z", EX + "format", "application/pdf")]
+    got = _focus(cc.violations(_ds_from_ttl_text(DATA)))
+    assert got == ["d1", "d3", "other"]
+
+
+def test_sparql_parse_semicolon_comma_and_a():
+    cc = parse_select(
+        _PFX + "SELECT $this WHERE { $this a ex:Dataset ; "
+               "ex:dist ?z . ?z ex:format \"application/pdf\", \"x\" . }",
+        component="c")
+    assert cc.patterns == [
+        ("$this", "http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
+         EX + "Dataset"),
+        ("$this", EX + "dist", "?z"),
+        ("?z", EX + "format", "application/pdf"),
+        ("?z", EX + "format", "x")]
+
+
+def test_sparql_parse_paths():
+    cc = parse_select(
+        _PFX + """SELECT $this WHERE {
+            $this ex:dist/ex:format "application/pdf" .
+            $this ex:a|ex:b ?l .
+            $this ^ex:up ?u .
+            $this ex:next+ ?n . }""", component="c")
+    kinds = sorted(v[0] for v in cc.paths.values())
+    assert kinds == ["alt", "inv", "plus", "seq"]
+
+
+def test_sparql_parse_filter_vectorized():
+    cc = parse_select(
+        _PFX + """SELECT $this WHERE {
+            $this ex:dist ?z . ?z ex:format ?f .
+            FILTER (?f = "text/csv" || STRSTARTS(?f, "application")) }""",
+        component="c")
+    got = _focus(cc.violations(_ds_from_ttl_text(DATA)))
+    assert got == ["d1", "d2", "d3", "other"]
+
+
+def test_sparql_parse_filter_numeric_and_regex():
+    import pandas as pd
+
+    cc = parse_select(
+        _PFX + """SELECT $this WHERE { $this ex:p ?v .
+            FILTER (STRLEN(?v) >= 2 && !REGEX(?v, "^zz")) }""",
+        component="c")
+    df = pd.DataFrame({"$this": ["a", "b", "c"],
+                       "?v": ["ok", "z", "zz9"]})
+    assert list(cc.filter_fn(df)) == [True, False, False]
+
+
+def test_sparql_parse_not_exists_and_union_and_values():
+    cc = parse_select(
+        _PFX + """SELECT $this WHERE {
+            $this ex:dist ?d .
+            FILTER NOT EXISTS { $this ex:dist ?z . ?z ex:format "text/csv" . } }""",
+        component="c")
+    assert cc.absent == [("$this", EX + "dist", "?z"),
+                         ("?z", EX + "format", "text/csv")]
+    assert _focus(cc.violations(_ds_from_ttl_text(DATA))) == \
+        ["d1", "d3", "other"]
+
+    cu = parse_select(
+        _PFX + """SELECT $this WHERE {
+            $this ex:dist ?d .
+            { ?d ex:format "application/pdf" } UNION { ?d ex:format "text/csv" } }""",
+        component="c")
+    # shared pattern distributes into both alternatives
+    assert len(cu.alts) == 1 and cu.patterns[0] == ("$this", EX + "dist", "?d")
+    assert _focus(cu.violations(_ds_from_ttl_text(DATA))) == \
+        ["d1", "d2", "d3", "other"]
+
+    cv = parse_select(
+        _PFX + """SELECT $this WHERE {
+            $this ex:dist ?d . ?d ex:format ?f .
+            VALUES ?f { "text/csv" } }""", component="c")
+    assert _focus(cv.violations(_ds_from_ttl_text(DATA))) == ["d2"]
+
+
+def test_sparql_parse_nested_optional_chain():
+    cc = parse_select(
+        _PFX + """SELECT $this WHERE {
+            $this a ex:Dataset .
+            OPTIONAL { $this ex:dist ?d . OPTIONAL { ?d ex:format ?f } } }""",
+        component="c")
+    assert cc.optional_chain == [("$this", EX + "dist", "?d"),
+                                 ("?d", EX + "format", "?f")]
+    rows = cc.violations(_ds_from_ttl_text(DATA)).to_pandas()
+    byfocus = {r["focus_node"].rsplit("/")[-1]: (r["value"], r["path"])
+               for r in rows.to_dict("records")}
+    assert byfocus["d1"] == ("application/pdf", EX + "format")
+    assert byfocus["d2"] == ("text/csv", EX + "format")
+
+
+def test_sparql_parse_having():
+    cc = parse_select(
+        _PFX + "SELECT $this WHERE { ?d ex:dist $this . } "
+               "GROUP BY $this HAVING (COUNT(DISTINCT ?d) > 1)",
+        component="c")
+    assert cc.having == ("?d", ">", 1)
+
+
+def test_sparql_parse_errors_are_loud():
+    cases = [
+        ("SELECT ?x WHERE { ?x a ?y }", "include \\$this"),
+        (_PFX + "SELECT $this WHERE { $this ex:p ?v . BIND(?v AS ?w) }",
+         "BIND"),
+        ("SELECT $this WHERE { $this zz:p ?v }", "undeclared prefix"),
+        (_PFX + "SELECT $this WHERE { $this (ex:a/ex:b)|ex:c ?v }",
+         "expected an IRI"),  # parenthesized path groups unsupported
+        (_PFX + "SELECT $this WHERE { $this ex:p ?v . "
+                "VALUES ?w { \"x\" } }", "not bound"),
+        (_PFX + "SELECT $this WHERE { $this ex:p ?v } ORDER BY ?v",
+         "ORDER BY"),
+        (_PFX + "SELECT $this WHERE { $this ex:p ?v . "
+                "FILTER (?unbound = \"x\") }", "not bound"),
+    ]
+    for text, pat in cases:
+        with pytest.raises((SparqlParseError, ValueError), match=pat):
+            parse_select(text, component="c")
+
+
+def test_sparql_ttl_profile_end_to_end():
+    """A profile TTL carrying sh:sparql validates end-to-end through
+    compile_shapes + validate (the reference's data-driven plug-in)."""
+    ttl = """
+@prefix sh: <http://www.w3.org/ns/shacl#> .
+@prefix ex: <http://example.org/> .
+ex:P sh:declare [ sh:prefix "ex" ; sh:namespace "http://example.org/" ] .
+ex:S a sh:NodeShape ;
+  sh:targetClass ex:Dataset ;
+  sh:sparql [
+    sh:message "pdf" ;
+    sh:prefixes ex:P ;
+    sh:select \"\"\"SELECT $this WHERE {
+        $this ex:dist ?z . ?z ex:format "application/pdf" . }\"\"\" ;
+  ] .
+"""
+    compiled = shapes_mod.compile_shapes(ttl)
+    assert len(compiled.sparql_constraints) == 1
+    viols = shacl.validate(_ds_from_ttl_text(DATA), ttl)
+    got = _focus(viols)
+    # ex:other is NOT typed ex:Dataset → excluded by the target class
+    assert got == ["d1", "d3"]
+
+
+def test_sparql_ttl_missing_select_is_loud():
+    ttl = """
+@prefix sh: <http://www.w3.org/ns/shacl#> .
+@prefix ex: <http://example.org/> .
+ex:S a sh:NodeShape ;
+  sh:targetClass ex:Dataset ;
+  sh:sparql [ sh:message "no select here" ] .
+"""
+    with pytest.raises(ValueError, match="sh:select"):
+        shapes_mod.compile_shapes(ttl)
