@@ -282,3 +282,23 @@ def test_redact_spans_preserves_span_sequence():
     assert got.loc[1, "media_ref"] == "m/1.ppm" and got.loc[1, "n_hits"] == 0
     assert got.loc[2, "text"] == "size <NUM> bytes <NUM>"
     assert got.loc[2, "n_hits"] == 2
+
+
+def test_minhash_verify_plans_agree():
+    """The inline (tokens-on-band-rows, one shuffle) and join (pinned
+    token table, two reduce-side joins) verification plans must produce
+    the identical verified pair set."""
+    texts = ([" ".join(["alpha beta gamma delta"] * 6)] * 3
+             + [" ".join(["zeta eta theta iota"] * 6)] * 2
+             + [f"unique doc {i} with words w{i} x{i} y{i}" for i in range(5)])
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * len(texts), pa.string())}))
+    a = dedup.minhash_lsh_dup_pairs(docs, verify="inline").to_pandas()
+    b = dedup.minhash_lsh_dup_pairs(docs, verify="join").to_pandas()
+    sa = set(zip(a.doc1, a.doc2, a.jac))
+    sb = set(zip(b.doc1, b.doc2, b.jac))
+    assert sa == sb and len(sa) >= 4  # 3+2 dup groups → C(3,2)+C(2,2)
+    with pytest.raises(ValueError, match="verify plan"):
+        dedup.minhash_lsh_dup_pairs(docs, verify="nope")
