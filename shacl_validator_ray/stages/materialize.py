@@ -195,7 +195,8 @@ def materialize_graph(triples: rd.Dataset, out_dir: str, *,
                       n_buckets: int | None = None,
                       hub_threshold: int = 10_000, salt: int = 4,
                       deduped: bool = False, write_groups: int = 4,
-                      parallel_writes: int = 1) -> dict:
+                      parallel_writes: int = 1,
+                      only_groups=None) -> dict:
     """Dedup → bucket (+salt hubs) → hive-partitioned parquet + manifest.
 
     The write is split into ``write_groups`` bucket groups, each recorded
@@ -235,6 +236,26 @@ def materialize_graph(triples: rd.Dataset, out_dir: str, *,
             json.dump(manifest, f, indent=1)
 
     t0 = time.time()
+    if only_groups is not None:
+        # incremental rewrite: slice the input to the invalidated write
+        # groups BEFORE the dedup + bucketize passes, so the increment —
+        # not the corpus — flows through them. Group assignment is pure
+        # subject-hash arithmetic (group = base_bucket % write_groups),
+        # so the pre-filter needs no dedup; and dedup restricted to the
+        # slice equals global dedup restricted to the slice (identical
+        # rows share a subject, hence a group).
+        import numpy as np
+
+        og = np.array(sorted({int(g) for g in only_groups}), dtype=np.int64)
+        nb_, wg_ = n_buckets, write_groups
+
+        def slice_groups(b: pa.Table) -> pa.Table:
+            base = np.asarray(io_mod.hash_bucket_column(b["subj"], nb_),
+                              dtype=np.int64)
+            return b.filter(pa.array(np.isin(base % wg_, og)))
+
+        triples = triples.map_batches(slice_groups, batch_format="pyarrow",
+                                      zero_copy_batch=True)
     if not deduped:
         # pin: the deduped set feeds the hub pre-pass AND the bucketize
         # pass (plus one scan per write group) — unpinned, every consumer
@@ -400,6 +421,9 @@ def incremental_materialize(triples: rd.Dataset, out_dir: str,
         invalid = sorted({int(x) % wg for x in base})
     else:
         invalid = []
+    if not invalid:
+        manifest["groups_rewritten"] = []
+        return manifest  # nothing to rewrite — no pass over the corpus
     manifest["complete"] = False
     manifest["groups_done"] = sorted(set(manifest["groups_done"])
                                      - set(invalid))
@@ -410,7 +434,13 @@ def incremental_materialize(triples: rd.Dataset, out_dir: str,
         manifest["hubs_detected"] = False
     with open(manifest_path, "w") as f:
         json.dump(manifest, f, indent=1)
-    out = materialize_graph(triples, out_dir, **kw)
+    # the invalidated groups re-read ONLY their subject-hash slice: the
+    # dedup + bucketize passes run over the increment's groups, not the
+    # corpus (redetect_hubs is the exception — hub detection is a
+    # corpus-scale count and must see every subject)
+    out = materialize_graph(triples, out_dir,
+                            only_groups=None if redetect_hubs else invalid,
+                            **kw)
     out["groups_rewritten"] = invalid
     return out
 
