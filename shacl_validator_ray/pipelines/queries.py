@@ -203,6 +203,17 @@ def q_substring_dedup(sf_dir: str):
     return dedup.substring_dedup(_docs(sf_dir), k=5)
 
 
+def q_substring_dedup_subk(sf_dir: str):
+    """Span surgery WITH the sub-k boilerplate refinement: ≥5-token
+    passages at count ≥ 2 (the Lee et al. pass) plus 3-token phrases at
+    count ≥ 5 corpus-wide (high-multiplicity short boilerplate the k
+    pass cannot see), both excised outside their canonical first
+    occurrence — two gram widths riding one shuffle."""
+    from ..stages import dedup
+    return dedup.substring_dedup(_docs(sf_dir), k=5, sub_k=3,
+                                 sub_k_min_count=5)
+
+
 def q_fuzzy_dedup_keep(sf_dir: str):
     """Cluster-based near-dup removal: MinHash pairs → connected
     components → per-cluster survivor (min doc id). Oracle closes the
@@ -1298,6 +1309,7 @@ QUERIES = {
     "embedding_dups_ivf": q_embedding_dups_ivf,
     "fuzzy_dedup_keep": q_fuzzy_dedup_keep,
     "substring_dedup": q_substring_dedup,
+    "substring_dedup_subk": q_substring_dedup_subk,
     "source_cap": q_source_cap,
     "table_profile": q_table_profile,
     "retention_cohorts": q_retention_cohorts,
@@ -1905,6 +1917,53 @@ FROM c""",
                  WHERE NOT EXISTS (SELECT 1 FROM rm r
                                    WHERE r.doc_id = k.doc_id
                                      AND r.i <= k.ti AND k.ti < r.i + 5))
+        SELECT d.doc_id,
+               coalesce(string_agg(kp.tok, ' ' ORDER BY kp.ti), '') AS text,
+               len(x.tl) - count(kp.tok) AS n_removed
+        FROM documents d
+        JOIN toks x ON x.doc_id = d.doc_id
+        LEFT JOIN kept kp ON kp.doc_id = d.doc_id
+        GROUP BY d.doc_id, len(x.tl)""",
+    # substring_dedup_subk: the same arithmetic plus the 3-gram
+    # boilerplate gate (count >= 5 corpus-wide); removal spans carry
+    # their own width
+    "substring_dedup_subk": r"""
+        WITH toks AS (SELECT doc_id,
+                             regexp_extract_all(coalesce(text, ''), '\S+') AS tl
+                      FROM documents),
+        gi5 AS (SELECT doc_id, tl,
+                       unnest(range(0, greatest(len(tl) - 4, 0))) AS i
+                FROM toks),
+        g5 AS (SELECT doc_id, i,
+                      array_to_string(list_slice(tl, i + 1, i + 5), ' ') AS g
+               FROM gi5),
+        m5 AS (SELECT doc_id, i,
+                      row_number() OVER (PARTITION BY g
+                                         ORDER BY doc_id, i) AS rn,
+                      count(*) OVER (PARTITION BY g) AS c
+               FROM g5),
+        gi3 AS (SELECT doc_id, tl,
+                       unnest(range(0, greatest(len(tl) - 2, 0))) AS i
+                FROM toks),
+        g3 AS (SELECT doc_id, i,
+                      array_to_string(list_slice(tl, i + 1, i + 3), ' ') AS g
+               FROM gi3),
+        m3 AS (SELECT doc_id, i,
+                      row_number() OVER (PARTITION BY g
+                                         ORDER BY doc_id, i) AS rn,
+                      count(*) OVER (PARTITION BY g) AS c
+               FROM g3),
+        rm AS (SELECT doc_id, i, 5 AS w FROM m5 WHERE c >= 2 AND rn > 1
+               UNION ALL
+               SELECT doc_id, i, 3 AS w FROM m3 WHERE c >= 5 AND rn > 1),
+        ti AS (SELECT doc_id, tl, unnest(range(0, len(tl))) AS ti
+               FROM toks),
+        tok AS (SELECT doc_id, ti, tl[ti + 1] AS tok FROM ti),
+        kept AS (SELECT k.doc_id, k.ti, k.tok
+                 FROM tok k
+                 WHERE NOT EXISTS (SELECT 1 FROM rm r
+                                   WHERE r.doc_id = k.doc_id
+                                     AND r.i <= k.ti AND k.ti < r.i + r.w))
         SELECT d.doc_id,
                coalesce(string_agg(kp.tok, ' ' ORDER BY kp.ti), '') AS text,
                len(x.tl) - count(kp.tok) AS n_removed

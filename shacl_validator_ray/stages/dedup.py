@@ -562,7 +562,9 @@ def embedding_dup_pairs(emb: rd.Dataset, tau: float = 0.4, block_col: str = "lab
 
 def substring_dedup(docs: rd.Dataset, k: int = 8, id_col: str = "doc_id",
                     text_col: str = "text",
-                    n_buckets: int | None = None) -> rd.Dataset:
+                    n_buckets: int | None = None,
+                    sub_k: int | None = None,
+                    sub_k_min_count: int = 10) -> rd.Dataset:
     """Exact repeated-substring REMOVAL (span surgery) — the Lee et al.
     2022 "Deduplicating Training Data Makes Language Models Better"
     operation the whole-document dedup family can't do: a passage of
@@ -599,10 +601,26 @@ def substring_dedup(docs: rd.Dataset, k: int = 8, id_col: str = "doc_id",
     = in-window offset) over the token-hash array — k numpy ops per
     document instead of one md5 + k-token string join per POSITION
     (the previous interpreter-bound kernel).
+
+    SUB-k refinement (``sub_k``): repeats SHORTER than the gram length
+    are invisible to the k pass, yet high-multiplicity short boilerplate
+    ("all rights reserved") is exactly what poisons training data. With
+    ``sub_k`` set (< k), a second gram width rides the SAME shuffle:
+    sub_k-grams occurring ≥ ``sub_k_min_count`` times corpus-wide are
+    excised everywhere except their canonical first occurrence — the
+    higher count bar is the evidence threshold that replaces length
+    (count ≥ 2 at length ≥ k; count ≥ min_count at length sub_k). This
+    rolling-fingerprint formulation is the shardable equivalent of a
+    within-bucket suffix-automaton pass: gram groups ARE the repeat
+    classes, and the count gate bounds the marked volume.
     """
     import hashlib
 
     from .discovery import bucketed_block_apply
+
+    if sub_k is not None and not (2 <= sub_k < k):
+        raise ValueError(f"sub_k={sub_k} must satisfy 2 <= sub_k < k={k}")
+    widths = [k] if sub_k is None else [k, sub_k]
 
     def grams(b: pa.Table) -> pa.Table:
         doc_toks = [(d, (t or "").split())
@@ -614,41 +632,62 @@ def substring_dedup(docs: rd.Dataset, k: int = 8, id_col: str = "doc_id",
                 if tok not in vocab:
                     vocab[tok] = int.from_bytes(
                         hashlib.md5(tok.encode()).digest()[:8], "little")
-        ids_a, pos_a, g_a = [], [], []
+        ids_a, pos_a, g_a, w_a = [], [], [], []
         for d, toks in doc_toks:
-            n = len(toks) - k + 1
-            if n <= 0:
-                continue
-            H = np.fromiter((vocab[tok] for tok in toks),
-                            dtype=np.uint64, count=len(toks))
-            g = np.zeros(n, dtype=np.uint64)
-            for j in range(k):  # k vectorized ops, not n md5 calls
-                hj = H[j:j + n]
-                r = k - 1 - j
-                g ^= (((hj << np.uint64(r)) | (hj >> np.uint64(64 - r)))
-                      if r else hj)
-            ids_a.append(np.full(n, d, dtype=np.int64))
-            pos_a.append(np.arange(n, dtype=np.int64))
-            g_a.append(g.view(np.int64))
+            H = None
+            for w in widths:
+                n = len(toks) - w + 1
+                if n <= 0:
+                    continue
+                if H is None:
+                    H = np.fromiter((vocab[tok] for tok in toks),
+                                    dtype=np.uint64, count=len(toks))
+                g = np.full(n, np.uint64(w * 0x9E3779B97F4A7C15 % 2**64),
+                            dtype=np.uint64)  # width salt: no cross-width
+                for j in range(w):  # w vectorized ops, not n md5 calls
+                    hj = H[j:j + n]
+                    r = w - 1 - j
+                    g ^= (((hj << np.uint64(r)) | (hj >> np.uint64(64 - r)))
+                          if r else hj)
+                ids_a.append(np.full(n, d, dtype=np.int64))
+                pos_a.append(np.arange(n, dtype=np.int64))
+                g_a.append(g.view(np.int64))
+                w_a.append(np.full(n, w, dtype=np.int64))
         if not ids_a:
             return pa.table({id_col: pa.array([], pa.int64()),
                              "pos": pa.array([], pa.int64()),
-                             "g": pa.array([], pa.int64())})
+                             "g": pa.array([], pa.int64()),
+                             "w": pa.array([], pa.int64())})
         return pa.table({id_col: pa.array(np.concatenate(ids_a)),
                          "pos": pa.array(np.concatenate(pos_a)),
-                         "g": pa.array(np.concatenate(g_a))})
+                         "g": pa.array(np.concatenate(g_a)),
+                         "w": pa.array(np.concatenate(w_a))})
 
     gram_rows = docs.map_batches(grams, batch_format="pyarrow",
                                  zero_copy_batch=True)
 
     def removals(g: pd.DataFrame) -> pd.DataFrame:
-        dup = g[g.duplicated("g", keep=False)]
-        if not len(dup):
+        parts = []
+        kg_ = g[g["w"] == k]
+        dup = kg_[kg_.duplicated("g", keep=False)]
+        if len(dup):
+            dup = dup.sort_values(["g", id_col, "pos"])
+            keeper = ~dup.duplicated("g", keep="first")
+            parts.append(dup.loc[~keeper, [id_col, "pos", "w"]])
+        if sub_k is not None:
+            sg = g[g["w"] == sub_k]
+            if len(sg):
+                counts = sg.groupby("g")["g"].transform("size")
+                hot = sg[counts >= sub_k_min_count]
+                if len(hot):
+                    hot = hot.sort_values(["g", id_col, "pos"])
+                    keeper = ~hot.duplicated("g", keep="first")
+                    parts.append(hot.loc[~keeper, [id_col, "pos", "w"]])
+        if not parts:
             return pd.DataFrame({id_col: pd.array([], dtype="int64"),
-                                 "pos": pd.array([], dtype="int64")})
-        dup = dup.sort_values(["g", id_col, "pos"])
-        keeper = ~dup.duplicated("g", keep="first")
-        return dup.loc[~keeper, [id_col, "pos"]].astype("int64")
+                                 "pos": pd.array([], dtype="int64"),
+                                 "w": pd.array([], dtype="int64")})
+        return pd.concat(parts).astype("int64")
 
     rm = bucketed_block_apply(gram_rows, "g", removals, n_buckets=n_buckets)
 
@@ -658,6 +697,7 @@ def substring_dedup(docs: rd.Dataset, k: int = 8, id_col: str = "doc_id",
             id_col: b[id_col].cast(pa.int64()),
             text_col: b[text_col].cast(pa.string()),
             "pos": pa.nulls(b.num_rows, pa.int64()),
+            "w": pa.nulls(b.num_rows, pa.int64()),
             "is_rm": pa.nulls(b.num_rows, pa.bool_()).fill_null(False)})
 
     def tag_rm(b: pa.Table) -> pa.Table:
@@ -665,6 +705,7 @@ def substring_dedup(docs: rd.Dataset, k: int = 8, id_col: str = "doc_id",
             id_col: b[id_col].cast(pa.int64()),
             text_col: pa.nulls(b.num_rows, pa.string()),
             "pos": b["pos"].cast(pa.int64()),
+            "w": b["w"].cast(pa.int64()),
             "is_rm": pa.nulls(b.num_rows, pa.bool_()).fill_null(True)})
 
     tagged = (docs.select_columns([id_col, text_col])
@@ -679,8 +720,9 @@ def substring_dedup(docs: rd.Dataset, k: int = 8, id_col: str = "doc_id",
                 continue
             toks = (drows[text_col].iloc[0] or "").split()
             mask = np.zeros(len(toks), dtype=bool)
-            for p in sub.loc[sub["is_rm"], "pos"]:
-                mask[int(p):int(p) + k] = True
+            marks = sub.loc[sub["is_rm"], ["pos", "w"]]
+            for p, w in zip(marks["pos"], marks["w"]):
+                mask[int(p):int(p) + int(w)] = True
             out_id.append(did)
             out_text.append(" ".join(t for t, m in zip(toks, mask)
                                      if not m))

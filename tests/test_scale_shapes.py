@@ -302,3 +302,30 @@ def test_minhash_verify_plans_agree():
     assert sa == sb and len(sa) >= 4  # 3+2 dup groups → C(3,2)+C(2,2)
     with pytest.raises(ValueError, match="verify plan"):
         dedup.minhash_lsh_dup_pairs(docs, verify="nope")
+
+
+def test_substring_dedup_subk_excises_short_boilerplate():
+    """A 3-token boilerplate phrase repeated ≥ min_count times — shorter
+    than k, so invisible to the k pass — is excised everywhere except
+    its canonical first (doc, pos) occurrence when sub_k is set."""
+    phrase = "all rights reserved"
+    texts = [f"doc zero{i} body{i} {phrase} tail{i} words here"
+             for i in range(6)]
+    texts.append("clean document with no boilerplate at all")
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string())}))
+    # without sub_k: the 3-token repeat survives (below gram length)
+    plain = (dedup.substring_dedup(docs, k=5).to_pandas()
+             .sort_values("doc_id").reset_index(drop=True))
+    assert all(phrase in t for t in plain.loc[:5, "text"])
+    # with sub_k: only doc 0 keeps the phrase
+    got = (dedup.substring_dedup(docs, k=5, sub_k=3, sub_k_min_count=5)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert phrase in got.loc[0, "text"]
+    for i in range(1, 6):
+        assert phrase not in got.loc[i, "text"]
+        assert got.loc[i, "n_removed"] == 3
+    assert got.loc[6, "n_removed"] == 0
+    with pytest.raises(ValueError, match="sub_k"):
+        dedup.substring_dedup(docs, k=5, sub_k=7)
