@@ -237,7 +237,8 @@ class _Parser:
         """Parse one group graph pattern into a structure dict."""
         self.expect("OP", "{")
         out = {"patterns": [], "filters": [], "not_exists": None,
-               "optional": None, "union": [], "values": None}
+               "optional": None, "union": [], "values": None,
+               "minus": False}
         while True:
             k, v = self.peek()
             if (k, v) == ("OP", "}"):
@@ -306,7 +307,28 @@ class _Parser:
                     raise SparqlParseError(
                         "only one UNION construct per query is supported")
                 out["union"] = [a["patterns"] for a in alts]
-            elif k == "KW" and v in ("minus", "bind", "graph", "service"):
+            elif k == "KW" and v == "minus":
+                # MINUS removes solutions agreeing on the SHARED
+                # variables. When the only shared variable is $this it
+                # coincides with FILTER NOT EXISTS on the focus set —
+                # the engine's distributed anti-join; any other shared
+                # variable would need per-solution subtraction, which
+                # the subset rejects loudly below (in parse_select,
+                # where the outer pattern variables are known).
+                self.next()
+                inner = self.group()
+                if (inner["filters"] or inner["not_exists"]
+                        or inner["optional"] or inner["union"]
+                        or inner["values"]):
+                    raise SparqlParseError(
+                        "MINUS group must contain only triple patterns")
+                if out["not_exists"] is not None:
+                    raise SparqlParseError(
+                        "only one MINUS / FILTER NOT EXISTS per query "
+                        "is supported")
+                out["not_exists"] = inner["patterns"]
+                out["minus"] = True
+            elif k == "KW" and v in ("bind", "graph", "service"):
                 raise SparqlParseError(f"{v.upper()} is unsupported")
             else:
                 self._triples_block(out["patterns"])
@@ -681,6 +703,19 @@ def parse_select(text: str, *, component: str, message: str = "",
                 "the pattern chain (OPTIONAL bindings cannot be "
                 "filtered in the supported subset)")
     if g["not_exists"] is not None:
+        if g["minus"]:
+            # MINUS == NOT EXISTS only when $this is the sole shared
+            # variable; per-solution subtraction is out of subset
+            pvars = {t for pat in patterns for t in pat
+                     if isinstance(t, str) and t.startswith(("?", "$"))}
+            ivars = {t for pat in g["not_exists"] for t in pat
+                     if isinstance(t, str) and t.startswith(("?", "$"))}
+            shared = (pvars & ivars) - {THIS}
+            if shared:
+                raise SparqlParseError(
+                    f"MINUS sharing variables {sorted(shared)} beyond "
+                    "$this needs per-solution subtraction — rename the "
+                    "inner variables or use FILTER NOT EXISTS")
         kwargs["absent_patterns"] = g["not_exists"]
     if g["optional"] is not None:
         kwargs["optional_pattern"] = g["optional"]["patterns"]

@@ -382,3 +382,32 @@ ex:S a sh:NodeShape ;
 """
     with pytest.raises(ValueError, match="sh:select"):
         shapes_mod.compile_shapes(ttl)
+
+
+def test_sparql_parse_minus_as_focus_anti_join():
+    """MINUS sharing only $this coincides with FILTER NOT EXISTS (the
+    distributed focus anti-join); extra shared variables are rejected."""
+    cc = parse_select(
+        _PFX + """SELECT $this WHERE {
+            $this ex:dist ?d .
+            MINUS { $this ex:dist ?z . ?z ex:format "text/csv" . } }""",
+        component="c")
+    assert _focus(cc.violations(_ds_from_ttl_text(DATA))) == \
+        ["d1", "d3", "other"]
+    with pytest.raises(SparqlParseError, match="per-solution"):
+        parse_select(
+            _PFX + """SELECT $this WHERE {
+                $this ex:dist ?d .
+                MINUS { $this ex:dist ?d . ?d ex:format "text/csv" . } }""",
+            component="c")
+
+
+def test_sparql_parse_multivar_values():
+    """Multi-variable VALUES rows filter tuple-wise (vectorized merge
+    with the broadcast inline table)."""
+    cv = parse_select(
+        _PFX + """SELECT $this WHERE {
+            $this ex:dist ?d . ?d ex:format ?f .
+            VALUES (?d ?f) { (ex:z2 "text/csv") (ex:z1 "nope") } }""",
+        component="c")
+    assert _focus(cv.violations(_ds_from_ttl_text(DATA))) == ["d2"]
