@@ -62,7 +62,8 @@ _TOKEN_RE = re.compile(r"""
 
 _KEYWORDS = {"prefix", "base", "select", "distinct", "reduced", "where",
              "filter", "not", "exists", "optional", "union", "values",
-             "group", "by", "having", "count", "as", "a", "in", "undef",
+             "group", "by", "having", "count", "sum", "avg", "min", "max",
+             "as", "a", "in", "undef",
              "regex", "str", "strlen", "strstarts", "strends", "contains",
              "lcase", "ucase", "true", "false", "minus", "bind", "graph",
              "service", "order", "limit", "offset"}
@@ -658,9 +659,16 @@ def parse_select(text: str, *, component: str, message: str = "",
             raise SparqlParseError("GROUP BY must group on $this")
         p.expect("KW", "having")
         p.expect("OP", "(")
-        p.expect("KW", "count")
+        ak, aggkw = p.next()
+        if ak != "KW" or aggkw not in ("count", "sum", "avg", "min", "max"):
+            raise SparqlParseError(
+                f"unsupported HAVING aggregate {aggkw!r} (supported: "
+                "COUNT/SUM/AVG/MIN/MAX)")
         p.expect("OP", "(")
-        p.expect("KW", "distinct")
+        agg = aggkw
+        if aggkw == "count" and p.at_kw("distinct"):
+            p.next()
+            agg = "countd"
         hvar = p._var(p.expect("VAR"))
         p.expect("OP", ")")
         k, op = p.next()
@@ -668,7 +676,9 @@ def parse_select(text: str, *, component: str, message: str = "",
             raise SparqlParseError(f"unsupported HAVING operator {op!r}")
         n = p.expect("NUMBER")
         p.expect("OP", ")")
-        having = (hvar, "==" if op == "=" else op, int(float(n)))
+        having = (agg, hvar, "==" if op == "=" else op,
+                  int(float(n)) if agg in ("countd", "count")
+                  else float(n))
     if p.at_kw("order", "limit", "offset"):
         raise SparqlParseError(
             "ORDER BY / LIMIT / OFFSET have no effect on a constraint's "

@@ -812,6 +812,27 @@ def q_kg_bgp_having(sf_dir: str):
         ["severity", "focus_node", "value", "source_constraint_component"])
 
 
+def q_kg_bgp_having_sum(sf_dir: str):
+    """Numeric HAVING aggregate (parsed from SELECT text): datasets
+    whose summed distribution byteSize exceeds 5 MB — SUM over the
+    DISTINCT solution set per focus (set semantics; two ?d with equal
+    sizes both count), two binding-sized shuffles."""
+    from ..functions.sparql import parse_select
+    from . import kg
+
+    cc = parse_select(
+        """
+        PREFIX dcat: <http://www.w3.org/ns/dcat#>
+        SELECT $this WHERE {
+            $this dcat:distribution ?d .
+            ?d dcat:byteSize ?s .
+        } GROUP BY $this HAVING (SUM(?s) > 5000000)""",
+        component="http://example.org/constraints#OversizedDataset",
+        message="dataset's distributions exceed 5MB in total")
+    return cc.violations(kg.triples_dataset(sf_dir)).select_columns(
+        ["severity", "focus_node", "value", "source_constraint_component"])
+
+
 def q_kg_bgp_values(sf_dir: str):
     """SPARQL VALUES inline table, parsed from SELECT text (the
     sh:select parser path end-to-end): distributions whose format is in
@@ -1230,6 +1251,7 @@ QUERIES = {
     "kg_bgp_varpred": q_kg_bgp_varpred,
     "kg_bgp_having": q_kg_bgp_having,
     "kg_bgp_values": q_kg_bgp_values,
+    "kg_bgp_having_sum": q_kg_bgp_having_sum,
     "kg_bgp_nested_optional": q_kg_bgp_nested_optional,
     "kg_validate_sparql_ttl": q_kg_validate_sparql_ttl,
     "kg_bgp_scalar_subquery": q_kg_bgp_scalar_subquery,
@@ -2866,6 +2888,17 @@ SELECT 'Violation' AS severity, subj AS focus_node, subj AS value,
        'http://example.org/constraints#AboveAvgByteSize'
            AS source_constraint_component
 FROM hits""",
+        # kg_bgp_having_sum: SUM over the distinct solution set per
+        # focus (subj, d, s), thresholded
+        "kg_bgp_having_sum": f"""
+WITH g AS (SELECT DISTINCT subj, pred, obj_value FROM {gt}),
+sol AS (SELECT DISTINCT a.subj, a.obj_value AS d, b.obj_value AS s
+        FROM g a JOIN g b ON a.obj_value = b.subj
+        WHERE a.pred = '{dcat}distribution' AND b.pred = '{dcat}byteSize')
+SELECT 'Violation' AS severity, subj AS focus_node, subj AS value,
+       'http://example.org/constraints#OversizedDataset'
+           AS source_constraint_component
+FROM sol GROUP BY subj HAVING sum(s::DOUBLE) > 5000000""",
         # kg_bgp_values: the VALUES inline table as a SQL IN list over
         # the two-pattern join (component string differs from kg_bgp_union)
         "kg_bgp_values": f"""

@@ -232,7 +232,14 @@ class BGPConstraint:
         else:
             self.values_rows = None
         if having is not None:
-            hvar, hop, hn = having
+            # (var, op, n) = count-distinct (back-compat) or
+            # (agg, var, op, n) with agg in countd/count/sum/avg/min/max
+            if len(having) == 3:
+                agg, (hvar, hop, hn) = "countd", having
+            else:
+                agg, hvar, hop, hn = having
+            if agg not in ("countd", "count", "sum", "avg", "min", "max"):
+                raise ValueError(f"unknown having aggregate {agg!r}")
             if not _is_var(hvar) or hvar == THIS:
                 raise ValueError("having variable must be a ?var "
                                  "other than $this")
@@ -241,7 +248,9 @@ class BGPConstraint:
                                  "by any pattern")
             if hop not in (">", ">=", "<", "<=", "=="):
                 raise ValueError(f"unknown having operator {hop!r}")
-            self.having = (hvar, hop, int(hn))
+            self.having = (agg, hvar, hop,
+                           int(hn) if agg in ("countd", "count")
+                           else float(hn))
         else:
             self.having = None
         self.patterns = [tuple(p) for p in patterns]
@@ -455,7 +464,7 @@ class BGPConstraint:
         from .shacl import _focus_sets, _members_mask, _violation_rows
 
         tri = (triples, self._derived(triples))
-        sol, _ = self._bindings_from(tri)
+        sol, sol_cols = self._bindings_from(tri)
         focus_sol = sol
         for alt in self.alts:  # UNION: alternatives add focus nodes
             ab, _ = self._chain(tri, alt)
@@ -465,27 +474,55 @@ class BGPConstraint:
                     lambda b: pa.table({THIS: b[THIS].cast(pa.string())}),
                     batch_format="pyarrow"))
         if self.having is not None:
-            # SPARQL GROUP BY $this HAVING (count(distinct ?v) OP n):
-            # distinct (focus, v) pairs → per-focus count → vectorized
-            # threshold filter. Two binding-sized shuffles, no
-            # corpus-scale state anywhere.
+            # SPARQL GROUP BY $this HAVING (AGG(...) OP n): aggregate
+            # over the DISTINCT solution set (the engine's set
+            # semantics) → vectorized threshold filter. Two
+            # binding-sized shuffles, no corpus-scale state anywhere.
             if self.alts:
                 raise ValueError("having cannot combine with "
                                  "union_patterns (group the union "
                                  "inside one chain instead)")
-            hvar, hop, hn = self.having
+            agg, hvar, hop, hn = self.having
             hfns = {">": pc.greater, ">=": pc.greater_equal,
                     "<": pc.less, "<=": pc.less_equal, "==": pc.equal}
             hfn = hfns[hop]
-            pairs = focus_sol.map_batches(
-                lambda b: pa.table({"focus": b[THIS].cast(pa.string()),
-                                    "v": b[hvar].cast(pa.string())}),
-                batch_format="pyarrow")
-            cnt = (pairs.groupby(["focus", "v"])
-                   .aggregate(Count(alias_name="_d"))
-                   .groupby("focus").aggregate(Count(alias_name="_n")))
+            if agg == "countd":
+                # count(distinct ?v): distinct (focus, v) pairs →
+                # per-focus count
+                pairs = focus_sol.map_batches(
+                    lambda b: pa.table({"focus": b[THIS].cast(pa.string()),
+                                        "v": b[hvar].cast(pa.string())}),
+                    batch_format="pyarrow")
+                cnt = (pairs.groupby(["focus", "v"])
+                       .aggregate(Count(alias_name="_d"))
+                       .groupby("focus").aggregate(Count(alias_name="_n")))
+            else:
+                # count / sum / avg / min / max over distinct FULL
+                # solution rows (two different ?d with equal ?v both
+                # count — distinctness is per solution, not per value)
+                from ray.data.aggregate import Max, Mean, Min, Sum
+
+                distinct = (focus_sol.groupby(list(sol_cols))
+                            .aggregate(Count(alias_name="_dup")))
+                if agg == "count":
+                    cnt = (distinct.map_batches(
+                        lambda b: pa.table(
+                            {"focus": b[THIS].cast(pa.string())}),
+                        batch_format="pyarrow")
+                        .groupby("focus").aggregate(Count(alias_name="_n")))
+                else:
+                    aggs = {"sum": Sum, "avg": Mean,
+                            "min": Min, "max": Max}
+                    proj = distinct.map_batches(
+                        lambda b: pa.table({
+                            "focus": b[THIS].cast(pa.string()),
+                            "v": pc.cast(b[hvar], pa.float64())}),
+                        batch_format="pyarrow")
+                    cnt = (proj.groupby("focus")
+                           .aggregate(aggs[agg]("v", alias_name="_n")))
             focus = cnt.map_batches(
-                lambda b: b.filter(hfn(b["_n"].cast(pa.int64()), hn))
+                lambda b: b.filter(hfn(pc.cast(b["_n"], pa.float64()),
+                                       float(hn)))
                            .select(["focus", "_n"]),
                 batch_format="pyarrow")
         else:

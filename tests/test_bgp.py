@@ -325,7 +325,12 @@ def test_sparql_parse_having():
         _PFX + "SELECT $this WHERE { ?d ex:dist $this . } "
                "GROUP BY $this HAVING (COUNT(DISTINCT ?d) > 1)",
         component="c")
-    assert cc.having == ("?d", ">", 1)
+    assert cc.having == ("countd", "?d", ">", 1)
+    cs = parse_select(
+        _PFX + "SELECT $this WHERE { $this ex:dist ?d . ?d ex:size ?s . } "
+               "GROUP BY $this HAVING (SUM(?s) > 50)",
+        component="c")
+    assert cs.having == ("sum", "?s", ">", 50.0)
 
 
 def test_sparql_parse_errors_are_loud():
@@ -411,3 +416,32 @@ def test_sparql_parse_multivar_values():
             VALUES (?d ?f) { (ex:z2 "text/csv") (ex:z1 "nope") } }""",
         component="c")
     assert _focus(cv.violations(_ds_from_ttl_text(DATA))) == ["d2"]
+
+
+def test_bgp_having_numeric_aggregates():
+    """SUM/AVG/MIN/MAX HAVING over the distinct solution set: two
+    distributions with EQUAL sizes both count (distinctness is per
+    solution row, not per value)."""
+    data = DATA + """
+    @prefix ex: <http://example.org/> .
+    ex:d1 ex:dist ex:z9 .
+    ex:z1 ex:size "40" .
+    ex:z9 ex:size "40" .
+    ex:z2 ex:size "10" .
+    ex:z3 ex:size "99" .
+    """
+    def run(having):
+        cc = BGPConstraint(
+            patterns=[("$this", EX + "dist", "?z"),
+                      ("?z", EX + "size", "?s")],
+            having=having, component=EX + "c#H")
+        return _focus(cc.violations(_ds_from_ttl_text(data)))
+
+    # d1: z1=40 + z9=40 → sum 80 (equal values both count)
+    assert run(("sum", "?s", ">", 75)) == ["d1", "d3"]   # d3: 99
+    assert run(("avg", "?s", "==", 40)) == ["d1"]
+    assert run(("min", "?s", "<", 20)) == ["d2"]
+    assert run(("max", "?s", ">=", 99)) == ["d3"]
+    assert run(("count", "?s", ">", 1)) == ["d1"]
+    with pytest.raises(ValueError, match="aggregate"):
+        run(("median", "?s", ">", 1))
