@@ -63,7 +63,7 @@ _TOKEN_RE = re.compile(r"""
 _KEYWORDS = {"prefix", "base", "select", "distinct", "reduced", "where",
              "filter", "not", "exists", "optional", "union", "values",
              "group", "by", "having", "count", "sum", "avg", "min", "max",
-             "as", "a", "in", "undef",
+             "as", "a", "in", "undef", "bound",
              "regex", "str", "strlen", "strstarts", "strends", "contains",
              "lcase", "ucase", "true", "false", "minus", "bind", "graph",
              "service", "order", "limit", "offset"}
@@ -434,6 +434,12 @@ class _Parser:
         return self._expr_relational()
 
     def _expr_relational(self):
+        if self.at_kw("bound"):
+            self.next()
+            self.expect("OP", "(")
+            v = self._var(self.expect("VAR"))
+            self.expect("OP", ")")
+            return ("bound", v)
         lhs = self._expr_operand()
         k, v = self.peek()
         if k == "OP" and v in ("=", "!=", "<", ">", "<=", ">="):
@@ -579,6 +585,11 @@ def _compile_filter(asts: list) -> "callable":
             _, lhs, vals, negated = e
             m = series(df, lhs).isin(vals)
             return ~m if negated else m
+        if kind == "bound":
+            # pattern-chain variables are always bound once a filter
+            # runs (BOUND over OPTIONAL variables is rewritten at parse
+            # time); kept for completeness
+            return series(df, ("var", e[1])).notna()
         if kind == "regex":
             _, opnd, pat, flags = e
             return series(df, opnd).str.contains(
@@ -699,10 +710,60 @@ def parse_select(text: str, *, component: str, message: str = "",
         alts = [patterns + a for a in g["union"]]
         patterns = alts[0]
         kwargs["union_patterns"] = alts[1:]
-    if g["filters"]:
-        kwargs["filter_fn"] = _compile_filter(g["filters"])
+    # FILTERs over OPTIONAL bindings rewrite exactly (SPARQL evaluates
+    # an unbound variable in a FILTER as an error, which removes the
+    # row): a filter REFERENCING an optional variable forces the whole
+    # optional chain to have matched, so the chain PROMOTES into the
+    # main pattern chain (staying OPTIONAL only for report annotation);
+    # `FILTER(!BOUND(?v))` is the missing-property idiom and becomes
+    # the distributed focus anti-join (absent_patterns).
+    opt_chain = list(g["optional"]["patterns"]) if g["optional"] else []
+    opt_vars = {o for (_, _, o) in opt_chain}
+    plain_filters: list = []
+    notbound: list[str] = []
+    promote = False
+    for a in g["filters"]:
         fvars: set = set()
-        for a in g["filters"]:
+        _collect_filter_vars(a, fvars)
+        if (isinstance(a, tuple) and a[0] == "not"
+                and isinstance(a[1], tuple) and a[1][0] == "bound"
+                and a[1][1] in opt_vars):
+            notbound.append(a[1][1])
+            continue
+        if isinstance(a, tuple) and a[0] == "bound" and a[1] in opt_vars:
+            promote = True
+            continue
+        if fvars & opt_vars:
+            promote = True
+        plain_filters.append(a)
+    if notbound:
+        if promote or len(notbound) > 1:
+            raise SparqlParseError(
+                "!BOUND over an OPTIONAL variable cannot combine with "
+                "other FILTER references to OPTIONAL variables")
+        if g["not_exists"] is not None:
+            raise SparqlParseError(
+                "!BOUND cannot combine with FILTER NOT EXISTS / MINUS "
+                "(one anti-join per query)")
+        v = notbound[0]
+        cut = next(i for i, (_, _, o) in enumerate(opt_chain) if o == v)
+        g["not_exists"] = opt_chain[:cut + 1]
+        g["minus"] = False
+        # annotation can only come from the part of the chain BEFORE
+        # the unbound variable (everything from v on never matched)
+        opt_chain = opt_chain[:cut]
+        g["optional"] = ({"patterns": opt_chain, "optional": None}
+                         if opt_chain else None)
+    elif promote:
+        if g["union"]:
+            raise SparqlParseError(
+                "FILTER over OPTIONAL variables cannot combine with "
+                "UNION in the supported subset")
+        patterns = patterns + opt_chain
+    if plain_filters:
+        kwargs["filter_fn"] = _compile_filter(plain_filters)
+        fvars = set()
+        for a in plain_filters:
             _collect_filter_vars(a, fvars)
         pvars = {t for pat in patterns for t in pat
                  if isinstance(t, str) and t.startswith(("?", "$"))}
@@ -710,8 +771,7 @@ def parse_select(text: str, *, component: str, message: str = "",
         if missing:
             raise SparqlParseError(
                 f"FILTER references variables {missing} not bound by "
-                "the pattern chain (OPTIONAL bindings cannot be "
-                "filtered in the supported subset)")
+                "the pattern chain")
     if g["not_exists"] is not None:
         if g["minus"]:
             # MINUS == NOT EXISTS only when $this is the sole shared

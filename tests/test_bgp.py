@@ -445,3 +445,51 @@ def test_bgp_having_numeric_aggregates():
     assert run(("count", "?s", ">", 1)) == ["d1"]
     with pytest.raises(ValueError, match="aggregate"):
         run(("median", "?s", ">", 1))
+
+
+def test_sparql_filter_over_optional_bindings():
+    """FILTER referencing an OPTIONAL variable promotes the chain (an
+    unbound variable errors the row away in SPARQL, so the filter forces
+    a match); !BOUND becomes the focus anti-join; annotation survives
+    promotion."""
+    data = DATA + """
+    @prefix ex: <http://example.org/> .
+    ex:z1 ex:size "99" .
+    ex:z2 ex:size "10" .
+    """
+    # comparison over the optional var: only focus nodes whose chain
+    # matched AND passed the filter remain (d1: z1 size 99 > 50)
+    cc = parse_select(
+        _PFX + """SELECT $this WHERE {
+            $this a ex:Dataset .
+            OPTIONAL { $this ex:dist ?d . OPTIONAL { ?d ex:size ?s } }
+            FILTER (?s > 50) }""", component="c")
+    rows = cc.violations(_ds_from_ttl_text(data)).to_pandas()
+    assert sorted(r.rsplit("/")[-1] for r in rows["focus_node"]) == ["d1"]
+    assert rows["value"].iloc[0] == "99"  # annotation survives promotion
+
+    # BOUND(?d): the chain must have matched; no residual filter
+    cb = parse_select(
+        _PFX + """SELECT $this WHERE {
+            $this a ex:Dataset .
+            OPTIONAL { $this ex:dist ?d }
+            FILTER (BOUND(?d)) }""", component="c")
+    assert _focus(cb.violations(_ds_from_ttl_text(data))) == \
+        ["d1", "d2", "d3"]
+
+    # !BOUND(?s): datasets whose dist chain never reaches a size — the
+    # missing-property idiom as a distributed anti-join
+    cn = parse_select(
+        _PFX + """SELECT $this WHERE {
+            $this a ex:Dataset .
+            OPTIONAL { $this ex:dist ?d . OPTIONAL { ?d ex:size ?s } }
+            FILTER (!BOUND(?s)) }""", component="c")
+    assert _focus(cn.violations(_ds_from_ttl_text(data))) == ["d3"]
+
+    # mixing !BOUND with other optional-var filters is rejected
+    with pytest.raises(SparqlParseError, match="cannot combine"):
+        parse_select(
+            _PFX + """SELECT $this WHERE {
+                $this a ex:Dataset .
+                OPTIONAL { $this ex:dist ?d }
+                FILTER (!BOUND(?d)) FILTER (?d = "x") }""", component="c")
