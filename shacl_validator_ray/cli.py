@@ -257,6 +257,7 @@ def cmd_profiles(args) -> int:
             "shaclFiles": meta.get("shaclFiles", []),
             "node_shapes": len(compiled.node_shapes),
             "property_shapes": sum(1 for _ in compiled.property_shapes()),
+            "sparql_constraints": len(compiled.sparql_constraints),
         }
         if "versions" in meta:  # reference-parity versioned layout
             row["versions"] = sorted(meta["versions"])
