@@ -115,7 +115,8 @@ def minhash_lsh_candidates(docs: rd.Dataset, n_perm: int = 32,
                            text_col: str = "text", block_col: str | None = "lang",
                            concurrency: int = 4,
                            n_buckets: int | None = None,
-                           verify_tau: float | None = None) -> rd.Dataset:
+                           verify_tau: float | None = None,
+                           hot_cap: int = 10_000) -> rd.Dataset:
     """LSH candidate generation: signature → band rows → ONE shuffle keyed
     by bucket-hash → vectorized within-bucket pair generation.
 
@@ -130,6 +131,16 @@ def minhash_lsh_candidates(docs: rd.Dataset, n_perm: int = 32,
     the whole near-dup pipeline is then this single shuffle (no join
     passes, no pinned token table) at the cost of n_bands × the token
     volume through it; output gains the ``jac`` column.
+
+    Hot buckets (> ``hot_cap`` docs in one (block, band, hash) group —
+    boilerplate floods, the quadratic-bucket hazard): instead of
+    C(n, 2) pairs, the bucket emits its n-1 CONSECUTIVE id-sorted pairs
+    (chain emission). A duplicate CLUSTER stays fully connected — the
+    downstream union-find in :func:`fuzzy_dedup_keep` resolves the same
+    components — while per-bucket work drops from quadratic to linear;
+    only the exhaustive pair LIST is approximated, and only inside the
+    flood (a RuntimeWarning in the worker log flags each occurrence;
+    exact all-pairs floods are exact_dedup's job, run it first).
     """
     from ..sources import io as io_mod
 
@@ -167,14 +178,31 @@ def minhash_lsh_candidates(docs: rd.Dataset, n_perm: int = 32,
             return v
 
         for (_, band, _), sub in g.groupby(["block", "band", "bhash"], sort=False):
-            if len(sub) < 2:
+            n_sub = len(sub)
+            if n_sub < 2:
                 continue
             sub = sub.sort_values(id_col)
             ids = sub[id_col].to_numpy()
             ab = np.stack(sub["all_bands"].to_numpy())  # (n, n_bands)
-            iu, ju = np.triu_indices(len(ids), k=1)
+            if n_sub > hot_cap:
+                # chain emission: linear, cluster-connectivity-preserving
+                import warnings
+
+                warnings.warn(
+                    f"minhash_lsh_candidates: (block, band, hash) bucket "
+                    f"of {n_sub} docs exceeds hot_cap={hot_cap}; emitting "
+                    f"its {n_sub - 1} consecutive pairs instead of all "
+                    f"pairs (run exact_dedup first for identical floods)",
+                    RuntimeWarning, stacklevel=2)
+                iu = np.arange(n_sub - 1)
+                ju = iu + 1
+            else:
+                iu, ju = np.triu_indices(n_sub, k=1)
             if band > 0:
                 # first-matching-band: drop pairs already caught earlier
+                # (a chain pair skipped here is emitted — exactly or as
+                # part of an earlier band's chain — by that band, so
+                # cluster connectivity survives either way)
                 earlier = (ab[iu, :band] == ab[ju, :band]).any(axis=1)
                 iu, ju = iu[~earlier], ju[~earlier]
             if inline:
@@ -200,7 +228,8 @@ def minhash_lsh_dup_pairs(docs: rd.Dataset, tau: float = 0.95, n_perm: int = 32,
                           text_col: str = "text", block_col: str | None = "lang",
                           concurrency: int = 4, n_buckets: int | None = None,
                           num_join_partitions: int | None = None,
-                          verify: str = "inline") -> rd.Dataset:
+                          verify: str = "inline",
+                          hot_cap: int = 10_000) -> rd.Dataset:
     """MinHash+LSH near-dup: :func:`minhash_lsh_candidates` → exact-Jaccard
     verification, fully distributed (the corpus is never materialized on
     the driver). Two verification plans, identical output:
@@ -225,14 +254,15 @@ def minhash_lsh_dup_pairs(docs: rd.Dataset, tau: float = 0.95, n_perm: int = 32,
         return minhash_lsh_candidates(
             docs, n_perm=n_perm, n_bands=n_bands, id_col=id_col,
             text_col=text_col, block_col=block_col,
-            concurrency=concurrency, n_buckets=n_buckets, verify_tau=tau)
+            concurrency=concurrency, n_buckets=n_buckets, verify_tau=tau,
+            hot_cap=hot_cap)
     if verify != "join":
         raise ValueError(f"unknown verify plan {verify!r} "
                          "(expected 'join' or 'inline')")
     cand = minhash_lsh_candidates(docs, n_perm=n_perm, n_bands=n_bands,
                                   id_col=id_col, text_col=text_col,
                                   block_col=block_col, concurrency=concurrency,
-                                  n_buckets=n_buckets)
+                                  n_buckets=n_buckets, hot_cap=hot_cap)
 
     # Tokens travel as a single \x1f-delimited string column: Acero join
     # payloads cannot be list-typed, and a flat string is cheaper to

@@ -329,3 +329,31 @@ def test_substring_dedup_subk_excises_short_boilerplate():
     assert got.loc[6, "n_removed"] == 0
     with pytest.raises(ValueError, match="sub_k"):
         dedup.substring_dedup(docs, k=5, sub_k=7)
+
+
+def test_minhash_hot_bucket_chain_emission_preserves_clusters():
+    """An identical-doc flood above hot_cap emits a connected CHAIN
+    (n-1 pairs, linear) instead of the quadratic all-pairs set; pairs
+    outside the flood are exact; fuzzy_dedup_keep still resolves the
+    flood to ONE survivor (connectivity preserved)."""
+    flood_n = 30
+    texts = ([" ".join(["flood body words repeated here"] * 8)] * flood_n
+             + [" ".join(["alpha beta gamma delta"] * 8)] * 2
+             + [f"unique{i} content w{i} x{i} y{i} z{i}" for i in range(4)])
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * len(texts), pa.string())}))
+    pairs = dedup.minhash_lsh_dup_pairs(docs, hot_cap=10).to_pandas()
+    in_flood = pairs[(pairs.doc1 < flood_n) & (pairs.doc2 < flood_n)]
+    # chain: exactly n-1 consecutive pairs, not C(30,2)=435
+    assert len(in_flood) == flood_n - 1
+    assert sorted(zip(in_flood.doc1, in_flood.doc2)) == \
+        [(i, i + 1) for i in range(flood_n - 1)]
+    # the small near-dup pair outside the flood is exact
+    assert ((pairs.doc1 == flood_n) & (pairs.doc2 == flood_n + 1)).any()
+    # connectivity: one survivor for the flood component
+    keep = dedup.fuzzy_dedup_keep(docs, n_buckets=8).to_pandas()
+    flood_rows = keep[keep.doc_id < flood_n]
+    assert set(flood_rows.rep_id) == {0}
+    assert flood_rows.keep.sum() == 1
