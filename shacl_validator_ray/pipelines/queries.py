@@ -163,6 +163,14 @@ def q_embedding_dups_ivf(sf_dir: str):
     return dedup.embedding_dup_pairs_ivf(_emb(sf_dir), tau=0.4)
 
 
+def q_hash_split(sf_dir: str):
+    """Deterministic hash train/val/test assignment over documents —
+    the re-run/reshard-stable dataset-split step; oracle mirrors the
+    little-endian md5 byte arithmetic exactly."""
+    from ..stages import windows
+    return windows.hash_split(_docs(sf_dir))
+
+
 def q_retention_cohorts(sf_dir: str):
     """Cohort retention triangle over the event log: users cohorted by
     first-event week, distinct actives per (cohort, weeks-since) cell.
@@ -1335,6 +1343,7 @@ QUERIES = {
     "source_cap": q_source_cap,
     "table_profile": q_table_profile,
     "retention_cohorts": q_retention_cohorts,
+    "hash_split": q_hash_split,
     "curation": q_curation,
     "curate_full": q_curate_full,
     # similarity search
@@ -1776,6 +1785,18 @@ FROM c""",
               FROM w)
         SELECT doc_id, term, round(wt, 6) AS tfidf, rk AS rank
         FROM r WHERE rk <= 5""",
+    "hash_split": """
+        WITH u AS (SELECT doc_id,
+                          ('0x' || substr(h,7,2) || substr(h,5,2)
+                           || substr(h,3,2) || substr(h,1,2))::UINTEGER
+                              ::DOUBLE / 4294967296 AS u
+                   FROM (SELECT doc_id,
+                                md5('split|' || doc_id::VARCHAR) AS h
+                         FROM documents))
+        SELECT doc_id, CASE WHEN u < 0.9 THEN 'train'
+                            WHEN u < 0.95 THEN 'val'
+                            ELSE 'test' END AS split
+        FROM u""",
     "retention_cohorts": r"""
         WITH up AS (SELECT user_id,
                            epoch_us(ts) // 604800000000 AS period

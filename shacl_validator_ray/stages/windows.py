@@ -627,3 +627,44 @@ def retention_cohorts(events: rd.Dataset, period_us: int = 604_800_000_000,
             "period_offset": b["period_offset"].cast(pa.int64()),
             "n_users": b["n_users"].cast(pa.int64())}),
         batch_format="pyarrow")
+
+
+def hash_split(docs: rd.Dataset, fractions: dict[str, float] | None = None,
+               id_col: str = "doc_id", salt: str = "split") -> rd.Dataset:
+    """Deterministic train/val/test assignment — the dataset-split step
+    of a training-data pipeline, done the only way that survives
+    re-runs, resharding and late-arriving data: a pure hash of the
+    document id (no global state, no sampling pass, no order
+    dependence). u = first 4 little-endian md5 bytes of
+    ``"{salt}|{id}"`` / 2^32 ∈ [0, 1); cumulative fraction thresholds
+    map u to a split label. One stateless vectorized pass; the SQL
+    oracle mirrors the byte arithmetic exactly.
+
+    Reference analog: none (the reference validates, it doesn't
+    train) — this is part of the LLM-curation surface the engine adds.
+    """
+    import hashlib
+
+    if fractions is None:
+        fractions = {"train": 0.9, "val": 0.05, "test": 0.05}
+    if abs(sum(fractions.values()) - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {fractions}")
+    names, cuts, acc = [], [], 0.0
+    for name, f in fractions.items():  # insertion order = precedence
+        acc += f
+        names.append(name)
+        cuts.append(acc)
+    cuts[-1] = 1.0 + 1e-12  # closed top bucket
+
+    def assign(b: pa.Table) -> pa.Table:
+        ids = [str(x) for x in b.column(id_col).to_pylist()]
+        u = np.array([int.from_bytes(
+            hashlib.md5(f"{salt}|{i}".encode()).digest()[:4], "little")
+            for i in ids], dtype=np.float64) / 2.0 ** 32
+        idx = np.searchsorted(np.array(cuts), u, side="right")
+        return pa.table({
+            id_col: b[id_col],
+            "split": pa.array([names[i] for i in idx], pa.string())})
+
+    return docs.map_batches(assign, batch_format="pyarrow",
+                            zero_copy_batch=True)

@@ -257,3 +257,27 @@ def test_retention_cohorts_planted():
              for r in got.itertuples()}
     w = min(c for c, _ in cells)
     assert cells == {(w, 0): 2, (w, 1): 1, (w + 1, 0): 1, (w + 1, 1): 1}
+
+
+def test_hash_split_deterministic_and_validated():
+    import collections
+
+    import pyarrow as pa
+    import pytest
+    import ray.data as rd
+
+    from shacl_validator_ray.stages import windows as W
+
+    docs = rd.from_arrow(pa.table({"doc_id": pa.array(range(5000), pa.int64())}))
+    a = W.hash_split(docs).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    b = W.hash_split(docs).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert (a == b).all().all()
+    c = collections.Counter(a["split"])
+    assert abs(c["train"] / 5000 - 0.9) < 0.02
+    assert abs(c["val"] / 5000 - 0.05) < 0.01
+    # a different salt reshuffles assignments
+    d = W.hash_split(docs, salt="other").to_pandas().sort_values(
+        "doc_id").reset_index(drop=True)
+    assert (a["split"] != d["split"]).any()
+    with pytest.raises(ValueError, match="sum to 1"):
+        W.hash_split(docs, fractions={"train": 0.5, "test": 0.4})
