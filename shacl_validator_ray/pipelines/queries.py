@@ -230,6 +230,21 @@ def q_fuzzy_dedup_keep(sf_dir: str):
     return dedup.fuzzy_dedup_keep(_docs(sf_dir), tau=0.95)
 
 
+def q_dup_cluster_sizes(sf_dir: str):
+    """Dedup REPORTING: near-dup cluster size histogram (size →
+    number of clusters) off the fuzzy keep-one map — the
+    dedup-effectiveness summary a curation run logs. Two tiny
+    groupbys over the cluster map; oracle extends the recursive-CTE
+    closure with the same histogram."""
+    from ray.data.aggregate import Count
+
+    from ..stages import dedup
+
+    keep = dedup.fuzzy_dedup_keep(_docs(sf_dir), tau=0.95)
+    return (keep.groupby("rep_id").aggregate(Count(alias_name="size"))
+            .groupby("size").aggregate(Count(alias_name="n_clusters")))
+
+
 def q_curate_full(sf_dir: str):
     """End-to-end curation flagship: quality gate → cluster fuzzy dedup
     → decontamination (incl. dropping the eval split) → sequence
@@ -1338,6 +1353,7 @@ QUERIES = {
     "embedding_dups": q_embedding_dups,
     "embedding_dups_ivf": q_embedding_dups_ivf,
     "fuzzy_dedup_keep": q_fuzzy_dedup_keep,
+    "dup_cluster_sizes": q_dup_cluster_sizes,
     "substring_dedup": q_substring_dedup,
     "substring_dedup_subk": q_substring_dedup_subk,
     "source_cap": q_source_cap,
@@ -2014,6 +2030,23 @@ FROM c""",
         JOIN toks x ON x.doc_id = d.doc_id
         LEFT JOIN kept kp ON kp.doc_id = d.doc_id
         GROUP BY d.doc_id, len(x.tl)""",
+    "dup_cluster_sizes": """
+WITH RECURSIVE t AS (SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS ws FROM documents),
+p AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2
+  FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.ws, b.ws))::DOUBLE
+          / len(list_distinct(list_concat(a.ws, b.ws))) >= 0.95),
+e AS (SELECT d1 AS a, d2 AS b FROM p UNION SELECT d2, d1 FROM p),
+reach(n, m) AS (
+  SELECT a, b FROM e
+  UNION
+  SELECT r.n, e2.b FROM reach r JOIN e e2 ON r.m = e2.a),
+rep AS (SELECT n AS doc_id, least(n, min(m)) AS rep_id FROM reach GROUP BY n),
+cm AS (SELECT d.doc_id, coalesce(r.rep_id, d.doc_id) AS rep_id
+       FROM documents d LEFT JOIN rep r USING (doc_id)),
+sz AS (SELECT rep_id, count(*) AS size FROM cm GROUP BY rep_id)
+SELECT size, count(*) AS n_clusters FROM sz GROUP BY size""",
     "fuzzy_dedup_keep": """
 WITH RECURSIVE t AS (SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS ws FROM documents),
 p AS (
