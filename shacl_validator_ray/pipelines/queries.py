@@ -245,6 +245,15 @@ def q_dup_cluster_sizes(sf_dir: str):
             .groupby("size").aggregate(Count(alias_name="n_clusters")))
 
 
+def q_containment_dups(sf_dir: str):
+    """Near-containment pairs (quote/subset duplicates Jaccard misses):
+    |A∩B| / min(|A|,|B|) >= 0.95 within language blocks, min word-set
+    size 25 (tiny sets are trivially contained)."""
+    from ..stages import dedup
+    return dedup.containment_dup_pairs(_docs(sf_dir), tau=0.95,
+                                       min_size=25)
+
+
 def q_curate_full(sf_dir: str):
     """End-to-end curation flagship: quality gate → cluster fuzzy dedup
     → decontamination (incl. dropping the eval split) → sequence
@@ -1354,6 +1363,7 @@ QUERIES = {
     "embedding_dups_ivf": q_embedding_dups_ivf,
     "fuzzy_dedup_keep": q_fuzzy_dedup_keep,
     "dup_cluster_sizes": q_dup_cluster_sizes,
+    "containment_dups": q_containment_dups,
     "substring_dedup": q_substring_dedup,
     "substring_dedup_subk": q_substring_dedup_subk,
     "source_cap": q_source_cap,
@@ -2047,6 +2057,17 @@ cm AS (SELECT d.doc_id, coalesce(r.rep_id, d.doc_id) AS rep_id
        FROM documents d LEFT JOIN rep r USING (doc_id)),
 sz AS (SELECT rep_id, count(*) AS size FROM cm GROUP BY rep_id)
 SELECT size, count(*) AS n_clusters FROM sz GROUP BY size""",
+    "containment_dups": """
+WITH t AS (SELECT doc_id, lang,
+                  list_distinct(string_split(text, ' ')) AS ws
+           FROM documents)
+SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+       round(len(list_intersect(a.ws, b.ws))::DOUBLE
+             / least(len(a.ws), len(b.ws)), 6) AS containment
+FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
+WHERE least(len(a.ws), len(b.ws)) >= 25
+  AND len(list_intersect(a.ws, b.ws))::DOUBLE
+        / least(len(a.ws), len(b.ws)) >= 0.95""",
     "fuzzy_dedup_keep": """
 WITH RECURSIVE t AS (SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS ws FROM documents),
 p AS (

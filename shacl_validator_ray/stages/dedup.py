@@ -65,6 +65,41 @@ def jaccard_dup_pairs(docs: rd.Dataset, block_col: str = "lang", tau: float = 0.
     return docs.groupby(block_col).map_groups(pairs, batch_format="pandas")
 
 
+def containment_dup_pairs(docs: rd.Dataset, tau: float = 0.9,
+                          block_col: str = "lang", id_col: str = "doc_id",
+                          text_col: str = "text",
+                          min_size: int = 1) -> rd.Dataset:
+    """Near-CONTAINMENT pairs: |A ∩ B| / min(|A|, |B|) ≥ tau — the
+    quote/subset duplicates symmetric Jaccard structurally misses (a
+    short doc embedded in a long one has low Jaccard but containment
+    ≈ 1). Exact all-pairs inside each block (baseline / oracle path,
+    the :func:`jaccard_dup_pairs` precedent); at corpus scale, block
+    by a coarser key or run after :func:`minhash_lsh_dup_pairs` has
+    removed the symmetric near-dups."""
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        rows = sorted(zip(g[id_col], g[text_col]))
+        sets = [(i, tf.word_set(t)) for i, t in rows]
+        d1, d2, cont = [], [], []
+        for a in range(len(sets)):
+            for b in range(a + 1, len(sets)):
+                sa, sb = sets[a][1], sets[b][1]
+                m = min(len(sa), len(sb))
+                if m < max(min_size, 1):
+                    # tiny word sets are trivially contained — the
+                    # standard guard (C4-style min-length gating)
+                    continue
+                c = len(sa & sb) / m
+                if c >= tau:
+                    d1.append(sets[a][0]); d2.append(sets[b][0])
+                    cont.append(round(c, 6))
+        return pd.DataFrame({"doc1": pd.array(d1, dtype="int64"),
+                             "doc2": pd.array(d2, dtype="int64"),
+                             "containment": pd.array(cont, dtype="float64")})
+
+    return docs.groupby(block_col).map_groups(pairs, batch_format="pandas")
+
+
 class _MinHashStage:
     """Actor-pool stage: compile the MinHasher once per actor (T5 shape).
 
