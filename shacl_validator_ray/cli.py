@@ -7,6 +7,7 @@ code allowed to call ``ray.init`` besides bench.py and the test fixture.
 
 Usage:
   python -m shacl_validator_ray.cli validate DATA.ttl [--shapes SHAPES.ttl]
+  python -m shacl_validator_ray.cli sparql DATA.ttl "SELECT $this WHERE {...}"
   python -m shacl_validator_ray.cli report REPORT.ttl
   python -m shacl_validator_ray.cli discover DATA.ttl [--query q]
   python -m shacl_validator_ray.cli materialize SF_DIR OUT_DIR
@@ -98,6 +99,28 @@ def cmd_report(args) -> int:
         "focus_nodes": report_mod.focus_node_breakdown(viols).to_dict("records"),
     }
     print(json.dumps(out, indent=1, default=str))
+    return 0
+
+
+def cmd_sparql(args) -> int:
+    """Ad-hoc SPARQL SELECT over a data TTL through the distributed BGP
+    evaluator: prints one JSON line per matching focus node (the same
+    subset the sh:sparql shape-constraint parser accepts)."""
+    from .functions.sparql import parse_select
+
+    _init_ray()
+    text = args.select
+    if text.startswith("@"):  # @file.rq convention
+        with open(text[1:]) as f:
+            text = f.read()
+    cc = parse_select(text, component="urn:cli:sparql",
+                      message="cli sparql match")
+    rows = (cc.violations(_triples_from_ttl(args.data))
+            .select_columns(["focus_node", "path", "value"])
+            .to_pandas().sort_values("focus_node"))
+    for r in rows.to_dict("records"):
+        print(json.dumps(r))
+    print(json.dumps({"matches": len(rows)}), file=sys.stderr)
     return 0
 
 
@@ -301,6 +324,11 @@ def main(argv=None) -> int:
     r = sub.add_parser("report")
     r.add_argument("report")
     r.set_defaults(fn=cmd_report)
+
+    sq = sub.add_parser("sparql")
+    sq.add_argument("data")
+    sq.add_argument("select", help="SPARQL SELECT text (or @file.rq)")
+    sq.set_defaults(fn=cmd_sparql)
 
     d = sub.add_parser("discover")
     d.add_argument("data")

@@ -108,3 +108,46 @@ def test_cli_query_lists_and_runs(capsys):
 
     rc = cli.cmd_query(_Args(name="nope", sf_dir="x", limit=5, list=False))
     assert rc == 2
+
+
+def test_cli_sparql_adhoc_select(tmp_path, capsys):
+    data = tmp_path / "d.ttl"
+    data.write_text("""
+@prefix ex: <http://example.org/> .
+ex:d1 ex:dist ex:z1 .
+ex:z1 ex:format "application/pdf" .
+ex:d2 ex:dist ex:z2 .
+ex:z2 ex:format "text/csv" .
+""")
+    rc = cli.cmd_sparql(_Args(data=str(data), select="""
+        PREFIX ex: <http://example.org/>
+        SELECT $this WHERE {
+            $this ex:dist ?d . ?d ex:format "application/pdf" . }"""))
+    assert rc == 0
+    rows = [json.loads(line) for line in
+            capsys.readouterr().out.strip().splitlines()]
+    assert [r["focus_node"] for r in rows] == ["http://example.org/d1"]
+
+
+def test_cli_validate_sparql_profile(tmp_path, capsys):
+    data = tmp_path / "d.ttl"
+    data.write_text("""
+@prefix dcat: <http://www.w3.org/ns/dcat#> .
+@prefix dct: <http://purl.org/dc/terms/> .
+@prefix ex: <http://example.org/> .
+ex:d1 a dcat:Dataset ; dcat:distribution ex:z1 .
+ex:z1 dct:format "application/pdf" .
+ex:d2 a dcat:Dataset ; dcat:distribution ex:z2 .
+ex:z2 dct:format "text/csv" .
+""")
+    rc = cli.cmd_validate(_Args(data=str(data), shapes=None,
+                                profile="sparql_demo", format="json",
+                                limit=100))
+    assert rc == 1
+    out = [json.loads(line) for line in
+           capsys.readouterr().out.strip().splitlines()]
+    assert out[0] == {"conforms": False, "results": 2}
+    sev = sorted((r["severity"], r["focus_node"]) for r in out[1:])
+    # d1: PDF Violation + no-csv Warning; d2 conforms (has csv)
+    assert sev == [("Violation", "http://example.org/d1"),
+                   ("Warning", "http://example.org/d1")]
