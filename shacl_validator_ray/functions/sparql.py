@@ -793,6 +793,11 @@ def parse_select(text: str, *, component: str, message: str = "",
         kwargs["values_rows"] = g["values"]
     if having is not None:
         kwargs["having"] = having
+    if "?value" in proj:
+        # the SHACL-SPARQL convention: a projected ?value yields one
+        # result per (focus, value) solution pair, with the binding in
+        # the report's value column
+        kwargs["value_var"] = "?value"
 
     return BGPConstraint(patterns, component, message=message,
                          severity=severity, shape_iri=shape_iri,

@@ -865,6 +865,27 @@ def q_kg_bgp_having_sum(sf_dir: str):
         ["severity", "focus_node", "value", "source_constraint_component"])
 
 
+def q_kg_bgp_value_projection(sf_dir: str):
+    """SHACL-SPARQL ?value projection (parsed from SELECT text): one
+    violation per (dataset, PDF-distribution) solution pair, with the
+    distribution IRI in the report's value column."""
+    from ..functions.sparql import parse_select
+    from . import kg
+
+    cc = parse_select(
+        """
+        PREFIX dcat: <http://www.w3.org/ns/dcat#>
+        PREFIX dct: <http://purl.org/dc/terms/>
+        SELECT $this ?value WHERE {
+            $this dcat:distribution ?value .
+            ?value dct:format "application/pdf" .
+        }""",
+        component="http://example.org/constraints#PdfDistributionValue",
+        message="dataset offers this PDF distribution")
+    return cc.violations(kg.triples_dataset(sf_dir)).select_columns(
+        ["severity", "focus_node", "value", "source_constraint_component"])
+
+
 def q_kg_bgp_values(sf_dir: str):
     """SPARQL VALUES inline table, parsed from SELECT text (the
     sh:select parser path end-to-end): distributions whose format is in
@@ -1283,6 +1304,7 @@ QUERIES = {
     "kg_bgp_varpred": q_kg_bgp_varpred,
     "kg_bgp_having": q_kg_bgp_having,
     "kg_bgp_values": q_kg_bgp_values,
+    "kg_bgp_value_projection": q_kg_bgp_value_projection,
     "kg_bgp_having_sum": q_kg_bgp_having_sum,
     "kg_bgp_nested_optional": q_kg_bgp_nested_optional,
     "kg_validate_sparql_ttl": q_kg_validate_sparql_ttl,
@@ -2974,6 +2996,17 @@ SELECT 'Violation' AS severity, subj AS focus_node, subj AS value,
        'http://example.org/constraints#OversizedDataset'
            AS source_constraint_component
 FROM sol GROUP BY subj HAVING sum(s::DOUBLE) > 5000000""",
+        # kg_bgp_value_projection: one row per (focus, value) pair,
+        # value column = the bound distribution IRI
+        "kg_bgp_value_projection": f"""
+WITH g AS (SELECT DISTINCT subj, pred, obj_value FROM {gt})
+SELECT DISTINCT 'Violation' AS severity, a.subj AS focus_node,
+       a.obj_value AS value,
+       'http://example.org/constraints#PdfDistributionValue'
+           AS source_constraint_component
+FROM g a JOIN g b ON a.obj_value = b.subj
+WHERE a.pred = '{dcat}distribution' AND b.pred = '{dct}format'
+  AND b.obj_value = 'application/pdf'""",
         # kg_bgp_values: the VALUES inline table as a SQL IN list over
         # the two-pattern join (component string differs from kg_bgp_union)
         "kg_bgp_values": f"""

@@ -122,6 +122,14 @@ class BGPConstraint:
         with the broadcast inline table — never a shuffle). Unbound
         VALUES variables (a cross product) are rejected at evaluation.
         Cannot combine with ``union_patterns``.
+    value_var : str, optional
+        SHACL-SPARQL ``?value`` projection: ONE violation per distinct
+        ``($this, ?value)`` solution pair, with the binding in the
+        report's ``value`` column (instead of one violation per
+        distinct focus with value = focus). The variable must be bound
+        by ``patterns`` (and by every UNION alternative); cannot
+        combine with ``optional_pattern`` (which owns the value column)
+        or ``having`` (which aggregates the solutions away).
     having : tuple (var, op, n), optional
         SPARQL aggregate analog ``GROUP BY $this HAVING
         (count(distinct var) OP n)``: the focus node is a violation
@@ -135,7 +143,7 @@ class BGPConstraint:
                  severity: str = "Violation", shape_iri: str = "",
                  target=None, filter_fn=None, absent_patterns=None,
                  union_patterns=None, optional_pattern=None, having=None,
-                 values_rows=None):
+                 values_rows=None, value_var=None):
         if not patterns:
             raise ValueError("BGPConstraint needs at least one pattern")
         # property paths (tuple predicates) canonicalize to the shapes
@@ -253,6 +261,23 @@ class BGPConstraint:
                            else float(hn))
         else:
             self.having = None
+        if value_var is not None:
+            if not _is_var(value_var) or value_var == THIS:
+                raise ValueError("value_var must be a ?var other than "
+                                 "$this")
+            if value_var not in bound:
+                raise ValueError(f"value_var {value_var!r} is not bound "
+                                 "by any pattern")
+            if optional_pattern is not None or having is not None:
+                raise ValueError("value_var cannot combine with "
+                                 "optional_pattern or having")
+            for i, alt in enumerate(self.alts):
+                avars = {t for pat in alt for t in pat if _is_var(t)}
+                if value_var not in avars:
+                    raise ValueError(
+                        f"value_var {value_var!r} is not bound by UNION "
+                        f"alternative {i}")
+        self.value_var = value_var
         self.patterns = [tuple(p) for p in patterns]
         self.component = component
         self.message = message or f"BGP constraint {component} matched"
@@ -466,13 +491,17 @@ class BGPConstraint:
         tri = (triples, self._derived(triples))
         sol, sol_cols = self._bindings_from(tri)
         focus_sol = sol
+        proj_cols = ([THIS, self.value_var] if self.value_var is not None
+                     else [THIS])
         for alt in self.alts:  # UNION: alternatives add focus nodes
             ab, _ = self._chain(tri, alt)
-            focus_sol = focus_sol.map_batches(
-                lambda b: pa.table({THIS: b[THIS].cast(pa.string())}),
-                batch_format="pyarrow").union(ab.map_batches(
-                    lambda b: pa.table({THIS: b[THIS].cast(pa.string())}),
-                    batch_format="pyarrow"))
+
+            def proj(b: pa.Table, cols=tuple(proj_cols)) -> pa.Table:
+                return pa.table({c: b[c].cast(pa.string()) for c in cols})
+
+            focus_sol = (focus_sol.map_batches(proj, batch_format="pyarrow")
+                         .union(ab.map_batches(proj,
+                                               batch_format="pyarrow")))
         if self.having is not None:
             # SPARQL GROUP BY $this HAVING (AGG(...) OP n): aggregate
             # over the DISTINCT solution set (the engine's set
@@ -525,6 +554,15 @@ class BGPConstraint:
                                        float(hn)))
                            .select(["focus", "_n"]),
                 batch_format="pyarrow")
+        elif self.value_var is not None:
+            # ?value projection: one result per DISTINCT (focus, value)
+            # solution pair — the SHACL-SPARQL result cardinality
+            vv = self.value_var
+            focus = (focus_sol.map_batches(
+                lambda b: pa.table({"focus": b[THIS].cast(pa.string()),
+                                    "opt": b[vv].cast(pa.string())}),
+                batch_format="pyarrow")
+                .groupby(["focus", "opt"]).aggregate(Count(alias_name="_n")))
         else:
             focus = (focus_sol.map_batches(
                 lambda b: pa.table({"focus": b[THIS].cast(pa.string())}),
@@ -546,8 +584,15 @@ class BGPConstraint:
 
             def tag(side: str):
                 def fn(b: pa.Table) -> pa.Table:
+                    # carry the ?value column through the anti-join when
+                    # the constraint projects it
+                    opt = (b["opt"].cast(pa.string())
+                           if "opt" in b.column_names
+                           else pa.nulls(b.num_rows,
+                                         pa.string()).fill_null(""))
                     return pa.table({
                         "focus": b["focus"].cast(pa.string()),
+                        "opt": opt,
                         "_side": pa.array([side] * b.num_rows, pa.string())})
                 return fn
 
@@ -558,9 +603,10 @@ class BGPConstraint:
             def anti(g: pd.DataFrame) -> pd.DataFrame:
                 drop = set(g.loc[g["_side"] == "a", "focus"])
                 keep = g.loc[(g["_side"] == "m") & ~g["focus"].isin(drop),
-                             ["focus"]]
+                             ["focus", "opt"]]
                 return keep if len(keep) else pd.DataFrame(
-                    {"focus": pd.Series(dtype=object)})
+                    {"focus": pd.Series(dtype=object),
+                     "opt": pd.Series(dtype=object)})
 
             focus = bucketed_block_apply(both, "focus", anti)
 
@@ -634,12 +680,16 @@ class BGPConstraint:
                     "pth": b["pth"].cast(pa.string())}),
                 batch_format="pyarrow")
         else:
-            focus = focus.map_batches(
-                lambda b: pa.table({
+            def finalize(b: pa.Table) -> pa.Table:
+                opt = (b["opt"].cast(pa.string())
+                       if "opt" in b.column_names
+                       else pa.nulls(b.num_rows, pa.string()).fill_null(""))
+                return pa.table({
                     "focus": b["focus"].cast(pa.string()),
-                    "opt": pa.nulls(b.num_rows, pa.string()).fill_null(""),
-                    "pth": pa.nulls(b.num_rows, pa.string()).fill_null("")}),
-                batch_format="pyarrow")
+                    "opt": opt,
+                    "pth": pa.nulls(b.num_rows, pa.string()).fill_null("")})
+
+            focus = focus.map_batches(finalize, batch_format="pyarrow")
 
         fsets = (_focus_sets(members or {}, self.targets)
                  if self.targets else None)

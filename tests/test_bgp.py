@@ -493,3 +493,39 @@ def test_sparql_filter_over_optional_bindings():
                 $this a ex:Dataset .
                 OPTIONAL { $this ex:dist ?d }
                 FILTER (!BOUND(?d)) FILTER (?d = "x") }""", component="c")
+
+
+def test_sparql_value_projection():
+    """SELECT $this ?value emits ONE result per distinct (focus, value)
+    solution pair with the binding in the value column — the
+    SHACL-SPARQL result cardinality."""
+    cc = parse_select(
+        _PFX + """SELECT $this ?value WHERE {
+            $this ex:dist ?value . ?value ex:format "application/pdf" . }""",
+        component="c")
+    rows = cc.violations(_ds_from_ttl_text(DATA)).to_pandas()
+    got = sorted((r["focus_node"].rsplit("/")[-1],
+                  r["value"].rsplit("/")[-1])
+                 for r in rows.to_dict("records"))
+    assert got == [("d1", "z1"), ("d3", "z3"), ("other", "z4")]
+
+    # combined with NOT EXISTS: pairs survive the focus anti-join
+    cn = parse_select(
+        _PFX + """SELECT $this ?value WHERE {
+            $this ex:dist ?value .
+            FILTER NOT EXISTS { $this ex:dist ?z . ?z ex:format "text/csv" . } }""",
+        component="c")
+    rows = cn.violations(_ds_from_ttl_text(DATA)).to_pandas()
+    got = sorted((r["focus_node"].rsplit("/")[-1],
+                  r["value"].rsplit("/")[-1])
+                 for r in rows.to_dict("records"))
+    assert got == [("d1", "z1"), ("d3", "z3"), ("other", "z4")]
+
+    with pytest.raises(ValueError, match="value_var"):
+        BGPConstraint(patterns=[("$this", EX + "p", "?v")],
+                      value_var="?unbound", component="c")
+    with pytest.raises(ValueError, match="cannot combine"):
+        BGPConstraint(patterns=[("$this", EX + "p", "?v")],
+                      value_var="?v",
+                      optional_pattern=("$this", EX + "q", "?w"),
+                      component="c")
