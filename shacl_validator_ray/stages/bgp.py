@@ -198,16 +198,25 @@ class BGPConstraint:
                      else [tuple(optional_pattern)])
             prev = THIS
             seen_vars = {THIS}
+            canon_chain = []
             for s_, p_, o_ in chain:
-                if s_ != prev or _is_var(p_) or isinstance(p_, tuple) \
+                if isinstance(p_, tuple):
+                    # property paths annotate like any predicate: the
+                    # canonical path string becomes the report's path
+                    # and the step scans the derived virtual rows
+                    canon, spec = _canon_path(p_)
+                    self.paths[canon] = spec
+                    p_ = canon
+                if s_ != prev or _is_var(p_) \
                         or not _is_var(o_) or o_ in seen_vars:
                     raise ValueError(
-                        "optional_pattern must be ($this, <const-pred>, "
+                        "optional_pattern must be ($this, <pred-or-path>, "
                         "?var) or a linear chain [($this,p,?v), "
                         "(?v,q,?w), …] with fresh object variables")
                 seen_vars.add(o_)
                 prev = o_
-            self.optional_chain = [tuple(p) for p in chain]
+                canon_chain.append((s_, p_, o_))
+            self.optional_chain = canon_chain
             self.optional_pattern = self.optional_chain[0]
         else:
             self.optional_chain = None

@@ -529,3 +529,24 @@ def test_sparql_value_projection():
                       value_var="?v",
                       optional_pattern=("$this", EX + "q", "?w"),
                       component="c")
+
+
+def test_sparql_optional_with_path_annotation():
+    """A property path inside OPTIONAL annotates with the canonical
+    path string as the report path (alt path here)."""
+    data = DATA + """
+    @prefix ex: <http://example.org/> .
+    ex:d1 ex:title "T1" .
+    ex:d2 ex:label "L2" .
+    """
+    cc = parse_select(
+        _PFX + """SELECT $this WHERE {
+            $this a ex:Dataset .
+            OPTIONAL { $this ex:title|ex:label ?t } }""", component="c")
+    rows = cc.violations(_ds_from_ttl_text(data)).to_pandas()
+    by = {r["focus_node"].rsplit("/")[-1]: (r["value"], r["path"])
+          for r in rows.to_dict("records")}
+    alt = f"({EX}title | {EX}label)"
+    assert by["d1"] == ("T1", alt)
+    assert by["d2"] == ("L2", alt)
+    assert by["d3"][1] == ""  # unmatched: value = focus, no path
