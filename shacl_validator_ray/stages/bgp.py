@@ -715,11 +715,21 @@ class BGPConstraint:
             if fsets_ is not None:
                 m = _members_mask(fsets_, vals)
                 vals, opts, pths = vals[m], opts[m], pths[m]
+            templated = "{$this}" in msg or "{?value}" in msg
+
+            def render(v: str, o: str) -> str:
+                # SHACL-SPARQL message templating: {$this} / {?value}
+                # substitute per result (shacl-engine behavior)
+                if not templated:
+                    return msg
+                return (msg.replace("{$this}", v)
+                        .replace("{?value}", o or v))
+
             return _violation_rows([
                 {"severity": sev, "focus_node": v,
                  "path": p if o else "",
                  "value": (o or v),
-                 "message": [{"text": msg, "lang": "en"}],
+                 "message": [{"text": render(v, o), "lang": "en"}],
                  "source_constraint_component": comp,
                  "source_shape": shape, "foaf_page": ""}
                 for v, o, p in zip(vals, opts, pths)])

@@ -550,3 +550,16 @@ def test_sparql_optional_with_path_annotation():
     assert by["d1"] == ("T1", alt)
     assert by["d2"] == ("L2", alt)
     assert by["d3"][1] == ""  # unmatched: value = focus, no path
+
+
+def test_sparql_message_templating():
+    """{$this} / {?value} in sh:message substitute per result."""
+    cc = parse_select(
+        _PFX + """SELECT $this ?value WHERE {
+            $this ex:dist ?value . ?value ex:format "application/pdf" . }""",
+        component="c", message="dataset {$this} offers PDF dist {?value}")
+    rows = cc.violations(_ds_from_ttl_text(DATA)).to_pandas()
+    msgs = {r["focus_node"].rsplit("/")[-1]: r["message"][0]["text"]
+            for r in rows.to_dict("records")}
+    assert msgs["d1"] == ("dataset http://example.org/d1 offers PDF dist "
+                          "http://example.org/z1")
