@@ -669,18 +669,47 @@ def augment_paths(triples: rd.Dataset,
     # prefix (a/b/c, a/b/d, a/b) reuse the materialized reach-pair table
     # for the shared joins instead of recomputing them per path
     prefix_cache: dict = {}
-    for path_str, preds in seqs:
-        # per-path materialize is deliberate: folding every final-hop
-        # join into the one union+dedup execution below measured SLOWER
-        # (8+ s vs 5.7 s at sf0.1 — the merged DAG loses pipeline
-        # parallelism across the bucketed merges)
-        derived.append(
-            _seq_rows(triples, path_str, preds, num_partitions,
-                      prefix_cache).materialize())
+    # SHARED prefixes fill the cache serially first (deterministic, no
+    # cache races); then every path's remaining work — the final-hop
+    # join / closure rounds, each its own Ray execution — materializes
+    # CONCURRENTLY from threads. At full_demo's 2 seq paths this is
+    # wall-neutral (the final union+dedup execution dominates); it pays
+    # off as the path count grows. (Per-path materialize itself is
+    # deliberate: folding every final hop into the one union+dedup
+    # execution below measured SLOWER — 8+ s vs 5.7 s at sf0.1 — the
+    # merged DAG loses pipeline parallelism.)
+    from collections import Counter
+    from concurrent.futures import ThreadPoolExecutor
+
+    pref_count: Counter = Counter()
+    for _, preds in seqs:
+        for i in range(1, len(preds)):
+            pref_count[tuple(preds[:i])] += 1
+    for pref in sorted((p for p, c in pref_count.items() if c > 1),
+                       key=len):
+        _seq_prefix_pairs(triples, pref, num_partitions, prefix_cache)
+
+    def build_seq(item):
+        path_str, preds = item
+        return _seq_rows(triples, path_str, preds, num_partitions,
+                         prefix_cache).materialize()
+
+    def build_closure(item):
+        path_str, pred, include_zero = item
+        return _closure_rows(triples, path_str, pred, include_zero,
+                             num_partitions)
+
+    jobs = ([("s", s) for s in seqs] + [("c", c) for c in closures])
+    if len(jobs) > 1:
+        with ThreadPoolExecutor(max_workers=min(4, len(jobs))) as ex:
+            built = list(ex.map(
+                lambda j: build_seq(j[1]) if j[0] == "s"
+                else build_closure(j[1]), jobs))
+    else:
+        built = [build_seq(j[1]) if j[0] == "s" else build_closure(j[1])
+                 for j in jobs]
+    derived.extend(built)
     for path_str, pred, include_zero in closures:
-        derived.append(
-            _closure_rows(triples, path_str, pred, include_zero,
-                          num_partitions))
         if include_zero:
             # per SHACL, p* of a focus node always contains the focus
             # itself — including explicit sh:targetNode focus nodes that
