@@ -108,6 +108,10 @@ def cmd_sparql(args) -> int:
     subset the sh:sparql shape-constraint parser accepts)."""
     from .functions.sparql import parse_select
 
+    if bool(getattr(args, "sf_dir", None)) == bool(args.data):
+        print(json.dumps({"error": "pass exactly one of DATA.ttl or "
+                                   "--sf-dir"}), file=sys.stderr)
+        return 2
     _init_ray()
     text = args.select
     if text.startswith("@"):  # @file.rq convention
@@ -115,9 +119,16 @@ def cmd_sparql(args) -> int:
             text = f.read()
     cc = parse_select(text, component="urn:cli:sparql",
                       message="cli sparql match")
-    rows = (cc.violations(_triples_from_ttl(args.data))
+    if getattr(args, "sf_dir", None):
+        # corpus mode: run against the extraction pipeline's graph
+        from .pipelines import kg
+
+        triples = kg.triples_dataset(args.sf_dir)
+    else:
+        triples = _triples_from_ttl(args.data)
+    rows = (cc.violations(triples)
             .select_columns(["focus_node", "path", "value"])
-            .to_pandas().sort_values("focus_node"))
+            .to_pandas().sort_values(["focus_node", "value"]))
     for r in rows.to_dict("records"):
         print(json.dumps(r))
     print(json.dumps({"matches": len(rows)}), file=sys.stderr)
@@ -326,8 +337,12 @@ def main(argv=None) -> int:
     r.set_defaults(fn=cmd_report)
 
     sq = sub.add_parser("sparql")
-    sq.add_argument("data")
+    sq.add_argument("data", nargs="?", default=None,
+                    help="data TTL file (omit with --sf-dir)")
     sq.add_argument("select", help="SPARQL SELECT text (or @file.rq)")
+    sq.add_argument("--sf-dir", dest="sf_dir", default=None,
+                    help="run against the extraction pipeline's graph "
+                         "for this corpus dir instead of a TTL file")
     sq.set_defaults(fn=cmd_sparql)
 
     d = sub.add_parser("discover")
